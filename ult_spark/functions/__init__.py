@@ -1,0 +1,188 @@
+"""Column-level function surface (SURVEY.md §2.3, §2.8).
+
+The cell encode is pure floor + shift/mask integer math (see
+:mod:`ult_spark.grid.cells` for the pinned encoding), so the hot path is
+implemented as **native Spark Column expressions** — they stay inside
+whole-stage codegen with zero Python, which is stronger than the
+"vectorized pandas/Arrow UDFs" floor required by BASELINE.json input_hint.
+The same arithmetic is expressible in ANSI SQL, which is what makes the
+DuckDB oracle parity checks possible (SURVEY.md §5.5).
+
+NumPy twins live in ``ult_spark.grid.cells`` for use inside other UDFs
+(polyfill, PIP refine, kNN ring expansion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ult_spark.grid.cells import MAX_LEVEL
+
+# 2D Morton bit-spreading masks — same constants as grid/cells.py (pinned)
+_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread(v: Column) -> Column:
+    """Spread low 32 bits so bit i lands at bit 2i (native, codegen-able)."""
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    for sh, mask in _MASKS:
+        v = (v.bitwiseOR(F.shiftleft(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def _unspread(v: Column) -> Column:
+    """Gather even bits back down — inverse of :func:`_spread`."""
+    v = v.bitwiseAND(F.lit(_MASKS[-1][1]))
+    for sh, mask in ((1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+                     (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+                     (16, 0xFFFFFFFF)):
+        v = (v.bitwiseOR(F.shiftright(v, sh))).bitwiseAND(F.lit(mask))
+    return v
+
+
+def grid_x(lon: Column | str, level: int) -> Column:
+    """Plate-carrée x coordinate at ``level`` (long)."""
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    n = 1 << level
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))).cast("long")
+    return F.greatest(F.lit(0), F.least(x, F.lit(n - 1)))
+
+
+def grid_y(lat: Column | str, level: int) -> Column:
+    """Plate-carrée y coordinate at ``level`` (long)."""
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    n = 1 << level
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))).cast("long")
+    return F.greatest(F.lit(0), F.least(y, F.lit(n - 1)))
+
+
+def xy_to_cell(x: Column, y: Column, level: int) -> Column:
+    """Morton-interleave + level sentinel (native bit math → long cell id)."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError(f"level {level} out of range [0, {MAX_LEVEL}]")
+    m = _spread(x).bitwiseOR(F.shiftleft(_spread(y), 1))
+    return F.shiftleft(F.shiftleft(m, 1).bitwiseOR(F.lit(1)), 2 * (MAX_LEVEL - level))
+
+
+def latlon_to_cell(lat: Column | str, lon: Column | str, level: int) -> Column:
+    """Encode lat/lon columns to a cell id at ``level`` — all native.
+
+    Ref: BASELINE.json north_star "batched H3 encode at multiple resolutions
+    ... with zero per-row Python"; this compiles to JVM whole-stage codegen.
+    """
+    return xy_to_cell(grid_x(lon, level), grid_y(lat, level), level)
+
+
+def cell_parent(cell: Column | str, parent_level: int) -> Column:
+    """Ancestor of ``cell`` at ``parent_level`` (native bit math).
+
+    Only valid when every input cell is at a level >= ``parent_level``.
+    """
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    lsb = 1 << (2 * (MAX_LEVEL - parent_level))
+    return cell.bitwiseAND(F.lit(~((lsb << 1) - 1))).bitwiseOR(F.lit(lsb))
+
+
+def cell_range(cell: Column | str) -> tuple[Column, Column]:
+    """Contiguous descendant id range [lo, hi] of ``cell`` (native)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    lsb = cell.bitwiseAND(-cell)
+    return cell - lsb + F.lit(1), cell + lsb - F.lit(1)
+
+
+def cell_x(cell: Column | str, level: int) -> Column:
+    """Grid x of a cell known to be at ``level`` (native de-interleave)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    m = F.shiftright(cell, 2 * (MAX_LEVEL - level) + 1)
+    return _unspread(m)
+
+
+def cell_y(cell: Column | str, level: int) -> Column:
+    """Grid y of a cell known to be at ``level`` (native de-interleave)."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    m = F.shiftright(cell, 2 * (MAX_LEVEL - level) + 2)
+    return _unspread(m)
+
+
+def cell_centroid_lat(cell: Column | str, level: int) -> Column:
+    """Centroid latitude of a cell at ``level`` (native)."""
+    n = float(1 << level)
+    return (cell_y(cell, level).cast("double") + F.lit(0.5)) / F.lit(n) * F.lit(180.0) - F.lit(90.0)
+
+
+def cell_centroid_lon(cell: Column | str, level: int) -> Column:
+    """Centroid longitude of a cell at ``level`` (native)."""
+    n = float(1 << level)
+    return (cell_x(cell, level).cast("double") + F.lit(0.5)) / F.lit(n) * F.lit(360.0) - F.lit(180.0)
+
+
+# --------------------------------------------------------------------------
+# distances (native math columns — SURVEY.md §2.8)
+
+EARTH_RADIUS_M = 6371008.8  # mean Earth radius [public: IUGG]
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters — native sin/cos/asin columns."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def sq_euclid_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Squared planar distance in degrees² — exact IEEE arithmetic, used for
+    oracle-checked kNN so Spark and DuckDB order candidates bit-identically
+    (libm sin/cos may differ in the last ulp between JVM and C; +,-,* do not).
+    """
+    dlat = lat1 - lat2
+    dlon = lon1 - lon2
+    return dlat * dlat + dlon * dlon
+
+
+# --------------------------------------------------------------------------
+# pinned deterministic lat/lon derivation for the driver's `events` table
+# (FIXTURES.md §A — evaluates identically in Spark SQL and DuckDB)
+
+def event_lon(event_id: Column | str = "event_id") -> Column:
+    c = F.col(event_id) if isinstance(event_id, str) else event_id
+    return ((c * F.lit(2654435761)) % F.lit(360000)).cast("double") / F.lit(1000.0) - F.lit(180.0)
+
+
+def event_lat(user_id: Column | str = "user_id", event_id: Column | str = "event_id") -> Column:
+    u = F.col(user_id) if isinstance(user_id, str) else user_id
+    e = F.col(event_id) if isinstance(event_id, str) else event_id
+    return ((u * F.lit(40503) + e) % F.lit(180000)).cast("double") / F.lit(1000.0) - F.lit(90.0)
+
+
+# SQL fragments for the DuckDB oracle (same pinned arithmetic, ANSI SQL)
+EVENT_LON_SQL = "(((event_id * 2654435761) % 360000) / 1000.0 - 180.0)"
+EVENT_LAT_SQL = "(((user_id * 40503 + event_id) % 180000) / 1000.0 - 90.0)"
+
+
+def cell_sql(lat_sql: str, lon_sql: str, level: int) -> str:
+    """DuckDB SQL computing the same cell id as :func:`latlon_to_cell`.
+
+    Emits the floor + clamp + Morton spread + sentinel pipeline as nested
+    expressions; used by __spark_entry__.oracle_sql for parity checks.
+    """
+    n = 1 << level
+
+    def spread(e: str) -> str:
+        v = f"(({e}) & 4294967295)"
+        for sh, mask in _MASKS:
+            v = f"((({v} | ({v} << {sh})) ) & {mask})"
+        return v
+
+    x = f"greatest(0, least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * {float(n)}) AS BIGINT), {n - 1}))"
+    y = f"greatest(0, least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * {float(n)}) AS BIGINT), {n - 1}))"
+    m = f"({spread(x)} | ({spread(y)} << 1))"
+    return f"((({m} << 1) | 1) << {2 * (MAX_LEVEL - level)})"

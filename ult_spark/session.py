@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's pinned configs (SURVEY.md §4, §6)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "ult_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    Defaults follow BASELINE.md protocol: AQE on, Arrow on with large
+    record batches (the encode/PIP stages are Arrow-batch pipelines),
+    shuffle partitions scaled to 2x cores.
+    """
+    master = master or os.environ.get("ULT_SPARK_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if master.startswith("local[") and master != "local[*]":
+        try:
+            cores = int(master[len("local["):-1])
+        except ValueError:
+            pass
+    shuffle = shuffle_partitions or int(os.environ.get("ULT_SHUFFLE_PARTITIONS", 2 * cores))
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("ULT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
