@@ -1,0 +1,92 @@
+"""Geometry correctness: vectorized ray-caster vs naive oracle, polyfill
+conservativeness, end-to-end PIP join vs brute force (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ult_spark.geom.pip import point_in_polygon_naive, points_in_polygon
+from ult_spark.geom.polyio import default_layer
+from ult_spark.grid import cells as C
+from ult_spark.grid.polyfill import polyfill
+
+POLYS = list(default_layer())
+RNG = np.random.default_rng(1234)
+
+
+def test_fixture_shape():
+    assert len(POLYS) == 16
+    holed = next(p for p in POLYS if p.name == "holed")
+    assert len(holed.ring_offsets) == 3  # exterior + hole + total
+
+
+@pytest.mark.parametrize("poly", POLYS, ids=[p.name for p in POLYS])
+def test_vectorized_matches_naive(poly):
+    la0, la1, lo0, lo1 = poly.bbox()
+    pad_la = (la1 - la0) * 0.3 + 0.1
+    pad_lo = (lo1 - lo0) * 0.3 + 0.1
+    lat = RNG.uniform(la0 - pad_la, la1 + pad_la, 800)
+    lon = RNG.uniform(lo0 - pad_lo, lo1 + pad_lo, 800)
+    fast = points_in_polygon(lat, lon, poly)
+    slow = np.array([point_in_polygon_naive(a, o, poly) for a, o in zip(lat, lon)])
+    assert np.array_equal(fast, slow)
+    assert fast.any() or poly.name == "sliver"  # sanity: region is hit
+
+
+def test_hole_semantics():
+    holed = next(p for p in POLYS if p.name == "holed")
+    # center of the hole (10, 37.5) is OUTSIDE; ring area around it inside
+    assert not points_in_polygon(np.array([37.5]), np.array([10.0]), holed)[0]
+    assert points_in_polygon(np.array([32.0]), np.array([10.0]), holed)[0]
+    assert points_in_polygon(np.array([37.5]), np.array([2.0]), holed)[0]
+    assert not points_in_polygon(np.array([50.0]), np.array([10.0]), holed)[0]
+
+
+def test_concave_semantics():
+    cc = next(p for p in POLYS if p.name == "concave_C")
+    # inside the notch of the C → outside the polygon
+    assert not points_in_polygon(np.array([40.0]), np.array([-145.0]), cc)[0]
+    # inside the spine of the C
+    assert points_in_polygon(np.array([40.0]), np.array([-158.0]), cc)[0]
+
+
+@pytest.mark.parametrize("level", [5, 6, 8])
+@pytest.mark.parametrize("poly", POLYS[:6] + [POLYS[14], POLYS[15]],
+                         ids=lambda p: getattr(p, "name", p))
+def test_polyfill_conservative(poly, level):
+    """No interior point may fall in a cell polyfill missed (undercoverage
+    drops join rows; overcoverage is refined away)."""
+    cov = set(polyfill(poly, level).tolist())
+    assert cov, f"{poly.name} produced empty cover at L{level}"
+    la0, la1, lo0, lo1 = poly.bbox()
+    lat = RNG.uniform(la0, la1, 3000)
+    lon = RNG.uniform(lo0, lo1, 3000)
+    inside = points_in_polygon(lat, lon, poly)
+    cells_of_inside = C.latlon_to_cell(lat[inside], lon[inside], level)
+    missing = set(np.unique(cells_of_inside).tolist()) - cov
+    assert not missing, f"{poly.name} L{level}: {len(missing)} cells undercovered"
+
+
+def test_pip_join_matches_bruteforce(spark, sf_smoke):
+    from ult_spark import functions as UF
+    from ult_spark.ops.pip import pip_join
+
+    pts = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id", UF.event_lat().alias("lat"), UF.event_lon().alias("lon"))
+    )
+    got = {
+        (r.event_id, r.poly_id)
+        for r in pip_join(pts, POLYS).select("event_id", "poly_id").collect()
+    }
+    pdf = pts.toPandas()
+    exp = set()
+    for p in POLYS:
+        m = points_in_polygon(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), p)
+        exp |= {(int(e), p.poly_id) for e in pdf["event_id"].to_numpy()[m]}
+    assert got == exp
+    # anti join complements the inner join on the point keys
+    anti = pip_join(pts, POLYS, how="left_anti").count()
+    matched_pts = len({e for e, _ in got})
+    assert anti == pts.count() - matched_pts

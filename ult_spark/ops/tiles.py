@@ -1,0 +1,82 @@
+"""Per-tile aggregation: plain, salted (hot-cell skew), and pyramid rollup.
+
+Spec: BASELINE.json north_star — "DataFrame groupBy over cell ids with
+explicit salting for hot-cell skew", "hierarchical compact/uncompact for
+multi-resolution tile pyramids"; north_rule — "partitioning / shuffle / skew
+handled explicitly".
+
+Skew design: geotagged web corpora concentrate in a few megacity cells. A
+single-stage groupBy hashes each cell to ONE reduce task, so a hot cell
+serializes. The salted aggregate splits every row's key into (cell, salt)
+with a **deterministic** salt (xxhash64 of a high-cardinality column — never
+rand(), which would break fixture reproducibility), partially aggregates the
+(cell, salt) pairs, then merges per cell. Stage 1 shrinks hot cells by the
+salt fan-out before the second (tiny) shuffle. Catalyst's map-side partial
+aggregation already bounds per-task state; the salt bounds *reduce-task*
+skew, which partial agg cannot.
+
+Pyramid design: quadtree parents re-aggregate children EXACTLY (4 complete
+siblings ⇔ 1 parent), so each level is a groupBy over the previous level's
+output — log₄ shrinking shuffles, never a rescan of the input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ult_spark import functions as UF
+
+
+def tile_agg(
+    df: DataFrame,
+    cell: str = "cell",
+    value: Column | str | None = None,
+    salt_by: Column | str | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """groupBy(cell) → cnt (+ sum_val when ``value`` given).
+
+    ``salt_by``: high-cardinality deterministic column (e.g. url / event_id)
+    enabling the two-stage skew-safe plan. Results are identical with or
+    without salting at any parallelism — only the shuffle layout differs.
+    """
+    val = (F.col(value) if isinstance(value, str) else value) if value is not None else None
+    if salt_by is None:
+        aggs = [F.count("*").alias("cnt")]
+        if val is not None:
+            aggs.append(F.sum(val).alias("sum_val"))
+        return df.groupBy(cell).agg(*aggs)
+
+    salt_src = F.col(salt_by) if isinstance(salt_by, str) else salt_by
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).alias("_salt")
+    partial_aggs = [F.count("*").alias("_cnt")]
+    if val is not None:
+        partial_aggs.append(F.sum(val).alias("_sum"))
+    stage1 = df.groupBy(F.col(cell), salt).agg(*partial_aggs)
+    merge = [F.sum("_cnt").alias("cnt")]
+    if val is not None:
+        merge.append(F.sum("_sum").alias("sum_val"))
+    return stage1.groupBy(cell).agg(*merge)
+
+
+def pyramid(
+    tiles: DataFrame,
+    levels: list[int],
+    cell: str = "cell",
+    sum_cols: tuple[str, ...] = ("cnt",),
+) -> DataFrame:
+    """Roll finest-level tile aggregates up a resolution pyramid.
+
+    ``tiles`` must be at ``levels[0]`` (finest). Returns the union across all
+    levels with a ``level`` column. Sums re-aggregate exactly (ints).
+    """
+    finest = levels[0]
+    out = tiles.select(F.lit(finest).alias("level"), F.col(cell), *sum_cols)
+    cur = tiles
+    for lvl in levels[1:]:
+        cur = cur.groupBy(UF.cell_parent(cell, lvl).alias(cell)).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        out = out.unionByName(cur.select(F.lit(lvl).alias("level"), F.col(cell), *sum_cols))
+    return out

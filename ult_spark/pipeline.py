@@ -1,9 +1,12 @@
 """Flagship pipeline assembly (SURVEY.md §3 E1/E2).
 
-v0 flagship: derive deterministic coordinates for the events table, encode
-cells at the working resolution, aggregate per tile with a pyramid rollup,
-and rank the hottest tiles. Upgraded to the full pages→extract→PIP→salted-agg
-pipeline as those stages land.
+The headline BASELINE metric path: points → cell encode (native, multi-res)
+→ PIP join vs the polygon layer (broadcast compacted index + Arrow ray-cast)
+→ salted per-tile aggregate → pyramid rollup → hottest tiles.
+
+On the driver's testdata the point source is `events` with the pinned
+deterministic lat/lon derivation; the synthetic pages table (datagen) runs
+the same stages behind text/geotag extraction.
 """
 
 from __future__ import annotations
@@ -16,10 +19,22 @@ from ult_spark.querydefs import events_points, val_e4
 
 
 def flagship(spark: SparkSession, sf_dir: str, level: int = 8) -> DataFrame:
+    """Geo-encode events, PIP-join the admin layer, salted tile aggregate."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_join
+    from ult_spark.ops.tiles import tile_agg
+
     pts = events_points(spark, sf_dir)
-    tiles = (
-        pts.withColumn("cell", UF.latlon_to_cell("lat", "lon", level))
-        .groupBy("cell")
-        .agg(F.count("*").alias("cnt"), F.sum(val_e4()).alias("sum_val_e4"))
+    joined = pip_join(pts, list(default_layer()))
+    tiles = tile_agg(
+        joined.withColumn("cell", UF.latlon_to_cell("lat", "lon", level))
+        .withColumn("val_e4", val_e4()),
+        cell="cell",
+        value="val_e4",
+        salt_by="event_id",
     )
-    return tiles.orderBy(F.desc("cnt"), F.asc("cell")).limit(50)
+    return (
+        tiles.select("cell", "cnt", F.col("sum_val").alias("sum_val_e4"))
+        .orderBy(F.desc("cnt"), F.asc("cell"))
+        .limit(50)
+    )

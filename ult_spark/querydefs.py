@@ -287,6 +287,124 @@ def tiles_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return even.subtract(odd)
 
 
+# ---------------------------------------------------------------------------
+# J1+J2: point-in-polygon join (broadcast compacted index + exact ray-cast).
+# Oracle: brute-force crossing count over inlined polygon edges — the pinned
+# edge rule is pure IEEE arithmetic so Spark NumPy and DuckDB agree exactly.
+
+def _pip_oracle_cte() -> str:
+    from ult_spark.geom.polyio import default_layer, edges_values_sql
+
+    edges = edges_values_sql(list(default_layer()))
+    return (
+        f"WITH pts AS (SELECT event_id, value, {UF.EVENT_LAT_SQL} AS py, "
+        f"{UF.EVENT_LON_SQL} AS px FROM events), "
+        f"hits AS (SELECT event_id, poly_id, any_value(value) AS value FROM pts, {edges} "
+        f"GROUP BY event_id, poly_id "
+        f"HAVING sum(CASE WHEN (ey1 > py) != (ey2 > py) "
+        f"AND px < (ex2 - ex1) * (py - ey1) / (ey2 - ey1) + ex1 "
+        f"THEN 1 ELSE 0 END) % 2 = 1) "
+    )
+
+
+def _pip_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_join
+
+    return pip_join(events_points(spark, sf_dir), list(default_layer()))
+
+
+@q("pip_join_events", _pip_oracle_cte() + "SELECT event_id, poly_id FROM hits")
+def pip_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pip_points(spark, sf_dir).select("event_id", "poly_id")
+
+
+@q(
+    "pip_agg_by_poly",
+    _pip_oracle_cte()
+    + "SELECT poly_id, count(*) AS cnt, "
+    f"CAST(sum({VAL_E4}) AS BIGINT) AS sum_val_e4 FROM hits GROUP BY 1",
+)
+def pip_agg_by_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pip_points(spark, sf_dir)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("cnt"), F.sum(val_e4()).alias("sum_val_e4"))
+    )
+
+
+@q(
+    "pip_anti_count",
+    _pip_oracle_cte()
+    + "SELECT count(*) AS cnt FROM events WHERE event_id NOT IN (SELECT event_id FROM hits)",
+)
+def pip_anti_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_join
+
+    anti = pip_join(events_points(spark, sf_dir), list(default_layer()), how="left_anti")
+    return anti.agg(F.count("*").alias("cnt"))
+
+
+# A7-shape on points: zonal tile aggregate per polygon at a finer cell level
+
+@q(
+    "pip_tiles_by_poly_l8",
+    _pip_oracle_cte().replace(
+        "SELECT event_id, value,", "SELECT event_id, value, user_id,"
+    ).replace(
+        "hits AS (SELECT event_id, poly_id, any_value(value) AS value FROM pts,",
+        "hits AS (SELECT event_id, poly_id, any_value(value) AS value, "
+        "any_value(py) AS py, any_value(px) AS px FROM pts,",
+    )
+    + f"SELECT poly_id, {UF.cell_sql('py', 'px', 8)} AS cell, count(*) AS cnt "
+    "FROM hits GROUP BY 1, 2",
+)
+def pip_tiles_by_poly_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pip_points(spark, sf_dir)
+        .groupBy("poly_id", UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# A2: salted tile aggregate — same oracle as the unsalted plan, proving the
+# two-stage skew-safe layout is result-identical (SURVEY.md §2.5)
+
+@q(
+    "salted_tile_agg_l8",
+    f"SELECT {_cell(8)} AS cell, count(*) AS cnt, "
+    f"CAST(sum({VAL_E4}) AS BIGINT) AS sum_val FROM events GROUP BY 1",
+)
+def salted_tile_agg_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.tiles import tile_agg
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "cell", UF.latlon_to_cell("lat", "lon", 8)
+    ).withColumn("v", val_e4())
+    return tile_agg(pts, cell="cell", value="v", salt_by="event_id", salt_buckets=16)
+
+
+# A3 via the pyramid operator (oracle shared shape with tile_pyramid)
+
+@q(
+    "pyramid_op",
+    " UNION ALL ".join(
+        f"SELECT {lvl} AS level, {_cell(lvl)} AS cell, count(*) AS cnt, "
+        f"CAST(sum({VAL_E4}) AS BIGINT) AS sum_val FROM events GROUP BY 2"
+        for lvl in (8, 6, 4)
+    ),
+)
+def pyramid_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.tiles import pyramid, tile_agg
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "cell", UF.latlon_to_cell("lat", "lon", 8)
+    ).withColumn("v", val_e4())
+    finest = tile_agg(pts, cell="cell", value="v")
+    return pyramid(finest, [8, 6, 4], sum_cols=("cnt", "sum_val"))
+
+
 # A5: exact distinct users per tile
 
 @q(
