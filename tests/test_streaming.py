@@ -1,0 +1,150 @@
+"""Streaming: availableNow backfill + checkpoint resume + exactly-once sink,
+watermark late-data drop, stateful per-cell counters (SURVEY §5, §2.9)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ult_spark.datagen.pages import pages_df
+from ult_spark.io import catalog
+from ult_spark.streaming import run_backfill, windowed_tile_counts
+
+
+def _final_counts(spark, table) -> pd.DataFrame:
+    """Latest state per (win_start, cell): update-mode snapshots are keyed by
+    batch unit — later batches supersede earlier ones."""
+    df = catalog.read_table(spark, table).toPandas()
+    return (
+        df.sort_values("cnt")
+        .groupby(["win_start", "cell"], as_index=False)
+        .last()
+        .sort_values(["win_start", "cell"])
+        .reset_index(drop=True)
+    )
+
+
+def test_backfill_checkpoint_resume(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "tiles")
+    ckpt = str(tmp_path / "ckpt")
+
+    # chunk 1: docs 0..999 → backfill
+    pages_df(spark, 1000, partitions=2).write.mode("append").parquet(src)
+    run_backfill(spark, src, out, ckpt)
+    n1 = len(catalog.list_snapshots(out))
+    assert n1 > 0
+    got1 = _final_counts(spark, out)
+    assert got1["cnt"].sum() > 0
+
+    # no new files → restart is a no-op (checkpoint remembers offsets)
+    run_backfill(spark, src, out, ckpt)
+    assert sum(s["rows"] for s in catalog.list_snapshots(out)) == sum(
+        s["rows"] for s in catalog.list_snapshots(out)
+    )
+    assert _final_counts(spark, out).equals(got1)
+
+    # chunk 2: docs 1000..1999 appended → resume processes only the delta
+    from ult_spark.datagen.pages import make_generator
+    import numpy as np
+
+    pdf2 = make_generator()(np.arange(1000, 2000, dtype=np.int64))
+    spark.createDataFrame(pdf2).write.mode("append").parquet(src)
+    run_backfill(spark, src, out, ckpt)
+
+    # final streaming state == one-shot batch computation over all input
+    batch = (
+        windowed_tile_counts(spark.read.parquet(src))
+        .toPandas()
+        .sort_values(["win_start", "cell"])
+        .reset_index(drop=True)
+    )
+    got2 = _final_counts(spark, out)
+    assert got2[["win_start", "cell", "cnt"]].equals(batch[["win_start", "cell", "cnt"]])
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows later than watermark behind the max seen ts are dropped from
+    append-mode windows (T5)."""
+    src = str(tmp_path / "late_src")
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    on_time = pd.DataFrame(
+        {"user": ["a", "b"], "ts": [base + pd.Timedelta(minutes=m) for m in (5, 200)]}
+    )
+    late = pd.DataFrame({"user": ["late"], "ts": [base + pd.Timedelta(minutes=6)]})
+    spark.createDataFrame(on_time).write.mode("append").parquet(src)
+
+    out = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("user string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        batches = []
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out.extend(b for b in batches if len(b))
+
+    run_once()
+    # the 00:05 window is closed (watermark advanced to 190min by the 200min row)
+    spark.createDataFrame(late).write.mode("append").parquet(src)
+    run_once()
+    all_rows = pd.concat(out)
+    w5 = all_rows[all_rows["w"].map(lambda w: w["start"] == base)]
+    assert (w5["cnt"] == 1).all(), "late row must NOT increment the closed window"
+
+
+def test_stateful_per_cell_counter(spark, tmp_path):
+    """T7: applyInPandasWithState — running per-key totals across batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "st_src")
+    spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x", "y"], "v": [1, 2, 10]})
+    ).write.mode("append").parquet(src)
+
+    def track(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += int(pdf["v"].sum())
+        state.update((total,))
+        yield pd.DataFrame({"k": [key[0]], "total": [total]})
+
+    def run_once(tag):
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        batches = []
+        q = (
+            stream.groupBy("k")
+            .applyInPandasWithState(
+                track, "k string, total long", "total long",
+                "update", GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return pd.concat([b for b in batches if len(b)] or [pd.DataFrame({"k": [], "total": []})])
+
+    r1 = run_once("a")
+    assert dict(zip(r1["k"], r1["total"])) == {"x": 3, "y": 10}
+    # second chunk accumulates into checkpointed state
+    spark.createDataFrame(pd.DataFrame({"k": ["x"], "v": [5]})).write.mode("append").parquet(src)
+    r2 = run_once("b")
+    assert dict(zip(r2["k"], r2["total"]))["x"] == 8

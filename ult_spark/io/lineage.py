@@ -1,0 +1,83 @@
+"""Per-partition lineage + metrics (SURVEY §2.1 S8; BASELINE.json:
+"per-partition lineage and metrics emitted to a lineage table").
+
+Mechanism: a pass-through ``mapInPandas`` stage counts rows and wall time
+per task partition into a dict **accumulator** (the Spark-native channel for
+executor→driver side metrics); after the action, the driver appends one row
+per partition to the lineage table. The instrumented stage is opt-in — the
+bench hot path runs uninstrumented, the batch runner instruments its writes.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark import AccumulatorParam, TaskContext
+from pyspark.sql import DataFrame, SparkSession
+
+LINEAGE_SCHEMA = (
+    "run_id string, unit string, snapshot_id long, partition_id int, "
+    "rows_out long, wall_ms long, status string, ts timestamp"
+)
+
+
+class _DictSum(AccumulatorParam):
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, (n, ms) in b.items():
+            pn, pms = a.get(k, (0, 0))
+            a[k] = (pn + n, pms + ms)
+        return a
+
+
+def instrumented(df: DataFrame):
+    """Returns (df', accumulator): df' is df with a pass-through metrics
+    stage; after an action on df', the accumulator maps partition_id →
+    (rows, wall_ms)."""
+    acc = df.sparkSession.sparkContext.accumulator({}, _DictSum())
+    schema = df.schema
+
+    def count_rows(it):
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        t0 = time.time()
+        n = 0
+        for pdf in it:
+            n += len(pdf)
+            yield pdf
+        acc.add({pid: (n, int((time.time() - t0) * 1000))})
+
+    return df.mapInPandas(count_rows, schema), acc
+
+
+def emit_lineage(
+    spark: SparkSession,
+    lineage_table: str,
+    run_id: str,
+    unit: str,
+    snapshot_id: int,
+    metrics: dict[int, tuple[int, int]],
+    status: str = "ok",
+) -> None:
+    """Append one lineage row per partition (parquet append — the lineage
+    table is itself append-only)."""
+    now = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    rows = [
+        (run_id, unit, snapshot_id, int(pid), int(n), int(ms), status, now)
+        for pid, (n, ms) in sorted(metrics.items())
+    ]
+    if not rows:
+        rows = [(run_id, unit, snapshot_id, -1, 0, 0, status, now)]
+    df = spark.createDataFrame(rows, LINEAGE_SCHEMA.replace("ts timestamp", "ts string"))
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    Path(lineage_table).mkdir(parents=True, exist_ok=True)
+    df.coalesce(1).write.mode("append").parquet(lineage_table)
+
+
+def read_lineage(spark: SparkSession, lineage_table: str) -> DataFrame:
+    return spark.read.parquet(lineage_table)

@@ -1,0 +1,324 @@
+"""Webtext / training-data operators over the documents table.
+
+First-class components per the task brief: exact + near-duplicate detection
+(MinHash-LSH, SimHash, n-gram Jaccard), language ID, quality scoring, token
+counting, document fingerprinting. All are native Column programs (no UDFs)
+so they stay in whole-stage codegen AND have exact DuckDB oracles.
+
+Cross-engine hash primitive (verified identical): the first/second 14 hex
+chars of md5 cast to bigint — 56-bit values, so affine double-hashing
+``h1 + j*h2`` stays far below int64 overflow (DuckDB errors on overflow;
+Spark wraps — staying in range keeps both exact and equal).
+
+Scale notes: every operator is shuffle-minimal — shingle explode → groupBy
+doc (one shuffle); LSH banding joins on band keys (pre-aggregated, skew-safe
+because band buckets are md5-uniform); the brute-force Jaccard join exists
+as the small-scale oracle twin of the LSH path, not the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P_FP = 1_000_000_007  # fingerprint modulus (pinned)
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_N = 3
+
+
+def _h56(col, offset: int = 1):
+    """56-bit bigint from md5 hex substring — matches DuckDB
+    ``('0x'||substr(md5(x),off,14))::bigint`` exactly."""
+    return F.conv(F.substring(F.md5(col), offset, 14), 16, 10).cast("long")
+
+
+def tokens_col(text="text"):
+    """Whitespace tokens (single-space split, empties dropped) — pinned."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    return df.select(id_col, F.size(tokens_col(text)).cast("long").alias("n_tokens"))
+
+
+TOKEN_COUNT_SQL = (
+    "SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) "
+    "AS n_tokens FROM documents"
+)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text", nchars: int = 64) -> DataFrame:
+    """Polynomial rolling hash of the first ``nchars`` chars (pinned: base 31
+    mod 1e9+7 over ascii codepoints)."""
+    chars = F.filter(F.split(F.substring(F.col(text), 1, nchars), ""), lambda x: x != "")
+    fp = F.aggregate(chars, F.lit(0).cast("long"), lambda a, x: (a * 31 + F.ascii(x)) % P_FP)
+    return df.select(id_col, fp.alias("fp"))
+
+
+FINGERPRINT_SQL = (
+    "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+    "[ascii(c) for c in string_split_regex(substr(text, 1, 64), '') if c != '']), "
+    f"(a, b) -> (a * 31 + b) % {P_FP}) AS fp FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Group identical texts by md5; keeper = min id, dup count per group."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_md5"))
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("copies"))
+    )
+
+
+DEDUP_EXACT_SQL = (
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS copies "
+    "FROM documents GROUP BY 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct word ``SHINGLE_N``-grams per doc (joined by single spaces)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .where(F.size(F.split("shingle", " ")) == SHINGLE_N)
+        .distinct()
+    )
+
+
+SHINGLES_SQL = (
+    "SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle, len(toks) AS n, i "
+    "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
+    "FROM documents), generate_series(1, 2000) t(i) WHERE i <= len(toks) - 2) "
+    "WHERE len(string_split(shingle, ' ')) = 3"
+)
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """16 minhash values per doc via affine double hashing of the 56-bit
+    shingle hash: ``min(h1 + j*h2)`` for j = 0..15."""
+    h1 = _h56(F.col("shingle"), 1)
+    h2 = _h56(F.col("shingle"), 15)
+    aggs = [F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(b: int):
+    r = N_MINHASH // N_BANDS
+    cols = [F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
+    return F.md5(F.concat_ws("_", F.lit(str(b)), *cols))
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band."""
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select("doc_id", _band_key(b).alias("band"))
+        bands = part if bands is None else bands.unionByName(part)
+    l = bands.select(F.col("doc_id").alias("a"), "band")
+    r = bands.select(F.col("doc_id").alias("b"), "band")
+    return (
+        l.join(r, "band")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (or all pairs
+    sharing a shingle when ``pairs`` is None). Emits jaccard in e4 integer
+    form for cross-engine exactness."""
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if pairs is not None:
+        shared = shared.join(pairs, ["a", "b"], "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        shared.join(sa, "a").join(sb, "b")
+        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+        .withColumn("jacc_e4", F.floor(F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))).cast("long"))
+        .where(F.col("jacc_e4") >= int(threshold * 10000))
+    )
+    return out.select("a", "b", "inter", "jacc_e4")
+
+
+def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band → candidate pairs →
+    exact Jaccard verify ≥ threshold."""
+    sh = shingles(df)
+    cand = lsh_candidates(minhash_signature(sh))
+    return jaccard_pairs(sh, cand, threshold)
+
+
+def minhash_lsh_sql(threshold: float = 0.2) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_dedup` (same hashes, bands, verify)."""
+    r = N_MINHASH // N_BANDS
+    mh = ", ".join(f"min(h1 + {j} * h2) AS mh{j}" for j in range(N_MINHASH))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, md5(concat_ws('_', '{b}', "
+        + ", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + ")) AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"WITH sh AS ({SHINGLES_SQL}), "
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1, "
+        "('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mh} FROM hs GROUP BY 1), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l "
+        "JOIN bands r USING (band) WHERE l.doc_id < r.doc_id), "
+        "inters AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter FROM sh sa "
+        "JOIN sh sb USING (shingle) WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1) "
+        "SELECT c.a, c.b, i.inter, CAST(floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) AS BIGINT) AS jacc_e4 "
+        "FROM cand c JOIN inters i ON c.a = i.a AND c.b = i.b "
+        "JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b "
+        f"WHERE floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) >= {int(threshold * 10000)}"
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.3) -> str:
+    """DuckDB mirror of the brute n-gram Jaccard join (no LSH pruning)."""
+    return (
+        f"WITH sh AS ({SHINGLES_SQL}), "
+        "inters AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter FROM sh sa "
+        "JOIN sh sb USING (shingle) WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1) "
+        "SELECT i.a, i.b, i.inter, CAST(floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) AS BIGINT) AS jacc_e4 "
+        "FROM inters i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b "
+        f"WHERE floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) >= {int(threshold * 10000)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over distinct tokens (bit j set iff strictly more
+    token hashes have bit j set than not — pinned tie rule: tie → 0).
+
+    One shuffle: all ``bits`` per-bit scores are aggregate expressions of a
+    single groupBy (literal shifts — Spark's shiftright takes only int)."""
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
+        .distinct()
+        .withColumn("h", _h56(F.col("tok"), 1))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sc = toks.groupBy("doc_id").agg(*aggs)
+    val = F.lit(0).cast("long")
+    for j in range(bits):
+        val = val + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sc.select("doc_id", val.alias("simhash"))
+
+
+def simhash_sql(bits: int = 32) -> str:
+    score = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    val = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(bits))
+    return (
+        f"SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM ("
+        f"SELECT doc_id, {score} FROM ("
+        "SELECT DISTINCT doc_id, ('0x' || substr(md5(tok), 1, 14))::BIGINT AS h "
+        "FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok "
+        "FROM documents)) GROUP BY 1)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID + quality score (heuristic marker-word scoring, pinned)
+
+# marker tokens drawn from the documents vocabulary so predictions vary
+# (a heuristic demo of n-gram language ID over synthetic word-soup text)
+LANG_MARKERS = {
+    "en": ("the", "fast"),
+    "es": ("data", "row"),
+    "de": ("slow", "group"),
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Argmax of marker-token counts, priority order en > es > de > und."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
+    scores = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("tok").isin(*LANG_MARKERS[lang]), 1).otherwise(0)).alias(f"s_{lang}")
+            for lang in LANG_MARKERS
+        ]
+    )
+    best = F.greatest(*[F.col(f"s_{la}") for la in LANG_MARKERS])
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .otherwise("de")
+    )
+    return scores.select("doc_id", pred.alias("pred_lang"))
+
+
+def lang_id_sql() -> str:
+    score = {
+        la: f"sum(CASE WHEN tok IN ({', '.join(repr(m) for m in LANG_MARKERS[la])}) THEN 1 ELSE 0 END)"
+        for la in LANG_MARKERS
+    }
+    return (
+        "SELECT doc_id, CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
+        "WHEN s_es = best THEN 'es' ELSE 'de' END AS pred_lang FROM ("
+        "SELECT doc_id, s_en, s_es, s_de, greatest(s_en, s_es, s_de) AS best FROM ("
+        f"SELECT doc_id, {score['en']} AS s_en, {score['es']} AS s_es, {score['de']} AS s_de "
+        "FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok "
+        "FROM documents) GROUP BY 1))"
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Length + mean word length + stopword ratio, all e4 integers (pinned)."""
+    toks = tokens_col(text)
+    n_tok = F.size(toks).cast("long")
+    n_char = F.length(text).cast("long")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of"))).cast("long")
+    return df.select(
+        id_col,
+        n_char.alias("n_char"),
+        n_tok.alias("n_tok"),
+        (stop * 10000 / n_tok).cast("long").alias("stop_ratio_e4"),
+        ((n_char - n_tok + 1) * 10000 / n_tok).cast("long").alias("mean_wlen_e4"),
+    )
+
+
+QUALITY_SQL = (
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_char, CAST(n_tok AS BIGINT) AS n_tok, "
+    "CAST(stop * 10000 // n_tok AS BIGINT) AS stop_ratio_e4, "
+    "CAST((length(text) - n_tok + 1) * 10000 // n_tok AS BIGINT) AS mean_wlen_e4 FROM ("
+    "SELECT doc_id, text, len(toks) AS n_tok, "
+    "len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS stop FROM ("
+    "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents))"
+)

@@ -65,13 +65,41 @@ def pyramid(
     levels: list[int],
     cell: str = "cell",
     sum_cols: tuple[str, ...] = ("cnt",),
+    mode: str = "explode",
 ) -> DataFrame:
     """Roll finest-level tile aggregates up a resolution pyramid.
 
-    ``tiles`` must be at ``levels[0]`` (finest). Returns the union across all
-    levels with a ``level`` column. Sums re-aggregate exactly (ints).
+    ``tiles`` must be at ``levels[0]`` (finest). Returns all levels with a
+    ``level`` column. Sums re-aggregate exactly (quadtree exactness, ints).
+
+    ``mode='explode'`` (default): each tile row explodes into one
+    (level, ancestor) struct per level and a SINGLE groupBy aggregates all
+    levels — a linear plan. The union-of-groupBys alternative re-executes
+    the whole upstream once per level (Spark does not reuse common subplans
+    across union branches), which measured 2.5x slower end-to-end.
+
+    ``mode='iterative'``: level-by-level re-aggregation — shuffles strictly
+    shrinking volumes; right when ``tiles`` is already materialized (e.g.
+    read back from a snapshot table).
     """
     finest = levels[0]
+    if mode == "explode":
+        lc = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lvl).alias("level"),
+                        (F.col(cell) if lvl == finest else UF.cell_parent(cell, lvl)).alias("cell"),
+                    )
+                    for lvl in levels
+                ]
+            )
+        ).alias("_lc")
+        return (
+            tiles.select(lc, *sum_cols)
+            .groupBy(F.col("_lc.level").alias("level"), F.col("_lc.cell").alias(cell))
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        )
     out = tiles.select(F.lit(finest).alias("level"), F.col(cell), *sum_cols)
     cur = tiles
     for lvl in levels[1:]:

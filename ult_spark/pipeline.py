@@ -18,6 +18,42 @@ from ult_spark import functions as UF
 from ult_spark.querydefs import events_points, val_e4
 
 
+def pages_pipeline(
+    pages: DataFrame,
+    levels: tuple[int, ...] = (12, 10, 8),
+    index_level: int = 6,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """The BASELINE-metric pipeline over a Common-Crawl-style pages table:
+
+    geotag parse (Arrow UDF, batched) → multi-res cell encode (native) →
+    PIP join vs the admin layer (broadcast compacted index + Arrow refine)
+    → salted per-tile aggregate at the finest level → exact pyramid rollup.
+
+    One Arrow-batch pipeline per input split until the single groupBy
+    shuffle: scan → geotag → encode → broadcast-join → refine are all
+    stage-local (SURVEY.md §4 pipelining note).
+    """
+    from ult_spark.extract.geo import geotag_native
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_join
+    from ult_spark.ops.tiles import pyramid, tile_agg
+
+    lat, lon = geotag_native("html")
+    # no isNotNull filter: the inner equi-join drops null cells for free, and
+    # an explicit filter makes Catalyst inline (= re-evaluate) the regex
+    # extraction into the filter — measured 40% slower at 32 cores
+    pts = pages.select("url", lat.alias("lat"), lon.alias("lon"))
+    joined = pip_join(pts, list(default_layer()), index_level=index_level)
+    finest = levels[0]
+    tiles = tile_agg(
+        joined.withColumn("cell", UF.latlon_to_cell("lat", "lon", finest)),
+        salt_by="url",
+        salt_buckets=salt_buckets,
+    )
+    return pyramid(tiles, list(levels), sum_cols=("cnt",))
+
+
 def flagship(spark: SparkSession, sf_dir: str, level: int = 8) -> DataFrame:
     """Geo-encode events, PIP-join the admin layer, salted tile aggregate."""
     from ult_spark.geom.polyio import default_layer

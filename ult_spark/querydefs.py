@@ -405,6 +405,225 @@ def pyramid_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyramid(finest, [8, 6, 4], sum_cols=("cnt", "sum_val"))
 
 
+# ---------------------------------------------------------------------------
+# J3: kNN join via cell-ring expansion; J9: distance join.
+# Metric: squared planar degrees (IEEE-exact in both engines; SURVEY §2.4).
+
+KNN_QPTS = [(1, 20.0, -100.0), (2, -20.0, -30.0), (3, 10.0, 60.0),
+            (4, -35.0, 130.0), (5, 48.0, 2.0)]
+_KNN_VALUES = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in KNN_QPTS)
+_SQD = "(qlat - lat) * (qlat - lat) + (qlon - lon) * (qlon - lon)"
+
+
+@q(
+    "knn_events_k5",
+    f"WITH q(qid, qlat, qlon) AS (VALUES {_KNN_VALUES}), "
+    f"pts AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon FROM events) "
+    f"SELECT qid, event_id, sq_dist, rk FROM ("
+    f"SELECT qid, event_id, {_SQD} AS sq_dist, "
+    f"CAST(row_number() OVER (PARTITION BY qid ORDER BY {_SQD} ASC, event_id ASC) AS BIGINT) AS rk "
+    f"FROM q, pts) WHERE rk <= 5",
+)
+def knn_events_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.knn import knn_join
+
+    qpts = spark.createDataFrame(KNN_QPTS, "qid long, qlat double, qlon double")
+    pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
+    return knn_join(qpts, pts, k=5, did="event_id").select(
+        "qid", "event_id", "sq_dist", "rk"
+    )
+
+
+@q(
+    "distance_join_errors",
+    f"WITH err AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon "
+    f"FROM events WHERE event_type = 'error') "
+    f"SELECT a.event_id AS lid, b.event_id AS rid FROM err a, err b "
+    f"WHERE a.event_id < b.event_id AND "
+    f"(a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) <= 0.25",
+)
+def distance_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.knn import distance_join
+
+    err = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "lat", "lon")
+    )
+    left = err.select(F.col("event_id").alias("lid"), F.col("lat").alias("llat"), F.col("lon").alias("llon"))
+    right = err.select(F.col("event_id").alias("rid"), F.col("lat").alias("rlat"), F.col("lon").alias("rlon"))
+    return (
+        distance_join(left, right, radius_deg=0.5)
+        .where(F.col("lid") < F.col("rid"))
+        .select("lid", "rid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/A8: raster↔vector. The raster is synthesized identically in both engines
+# (pinned integer formula), so zonal stats get full value parity.
+
+def _zonal_oracle() -> str:
+    from ult_spark.geom.polyio import default_layer, edges_values_sql
+    from ult_spark.geom.raster import pixel_center_sql, raster_sql
+
+    lat, lon = pixel_center_sql()
+    edges = edges_values_sql(list(default_layer()))
+    return (
+        f"WITH raster AS ({raster_sql()}), "
+        f"pts AS (SELECT row, col, value, CAST(floor(value * 10000) AS BIGINT) AS v_e4, "
+        f"{lat} AS py, {lon} AS px FROM raster), "
+        f"hits AS (SELECT row, col, poly_id, any_value(value) AS value, "
+        f"any_value(v_e4) AS v_e4 FROM pts, {edges} GROUP BY row, col, poly_id "
+        f"HAVING sum(CASE WHEN (ey1 > py) != (ey2 > py) "
+        f"AND px < (ex2 - ex1) * (py - ey1) / (ey2 - ey1) + ex1 THEN 1 ELSE 0 END) % 2 = 1) "
+        f"SELECT poly_id, count(*) AS cnt, CAST(sum(v_e4) AS BIGINT) AS sum_e4, "
+        f"min(value) AS vmin, max(value) AS vmax, "
+        f"CAST(sum(v_e4) AS BIGINT) / count(*) / 10000.0 AS vmean FROM hits GROUP BY 1"
+    )
+
+
+@q("zonal_stats_pop", _zonal_oracle())
+def zonal_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.geom.raster import synth_raster
+    from ult_spark.ops.zonal import zonal_stats
+
+    return zonal_stats(synth_raster(spark), list(default_layer()))
+
+
+@q(
+    "rasterize_tiles_l6",
+    "SELECT x, y, count(*) AS value FROM (SELECT "
+    f"greatest(0, least(CAST(floor((({UF.EVENT_LON_SQL}) + 180.0) / 360.0 * 64.0) AS BIGINT), 63)) AS x, "
+    f"greatest(0, least(CAST(floor((({UF.EVENT_LAT_SQL}) + 90.0) / 180.0 * 64.0) AS BIGINT), 63)) AS y "
+    "FROM events) GROUP BY 1, 2",
+)
+def rasterize_tiles_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.tiles import tile_agg
+    from ult_spark.ops.zonal import rasterize
+
+    tiles = tile_agg(
+        events_points(spark, sf_dir).withColumn("cell", UF.latlon_to_cell("lat", "lon", 6))
+    )
+    return rasterize(tiles, level=6, value="cnt")
+
+
+# ---------------------------------------------------------------------------
+# Webtext / training-data ops over `documents` + `embeddings` (task brief):
+# dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), text analysis
+# (lang-id, quality, token count, fingerprint), similarity search (ANN).
+
+def _doc(fn_name):
+    def loader(spark, sf_dir):
+        import ult_spark.ops.textops as T
+
+        return getattr(T, fn_name)(load(spark, sf_dir, "documents"))
+
+    return loader
+
+
+def _textops_sql(name):
+    import ult_spark.ops.textops as T
+
+    return getattr(T, name)
+
+
+q("dedup_exact", _textops_sql("DEDUP_EXACT_SQL"))(_doc("dedup_exact"))
+q("token_count", _textops_sql("TOKEN_COUNT_SQL"))(_doc("token_count"))
+q("doc_fingerprint", _textops_sql("FINGERPRINT_SQL"))(_doc("fingerprint"))
+q("quality_score", _textops_sql("QUALITY_SQL"))(_doc("quality_score"))
+q("simhash32", _textops_sql("simhash_sql")())(_doc("simhash"))
+q("lang_id", _textops_sql("lang_id_sql")())(_doc("lang_id"))
+
+
+@q("minhash_lsh_pairs", None)  # oracle attached below (generated SQL)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.textops import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@q("ngram_jaccard_pairs", None)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.textops import jaccard_pairs, shingles
+
+    return jaccard_pairs(shingles(load(spark, sf_dir, "documents")), None, threshold=0.1)
+
+
+def _attach_text_oracles() -> None:
+    from ult_spark.ops.textops import jaccard_pairs_sql, minhash_lsh_sql
+
+    ORACLES["minhash_lsh_pairs"] = minhash_lsh_sql(0.2)
+    ORACLES["ngram_jaccard_pairs"] = jaccard_pairs_sql(0.1)
+
+
+_attach_text_oracles()
+
+ANN_QUERY_IDS = [0, 1, 2]
+
+
+@q("ann_cosine_topk", None)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10; emits floor(sim*1e6) for exact parity."""
+    from ult_spark.ops.ann import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    data = emb.select("vec_id", vec.alias("dvec"))
+    qs = emb.where(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), vec.alias("qvec")
+    )
+    out = cosine_topk(qs, data.where(~F.col("vec_id").isin(ANN_QUERY_IDS)), k=10)
+    return out.select(
+        "qid", "vec_id", F.floor(F.col("sim") * 1000000).cast("long").alias("sim_e6"), "rk"
+    )
+
+
+ORACLES["ann_cosine_topk"] = (
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), "
+    "qs AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id IN (0, 1, 2)), "
+    "sims AS (SELECT qid, vec_id, "
+    "list_sum(list_transform(list_zip(qvec, vec), p -> p[1] * p[2])) / "
+    "sqrt(list_sum(list_transform(qvec, x -> x * x)) * list_sum(list_transform(vec, x -> x * x))) AS sim "
+    "FROM qs, v WHERE vec_id NOT IN (0, 1, 2)) "
+    "SELECT qid, vec_id, CAST(floor(sim * 1000000) AS BIGINT) AS sim_e6, rk FROM ("
+    "SELECT qid, vec_id, sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk "
+    "FROM sims) WHERE rk <= 10"
+)
+
+
+@q("ann_lsh_topk", None)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.ann import ann_lsh_topk
+
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
+def _attach_ann_oracles() -> None:
+    from ult_spark.ops.ann import ann_lsh_topk_sql
+
+    ORACLES["ann_lsh_topk"] = ann_lsh_topk_sql(ANN_QUERY_IDS, k=5)
+
+
+_attach_ann_oracles()
+
+
+# documents rollup (A4-shape on the webtext payload)
+
+@q(
+    "docs_by_lang_source",
+    "SELECT lang, source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars "
+    "FROM documents GROUP BY 1, 2",
+)
+def docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("chars"))
+    )
+
+
 # A5: exact distinct users per tile
 
 @q(

@@ -1,0 +1,101 @@
+"""Structured Streaming operators (SURVEY §2.9) — incremental crawl ingest.
+
+The stream is the same pages table read incrementally (file source; Iceberg
+streaming read when a jar is configured). Transformations reuse the exact
+batch UDFs/columns, so streaming and batch produce identical per-tile
+results — the "resumable incremental processing" half of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ult_spark import functions as UF
+from ult_spark.datagen.pages import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, path: str, max_files: int = 16) -> DataFrame:
+    """S6: incremental pages source (file-based; schema pinned)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_tile_counts(
+    pages: DataFrame,
+    level: int = 8,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T1+T2: watermarked tumbling-window per-tile page counts.
+
+    Same geotag UDF + native encode as the batch pipeline."""
+    from ult_spark.extract.text import geotag_udf
+
+    geo = geotag_udf()
+    pts = (
+        pages.withColumn("_g", geo(F.col("html")))
+        .select("url", "warc_ts", F.col("_g.lat").alias("lat"), F.col("_g.lon").alias("lon"))
+        .where(F.col("lat").isNotNull())
+        .withColumn("cell", UF.latlon_to_cell("lat", "lon", level))
+    )
+    return (
+        pts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "cell")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "cell", "cnt")
+    )
+
+
+def dedup_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T6: streaming dedup by url within the watermark."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def write_stream_snapshots(
+    agg: DataFrame,
+    out_table: str,
+    checkpoint: str,
+    available_now: bool = True,
+    output_mode: str = "update",
+):
+    """T8: exactly-once sink — foreachBatch + idempotent snapshot commit
+    keyed by batchId; offsets live in the checkpoint dir, so restarts
+    neither lose nor re-apply batches."""
+    from ult_spark.io import catalog
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch{batch_id:08d}"
+        if unit in catalog.committed_units(out_table):
+            return  # replayed batch after restart — already committed
+        catalog.write_snapshot(batch_df, out_table, unit, run_id=f"stream-{batch_id}")
+
+    writer = (
+        agg.writeStream.outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(commit)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_backfill(
+    spark: SparkSession, pages_dir: str, out_table: str, checkpoint: str, level: int = 8
+) -> None:
+    """E3: resumable availableNow backfill — processes whatever is new since
+    the checkpoint and stops."""
+    q = write_stream_snapshots(
+        windowed_tile_counts(stream_pages(spark, pages_dir), level=level),
+        out_table,
+        checkpoint,
+    )
+    q.awaitTermination()
