@@ -624,6 +624,347 @@ def docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Batch 3: remaining SURVEY §2 surface — J4/J5/J6, A6/A9/A10, W4/W5/W6,
+# O5/O6, E3 url ops, C6 centroid, batch sessionization.
+
+def _compacted_ranges():
+    """Compacted polygon-index cells (mixed levels) with descendant ranges —
+    shared by the Spark query and (as VALUES) the DuckDB oracle."""
+    import numpy as np
+
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.grid import cells as C, compact as CZ
+    from ult_spark.grid.polyfill import polyfill
+
+    rows = []
+    for p in default_layer():
+        packed = CZ.compact(polyfill(p, 6))
+        lo, hi = C.cell_range(packed)
+        rows.extend(
+            (int(l), int(h), p.poly_id) for l, h in zip(lo.tolist(), hi.tolist())
+        )
+    return rows
+
+
+@q("cell_range_join", None)
+def cell_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.relational import cell_range_join
+
+    ranges = spark.createDataFrame(_compacted_ranges(), "lo long, hi long, poly_id long")
+    pts = events_points(spark, sf_dir).select(
+        "event_id", UF.latlon_to_cell("lat", "lon", 12).alias("cell")
+    )
+    return cell_range_join(pts, ranges).select("event_id", "poly_id")
+
+
+def _attach_range_oracle() -> None:
+    vals = ", ".join(f"({l}, {h}, {p})" for l, h, p in _compacted_ranges())
+    ORACLES["cell_range_join"] = (
+        f"WITH r(lo, hi, poly_id) AS (VALUES {vals}), "
+        f"pts AS (SELECT event_id, {_cell(12)} AS cell FROM events) "
+        "SELECT event_id, poly_id FROM pts JOIN r ON cell BETWEEN lo AND hi"
+    )
+
+
+_attach_range_oracle()
+
+
+ASOF_VERSIONS = [
+    (1, "1992-01-01"), (2, "1994-06-15"), (3, "1996-01-01"), (4, "1997-07-04"),
+]
+
+
+@q(
+    "asof_orders_version",
+    "WITH v(version_id, vts) AS (VALUES "
+    + ", ".join(f"({i}, TIMESTAMP '{d} 00:00:00')" for i, d in ASOF_VERSIONS)
+    + ") SELECT o_orderkey, version_id FROM ("
+    "SELECT o_orderkey, version_id, row_number() OVER "
+    "(PARTITION BY o_orderkey ORDER BY vts DESC) AS rn "
+    "FROM orders LEFT JOIN v ON vts <= o_orderdate) WHERE rn = 1",
+)
+def asof_orders_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.relational import asof_join
+
+    versions = spark.createDataFrame(
+        [(i, f"{d} 00:00:00") for i, d in ASOF_VERSIONS], "version_id long, vts string"
+    ).select("version_id", F.to_timestamp("vts").alias("vts"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return asof_join(orders, versions, "o_orderkey", "o_orderdate", "vts").select(
+        "o_orderkey", "version_id"
+    )
+
+
+@q(
+    "interval_join_buckets",
+    "WITH b(bucket_id, lo, hi) AS (VALUES (0, 0, 600), (1, 600, 1800), (2, 1800, 3600)) "
+    "SELECT bucket_id, count(*) AS cnt FROM events JOIN b "
+    "ON CAST(floor(epoch(ts)) AS BIGINT) % 3600 >= lo "
+    "AND CAST(floor(epoch(ts)) AS BIGINT) % 3600 < hi GROUP BY 1",
+)
+def interval_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = spark.createDataFrame(
+        [(0, 0, 600), (1, 600, 1800), (2, 1800, 3600)], "bucket_id long, lo long, hi long"
+    )
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec", F.unix_timestamp("ts") % 3600
+    )
+    return (
+        ev.join(F.broadcast(buckets), (ev.sec >= buckets.lo) & (ev.sec < buckets.hi))
+        .groupBy("bucket_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@q(
+    "percentiles_by_type",
+    "SELECT event_type, CAST(floor(quantile_cont(value, 0.25) * 1000000) AS BIGINT) AS p25_e6, "
+    "CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6, "
+    "CAST(floor(quantile_cont(value, 0.75) * 1000000) AS BIGINT) AS p75_e6 "
+    "FROM events GROUP BY 1",
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.floor(F.expr(f"percentile(value, {p})") * 1000000)
+            .cast("long")
+            .alias(f"p{int(p * 100)}_e6")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
+@q(
+    "tile_samples_l4",
+    f"SELECT cell, array_to_string((list_sort(list(event_id)))[1:5], ',') AS sample_ids "
+    f"FROM (SELECT {_cell(4)} AS cell, event_id FROM events) GROUP BY 1",
+)
+def tile_samples_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 4).alias("cell"), "event_id"
+    )
+    return pts.groupBy("cell").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("event_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sample_ids")
+    )
+
+
+@q(
+    "udaf_tile_lat_sum",
+    f"SELECT cell, CAST(sum(CAST(floor(lat * 1000000) AS BIGINT)) AS BIGINT) AS lat_sum_e6 "
+    f"FROM (SELECT {_cell(6)} AS cell, {UF.EVENT_LAT_SQL} AS lat FROM events) GROUP BY 1",
+)
+def udaf_tile_lat_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: grouped-agg pandas UDAF (Arrow) — integer-exact custom stat."""
+    from pyspark.sql.functions import PandasUDFType
+    from pyspark.sql.types import LongType
+
+    def _lat_sum(lat):
+        import numpy as np
+
+        return int(np.floor(lat.to_numpy(np.float64) * 1000000).astype(np.int64).sum())
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints, which pyspark's hint-inference cannot resolve
+    lat_sum_e6 = F.pandas_udf(_lat_sum, LongType(), PandasUDFType.GROUPED_AGG)
+
+    pts = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 6).alias("cell"), "lat"
+    )
+    return pts.groupBy("cell").agg(lat_sum_e6("lat").alias("lat_sum_e6"))
+
+
+@q(
+    "event_gaps",
+    "SELECT event_id, coalesce(es - lag(es) OVER "
+    "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC), -1) AS prev_gap_s "
+    "FROM (SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)",
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+            F.lit(-1),
+        ).alias("prev_gap_s"),
+    )
+
+
+@q(
+    "rolling_hour_counts",
+    "SELECT event_id, CAST(count(*) OVER (PARTITION BY event_type "
+    "ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+    "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cnt FROM events",
+)
+def rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.count("*").over(w).alias("trailing_cnt")
+    )
+
+
+@q(
+    "tile_rank_ntile",
+    f"SELECT cell, CAST(dense_rank() OVER (ORDER BY cnt DESC) AS BIGINT) AS dr, "
+    f"CAST(ntile(4) OVER (ORDER BY cnt DESC, cell ASC) AS BIGINT) AS nt FROM ("
+    f"SELECT {_cell(5)} AS cell, count(*) AS cnt FROM events GROUP BY 1)",
+)
+def tile_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = (
+        events_points(spark, sf_dir)
+        .groupBy(UF.latlon_to_cell("lat", "lon", 5).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return tiles.select(
+        "cell",
+        F.dense_rank().over(Window.orderBy(F.desc("cnt"))).cast("long").alias("dr"),
+        F.ntile(4).over(Window.orderBy(F.desc("cnt"), F.asc("cell"))).cast("long").alias("nt"),
+    )
+
+
+@q(
+    "tiles_intersect",
+    f"SELECT DISTINCT {_cell(6)} AS cell FROM events WHERE event_id % 2 = 0 "
+    f"INTERSECT SELECT DISTINCT {_cell(6)} AS cell FROM events WHERE event_id % 2 = 1",
+)
+def tiles_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir).withColumn("cell", UF.latlon_to_cell("lat", "lon", 6))
+    even = pts.where(F.col("event_id") % 2 == 0).select("cell").distinct()
+    odd = pts.where(F.col("event_id") % 2 == 1).select("cell").distinct()
+    return even.intersect(odd)
+
+
+@q(
+    "distinct_user_type",
+    "SELECT DISTINCT user_id % 100 AS ub, event_type FROM events",
+)
+def distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select((F.col("user_id") % 100).alias("ub"), "event_type")
+        .dropDuplicates()
+    )
+
+
+@q(
+    "url_host_extract",
+    "SELECT event_id, regexp_extract('https://site' || CAST(event_id % 50 AS VARCHAR) "
+    "|| '.example/p/' || CAST(event_id AS VARCHAR) || '?q=1', '^https?://([^/]+)', 1) AS host "
+    "FROM events",
+)
+def url_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: host extraction via native parse_url on synthesized urls."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site"), (F.col("event_id") % 50).cast("string"),
+            F.lit(".example/p/"), F.col("event_id").cast("string"), F.lit("?q=1"),
+        ),
+    )
+    return ev.select("event_id", F.parse_url("url", F.lit("HOST")).alias("host"))
+
+
+@q(
+    "cell_centroids_l8",
+    f"SELECT DISTINCT cell, (y + 0.5) / 256.0 * 180.0 - 90.0 AS clat, "
+    f"(x + 0.5) / 256.0 * 360.0 - 180.0 AS clon FROM (SELECT {_cell(8)} AS cell, "
+    f"CAST(greatest(0, least(CAST(floor((({UF.EVENT_LON_SQL}) + 180.0) / 360.0 * 256.0) AS BIGINT), 255)) AS DOUBLE) AS x, "
+    f"CAST(greatest(0, least(CAST(floor((({UF.EVENT_LAT_SQL}) + 90.0) / 180.0 * 256.0) AS BIGINT), 255)) AS DOUBLE) AS y "
+    f"FROM events)",
+)
+def cell_centroids_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 8).alias("cell")
+    ).distinct()
+    return pts.select(
+        "cell",
+        UF.cell_centroid_lat("cell", 8).alias("clat"),
+        UF.cell_centroid_lon("cell", 8).alias("clon"),
+    )
+
+
+@q(
+    "sessionize_users",
+    "SELECT event_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM ("
+    "SELECT event_id, user_id, ts, CASE WHEN lag(es) OVER "
+    "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL "
+    "OR es - lag(es) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800 "
+    "THEN 1 ELSE 0 END AS new_s FROM "
+    "(SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events))",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.relational import sessionize
+
+    return sessionize(
+        load(spark, sf_dir, "events"), "user_id", "ts", 1800, tiebreak="event_id"
+    ).select("event_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal assets (binary payload + typed metadata; decode stubbed,
+# plumbing real — ops/multimodal.py)
+
+@q("multimodal_meta_agg", None)
+def multimodal_meta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.multimodal import synth_assets
+
+    return (
+        synth_assets(spark, sf_dir)
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length("payload")).alias("payload_bytes"),
+            F.sum("width").alias("width_sum"),
+            F.sum("duration_ms").alias("dur_sum"),
+        )
+    )
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.multimodal import extract_features, synth_assets
+
+    return extract_features(synth_assets(spark, sf_dir), dim=4)
+
+
+@q("video_frame_plan", None)
+def video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.multimodal import frame_sample, synth_assets
+
+    return frame_sample(synth_assets(spark, sf_dir), every_ms=60000)
+
+
+def _attach_multimodal_oracles() -> None:
+    from ult_spark.ops.multimodal import ASSETS_SQL, features_sql
+
+    ORACLES["multimodal_meta_agg"] = (
+        f"SELECT kind, count(*) AS cnt, CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes, "
+        f"CAST(sum(width) AS BIGINT) AS width_sum, CAST(sum(duration_ms) AS BIGINT) AS dur_sum "
+        f"FROM ({ASSETS_SQL}) GROUP BY 1"
+    )
+    ORACLES["multimodal_features"] = features_sql(4)
+    ORACLES["video_frame_plan"] = (
+        f"SELECT asset_id, CAST(f AS BIGINT) AS frame_ms FROM ({ASSETS_SQL}), "
+        "generate_series(0, 599999, 60000) g(f) WHERE kind = 'video' AND f <= duration_ms - 1"
+    )
+
+
+_attach_multimodal_oracles()
+
+
 # A5: exact distinct users per tile
 
 @q(
