@@ -46,6 +46,15 @@ BENCH_QUERIES = [
     "zonal_stats_pop",
     "top_tiles_l8",
     "hourly_counts",
+    "cell_range_join",
+    "compact_event_cells",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash32",
+    "token_count",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
 ]
 
 

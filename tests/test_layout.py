@@ -1,0 +1,73 @@
+"""Physical-layout assertions (SURVEY §2.7 O2, §4): range partitioning by
+cell id is spatially coherent, and the hot paths keep the plans we designed
+(pushdown, pruning, broadcast, no Python in native paths)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ult_spark import functions as UF
+
+
+def test_range_partition_by_cell_is_monotone(spark, sf_smoke):
+    from ult_spark.querydefs import events_points
+
+    tiles = (
+        events_points(spark, sf_smoke)
+        .groupBy(UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+        .repartitionByRange(8, "cell")
+        .sortWithinPartitions("cell")
+    )
+    pdf = tiles.withColumn("pid", F.spark_partition_id()).toPandas()
+    # partitions hold disjoint, ordered cell ranges (Z-order locality)
+    bounds = pdf.groupby("pid")["cell"].agg(["min", "max"]).sort_values("min")
+    assert (bounds["max"].to_numpy()[:-1] < bounds["min"].to_numpy()[1:]).all()
+    # within a partition the rows are sorted
+    for _, g in pdf.groupby("pid"):
+        assert np.all(np.diff(g["cell"].to_numpy()) > 0)
+
+
+def test_hot_path_plan_shape(spark, sf_smoke):
+    """The flagship pipeline plan: broadcast join, no ArrowEvalPython, scan
+    prunes to the columns actually used."""
+    from ult_spark.datagen.pages import pages_df
+    from ult_spark.pipeline import pages_pipeline
+
+    pages = pages_df(spark, 200, partitions=2)
+    plan = pages_pipeline(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan, "hot path must be 100% native"
+    assert "BatchEvalPython" not in plan
+
+
+def test_scan_prunes_html(spark, sf_smoke):
+    """Column pruning: a query not touching html must not read it (critical:
+    html is the wide column — SURVEY §4)."""
+    import tempfile
+
+    from ult_spark.datagen.pages import pages_df
+
+    with tempfile.TemporaryDirectory() as d:
+        pages_df(spark, 100, partitions=1).write.parquet(f"{d}/p")
+        df = spark.read.parquet(f"{d}/p").groupBy("lang").count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "html" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
+def test_distributed_compact_matches_numpy(spark, sf_smoke):
+    from ult_spark.grid import cells as C, compact as CZ
+    from ult_spark.ops.compact_df import compact_cells
+    from ult_spark.querydefs import events_points
+
+    pts = events_points(spark, sf_smoke)
+    cells8 = pts.select(UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+    got = np.sort(np.array([r.cell for r in compact_cells(cells8, anchor_level=4).collect()]))
+    local = np.unique(
+        C.latlon_to_cell(
+            *(pts.toPandas()[c].to_numpy() for c in ("lat", "lon")), 8
+        )
+    )
+    exp = CZ.compact(local)
+    assert np.array_equal(got, exp)

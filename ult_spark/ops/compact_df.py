@@ -1,0 +1,94 @@
+"""Distributed hierarchical compact over a cell-set DataFrame (SURVEY §2.3
+C3 at scale).
+
+Partition-safe: sibling quads always share every ancestor, so grouping by
+the ancestor at ``anchor_level`` puts all cells that could ever merge (down
+to anchor_level) in one group; each group compacts locally with the NumPy
+kernel inside ``applyInPandas``. Cells above the anchor level would need a
+driver-side pass — callers pick an anchor at or below their coarsest target
+(the default anchor 4 gives 256 independent groups globally).
+
+The DuckDB oracle is the same algorithm unrolled level-by-level in SQL
+(see :func:`compact_sql`): parent = (id - id % (4*lsb)) | (4*lsb) with
+lsb = id & -id — pure integer arithmetic, no recursion needed because the
+level count is finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ult_spark import functions as UF
+
+
+def compact_cells(df: DataFrame, cell: str = "cell", anchor_level: int = 4) -> DataFrame:
+    """Compact a set of (same- or mixed-level) cells to minimal mixed-level
+    form, distributed by the anchor-level ancestor."""
+
+    def compact_group(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        # NumPy compact kernel (self-contained copy of grid/compact.py logic;
+        # keep in sync — pinned semantics)
+        def level_of(c):
+            lsb = (c & -c).astype(np.uint64)
+            ctz = (np.log2(lsb.astype(np.float64)) + 0.5).astype(np.int64)
+            return 29 - (ctz >> 1)
+
+        def parent_of(c):
+            lsb = c & -c
+            return (c & ~((lsb << 2) - 1)) | (lsb << 2)
+
+        cur = np.unique(pdf["cell"].to_numpy(np.int64))
+        out = []
+        while cur.size:
+            lvl = level_of(cur)
+            deepest = int(lvl.max())
+            if deepest == 0:
+                out.append(cur)
+                break
+            at = cur[lvl == deepest]
+            rest = cur[lvl != deepest]
+            parents = parent_of(at)
+            uniq, counts = np.unique(parents, return_counts=True)
+            complete = uniq[counts == 4]
+            mask = np.isin(parents, complete)
+            out.append(at[~mask])
+            cur = np.unique(np.concatenate([rest, complete]))
+        cells = np.sort(np.concatenate(out)) if out else np.empty(0, np.int64)
+        return _pd.DataFrame({"cell": cells})
+
+    anchored = df.select(F.col(cell).alias("cell")).withColumn(
+        "_anchor", UF.cell_parent("cell", anchor_level)
+    )
+    return anchored.groupBy("_anchor").applyInPandas(compact_group, "cell long")
+
+
+def compact_sql(cells_sql: str, from_level: int, to_level: int = 4) -> str:
+    """Unrolled compact in DuckDB SQL: one merge step per level.
+
+    ``cells_sql`` must yield a column ``cell`` (distinct cells at
+    ``from_level``). Each step merges complete sibling quads into parents;
+    leftovers accumulate in ``keep{L}``.
+    """
+    steps = [f"c{from_level} AS (SELECT DISTINCT cell FROM ({cells_sql}))"]
+    kept = []
+    for lvl in range(from_level, to_level, -1):
+        p = (
+            f"(cell - (cell % (4 * (cell & -cell)))) | (4 * (cell & -cell))"
+        )
+        steps.append(
+            f"p{lvl} AS (SELECT {p} AS parent, count(*) AS n FROM c{lvl} GROUP BY 1)"
+        )
+        steps.append(
+            f"keep{lvl} AS (SELECT cell FROM c{lvl} WHERE {p} IN "
+            f"(SELECT parent FROM p{lvl} WHERE n < 4))"
+        )
+        steps.append(
+            f"c{lvl - 1} AS (SELECT parent AS cell FROM p{lvl} WHERE n = 4)"
+        )
+        kept.append(f"SELECT cell FROM keep{lvl}")
+    kept.append(f"SELECT cell FROM c{to_level}")
+    return "WITH " + ", ".join(steps) + " " + " UNION ALL ".join(kept)

@@ -95,22 +95,38 @@ def knn_join(
             .select(qid, did, "sq_dist", F.col("rk").cast("long").alias("rk"))
         )
 
+    # Driver loop cost control: per-round completion is decided from the
+    # COLLECTED per-query stats (one tiny row per pending query), so each
+    # round runs ONE distributed job; done-query filtering uses isin() for
+    # small query sets (no extra joins), distributed semi/anti joins beyond.
     pending = queries.select(qid, qlat, qlon)
+    empty = queries.sparkSession.createDataFrame(
+        [], f"{qid} long, {did} long, sq_dist double, rk long"
+    )
     results: DataFrame | None = None
     radius = start_radius
-    while radius <= max_radius and not pending.isEmpty():
+    while radius <= max_radius:
+        if not pending.take(1):
+            return results if results is not None else empty
         cand = _neighbor_cells(pending, qlat, qlon, level, radius)
         cand = F.broadcast(cand) if broadcast_queries else cand
         topk = topk_of(cand.join(data_cells, cand["_ncell"] == data_cells["_dcell"], "inner"))
         bound = float(radius) * cell_h
         # a query is complete iff it has k hits and the kth is within the bound
         per_q = topk.groupBy(qid).agg(F.count("*").alias("_n"), F.max("sq_dist").alias("_kth"))
-        done_q = per_q.where((F.col("_n") == k) & (F.sqrt("_kth") <= F.lit(bound))).select(qid)
-        done_rows = topk.join(F.broadcast(done_q), qid, "left_semi")
-        results = done_rows if results is None else results.unionByName(done_rows)
-        pending = pending.join(F.broadcast(done_q), qid, "left_anti")
+        stats = per_q.collect()  # one tiny row per pending query with hits
+        done_ids = [r[qid] for r in stats if r["_n"] == k and r["_kth"] ** 0.5 <= bound]
+        if done_ids:
+            if len(done_ids) <= 100_000:
+                done_rows = topk.where(F.col(qid).isin(done_ids))
+                pending = pending.where(~F.col(qid).isin(done_ids))
+            else:  # huge query sets: stay fully distributed
+                done_q = per_q.where((F.col("_n") == k) & (F.sqrt("_kth") <= F.lit(bound))).select(qid)
+                done_rows = topk.join(F.broadcast(done_q), qid, "left_semi")
+                pending = pending.join(F.broadcast(done_q), qid, "left_anti")
+            results = done_rows if results is None else results.unionByName(done_rows)
         radius *= 2
-    if not pending.isEmpty():
+    if pending.take(1):
         # exact fallback: broadcast the (few) unsatisfied queries across the
         # data once — data side streams through a single stage, no shuffle
         brute = topk_of(F.broadcast(pending).crossJoin(data_cells))

@@ -965,6 +965,47 @@ def _attach_multimodal_oracles() -> None:
 _attach_multimodal_oracles()
 
 
+# C3 at scale: distributed compact of the distinct L8 event-cell set
+
+@q("compact_event_cells", None)
+def compact_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.compact_df import compact_cells
+
+    cells8 = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 8).alias("cell")
+    )
+    return compact_cells(cells8, anchor_level=4)
+
+
+def _attach_compact_oracle() -> None:
+    from ult_spark.ops.compact_df import compact_sql
+
+    ORACLES["compact_event_cells"] = compact_sql(
+        f"SELECT {_cell(8)} AS cell FROM events", from_level=8, to_level=4
+    )
+
+
+_attach_compact_oracle()
+
+
+# O2: range-partitioned sort by cell id ("range-partitioned shuffles keyed
+# on cell id") — result set is partition-layout-independent; the layout
+# itself is asserted in tests/test_layout.py
+
+@q(
+    "range_partitioned_tiles",
+    f"SELECT cell, cnt FROM (SELECT {_cell(8)} AS cell, count(*) AS cnt "
+    f"FROM events GROUP BY 1)",
+)
+def range_partitioned_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = (
+        events_points(spark, sf_dir)
+        .groupBy(UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return tiles.repartitionByRange(16, "cell").sortWithinPartitions("cell")
+
+
 # A5: exact distinct users per tile
 
 @q(
