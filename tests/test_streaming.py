@@ -108,6 +108,57 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert (w5["cnt"] == 1).all(), "late row must NOT increment the closed window"
 
 
+def test_sliding_and_session_windows(spark, tmp_path):
+    """T3 sliding window + T4 session_window on a stream (availableNow)."""
+    src = str(tmp_path / "sw_src")
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    rows = pd.DataFrame(
+        {
+            "host": ["a", "a", "a", "b"],
+            "ts": [base, base + pd.Timedelta(minutes=4),
+                   base + pd.Timedelta(minutes=30), base + pd.Timedelta(minutes=1)],
+        }
+    )
+    spark.createDataFrame(rows).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("host string, ts timestamp").parquet(src)
+
+    def run(agg, tag, mode):
+        batches = []
+        q = (
+            agg.writeStream.outputMode(mode)
+            .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return pd.concat([b for b in batches if len(b)], ignore_index=True)
+
+    # sliding 10-minute windows every 5 minutes: the 00:04 event lands in
+    # windows starting 23:55 and 00:00
+    slide = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    sl = run(slide, "slide", "update")
+    starts = sorted(w["start"] for w in sl["w"])
+    assert len(starts) == len(set(starts)) and len(sl) >= 4
+
+    # session windows with a 10-minute gap: host a → 2 sessions (00:00-…,
+    # 00:30-…), host b → 1
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "host")
+        .agg(F.count("*").alias("cnt"))
+    )
+    se = run(sess, "sess", "complete")  # session windows don't support update mode
+    per_host = se.groupby("host").size().to_dict()
+    assert per_host == {"a": 2, "b": 1}
+    a_counts = sorted(se[se["host"] == "a"]["cnt"].tolist())
+    assert a_counts == [1, 2]
+
+
 def test_stateful_per_cell_counter(spark, tmp_path):
     """T7: applyInPandasWithState — running per-key totals across batches."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

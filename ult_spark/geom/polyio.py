@@ -59,10 +59,9 @@ class PackedPolygon:
         return float(self.ys.min()), float(self.ys.max()), float(self.xs.min()), float(self.xs.max())
 
 
-def load_packed(path: str) -> list[PackedPolygon]:
-    """Parse the rings-JSON fixture format into packed polygons."""
-    with open(path) as f:
-        raw = json.load(f)
+def loads_packed(text: str) -> list[PackedPolygon]:
+    """Parse rings-JSON text into packed polygons."""
+    raw = json.loads(text)
     out = []
     for p in raw:
         offsets = [0]
@@ -102,9 +101,27 @@ def load_polygons(spark: SparkSession, path: str) -> DataFrame:
 DEFAULT_LAYER_PATH = str(Path(__file__).resolve().parent.parent / "data" / "polygons.json")
 
 
+def load_packed(path: str) -> list[PackedPolygon]:
+    """Parse a rings-JSON file into packed polygons."""
+    with open(path) as f:
+        return loads_packed(f.read())
+
+
 @lru_cache(maxsize=4)
 def default_layer(path: str = DEFAULT_LAYER_PATH) -> tuple[PackedPolygon, ...]:
-    """The in-repo pinned 16-polygon admin layer (FIXTURES.md B2)."""
+    """The pinned 16-polygon admin layer (FIXTURES.md B2).
+
+    Zip-safe: read via importlib.resources so spark-submit --py-files
+    deployments (package inside ult_spark.zip) work; filesystem fallback
+    for odd layouts."""
+    if path == DEFAULT_LAYER_PATH:
+        try:
+            from importlib import resources
+
+            text = resources.files("ult_spark").joinpath("data/polygons.json").read_text()
+            return tuple(loads_packed(text))
+        except Exception:
+            pass
     return tuple(load_packed(path))
 
 
