@@ -1006,6 +1006,90 @@ def range_partitioned_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.repartitionByRange(16, "cell").sortWithinPartitions("cell")
 
 
+# §2.8 map/json family: per-event props extraction + aggregate
+
+@q(
+    "props_json_agg",
+    "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+    "AS k_sum, count(*) AS cnt FROM events GROUP BY 1",
+)
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count("*").alias("cnt"))
+    )
+
+
+# §2.8 math family: native haversine (great-circle meters, floored — JVM vs
+# libm sin/cos agree to the last ulp on this formula at these magnitudes)
+
+@q(
+    "haversine_to_origin",
+    f"SELECT event_id, CAST(floor(2.0 * 6371008.8 * asin(sqrt("
+    f"sin(radians(lat) / 2) * sin(radians(lat) / 2) + cos(radians(0.0)) * cos(radians(lat)) "
+    f"* sin(radians(lon) / 2) * sin(radians(lon) / 2)))) AS BIGINT) AS dist_m "
+    f"FROM (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon FROM events)",
+)
+def haversine_to_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir)
+    d = UF.haversine_m(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0))
+    return pts.select("event_id", F.floor(d).cast("long").alias("dist_m"))
+
+
+# embedding-cosine near-dup pairs (task brief): LSH-bucket prefilter + exact
+# floored-cosine threshold
+
+@q("embedding_near_dup", None)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.ann import lsh_buckets
+
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", vec.alias("v")).join(lsh_buckets(emb), "vec_id")
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("bucket"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("bucket"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x)
+    sim_e6 = F.floor(dot / F.sqrt(na * nb) * 1000000).cast("long")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim_e6", sim_e6)
+        .where(F.col("sim_e6") >= 200000)
+        .select("a", "b", "sim_e6")
+        .distinct()
+    )
+
+
+ORACLES["embedding_near_dup"] = (
+    "WITH b AS ({buckets}), "
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), "
+    "w AS (SELECT v.vec_id, vec, bucket FROM v JOIN b USING (vec_id)) "
+    "SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, "
+    "CAST(floor(list_sum(list_transform(list_zip(l.vec, r.vec), p -> p[1] * p[2])) / "
+    "sqrt(list_sum(list_transform(l.vec, x -> x * x)) * list_sum(list_transform(r.vec, x -> x * x))) "
+    "* 1000000) AS BIGINT) AS sim_e6 "
+    "FROM w l JOIN w r ON l.bucket = r.bucket AND l.vec_id < r.vec_id "
+    "WHERE floor(list_sum(list_transform(list_zip(l.vec, r.vec), p -> p[1] * p[2])) / "
+    "sqrt(list_sum(list_transform(l.vec, x -> x * x)) * list_sum(list_transform(r.vec, x -> x * x))) "
+    "* 1000000) >= 200000"
+)
+
+
+def _attach_near_dup_bucket_sql() -> None:
+    from ult_spark.ops.ann import lsh_buckets_sql
+
+    ORACLES["embedding_near_dup"] = ORACLES["embedding_near_dup"].format(
+        buckets=lsh_buckets_sql()
+    )
+
+
+_attach_near_dup_bucket_sql()
+
+
 # A5: exact distinct users per tile
 
 @q(
