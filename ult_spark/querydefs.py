@@ -1090,6 +1090,59 @@ def _attach_near_dup_bucket_sql() -> None:
 _attach_near_dup_bucket_sql()
 
 
+# hypertable-style rollup: time bucket × multi-resolution cell pyramid in
+# one pass (explode of (level, ancestor) structs — ops/tiles.py pattern)
+
+@q(
+    "spacetime_rollup",
+    " UNION ALL ".join(
+        f"SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start, {lvl} AS level, "
+        f"{_cell(lvl)} AS cell, count(*) AS cnt FROM events GROUP BY 1, 3"
+        for lvl in (8, 6)
+    ),
+)
+def spacetime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = events_points(spark, sf_dir).select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_start"),
+        UF.latlon_to_cell("lat", "lon", 8).alias("cell"),
+    )
+    lc = F.explode(
+        F.array(
+            F.struct(F.lit(8).alias("level"), F.col("cell").alias("cell")),
+            F.struct(F.lit(6).alias("level"), UF.cell_parent("cell", 6).alias("cell")),
+        )
+    ).alias("_lc")
+    return (
+        pts.select("day_start", lc)
+        .groupBy("day_start", F.col("_lc.level").alias("level"), F.col("_lc.cell").alias("cell"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# A4: full cube with grouping_id over (event_type, lang-of-tile proxy)
+
+@q(
+    "cube_type_bucket",
+    "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(ub, -1) AS ub, count(*) AS cnt, "
+    "CAST(grouping(event_type, ub) AS BIGINT) AS gid FROM "
+    "(SELECT event_type, user_id % 10 AS ub FROM events) GROUP BY CUBE(event_type, ub)",
+)
+def cube_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("ub")
+    )
+    return (
+        ev.cube("event_type", "ub")
+        .agg(F.count("*").alias("cnt"), F.grouping_id().cast("long").alias("gid"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("ub", F.lit(-1)).alias("ub"),
+            "cnt",
+            "gid",
+        )
+    )
+
+
 # A5: exact distinct users per tile
 
 @q(
