@@ -22,33 +22,41 @@ LINEAGE_SCHEMA = (
 )
 
 
-class _DictSum(AccumulatorParam):
-    def zero(self, value):
-        return {}
-
-    def addInPlace(self, a, b):
-        for k, (n, ms) in b.items():
-            pn, pms = a.get(k, (0, 0))
-            a[k] = (pn + n, pms + ms)
-        return a
-
-
 def instrumented(df: DataFrame):
     """Returns (df', accumulator): df' is df with a pass-through metrics
     stage; after an action on df', the accumulator maps partition_id →
     (rows, wall_ms)."""
+
+    class _DictSum(AccumulatorParam):
+        # defined in function scope so cloudpickle ships the class by value
+        # (workers must not need ult_spark importable)
+        def zero(self, value):
+            return {}
+
+        def addInPlace(self, a, b):
+            for k, (n, ms) in b.items():
+                pn, pms = a.get(k, (0, 0))
+                a[k] = (pn + n, pms + ms)
+            return a
+
     acc = df.sparkSession.sparkContext.accumulator({}, _DictSum())
     schema = df.schema
 
     def count_rows(it):
-        ctx = TaskContext.get()
+        # self-contained closure: imports inside, so cloudpickle ships it by
+        # value and executors need no ult_spark on PYTHONPATH (see ops/pip.py)
+        import time as _time
+
+        from pyspark import TaskContext as _TC
+
+        ctx = _TC.get()
         pid = ctx.partitionId() if ctx is not None else -1
-        t0 = time.time()
+        t0 = _time.time()
         n = 0
         for pdf in it:
             n += len(pdf)
             yield pdf
-        acc.add({pid: (n, int((time.time() - t0) * 1000))})
+        acc.add({pid: (n, int((_time.time() - t0) * 1000))})
 
     return df.mapInPandas(count_rows, schema), acc
 

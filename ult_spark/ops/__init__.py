@@ -1,0 +1,34 @@
+"""Operator surface — lazy re-exports of the commonly-used entry points."""
+
+from __future__ import annotations
+
+__all__ = [
+    "pip_join", "build_cell_index", "knn_join", "distance_join",
+    "tile_agg", "pyramid", "zonal_stats", "rasterize",
+    "cell_range_join", "asof_join", "sessionize", "compact_cells",
+    "dedup_exact", "minhash_lsh_dedup", "simhash", "jaccard_pairs",
+    "lang_id", "quality_score", "token_count", "fingerprint",
+    "cosine_topk", "ann_lsh_topk", "lsh_buckets",
+    "synth_assets", "extract_features", "frame_sample",
+]
+
+
+def __getattr__(name):
+    from importlib import import_module
+
+    homes = {
+        "pip_join": "pip", "build_cell_index": "pip",
+        "knn_join": "knn", "distance_join": "knn",
+        "tile_agg": "tiles", "pyramid": "tiles",
+        "zonal_stats": "zonal", "rasterize": "zonal",
+        "cell_range_join": "relational", "asof_join": "relational", "sessionize": "relational",
+        "compact_cells": "compact_df",
+        "dedup_exact": "textops", "minhash_lsh_dedup": "textops", "simhash": "textops",
+        "jaccard_pairs": "textops", "lang_id": "textops", "quality_score": "textops",
+        "token_count": "textops", "fingerprint": "textops",
+        "cosine_topk": "ann", "ann_lsh_topk": "ann", "lsh_buckets": "ann",
+        "synth_assets": "multimodal", "extract_features": "multimodal", "frame_sample": "multimodal",
+    }
+    if name in homes:
+        return getattr(import_module(f"ult_spark.ops.{homes[name]}"), name)
+    raise AttributeError(name)
