@@ -40,6 +40,50 @@ def test_salted_equals_unsalted_under_skew(spark):
     assert top[1] >= 0.8 * 40000
 
 
+def test_lsh_jaccard_verify_joins_on_pair_keys(spark):
+    """Round-1 verdict #1: a shingle appearing in d documents must cost d
+    rows, never d². The verify stage therefore must never JOIN on the raw
+    shingle key — only on candidate-pair / doc keys (plus the band key for
+    candidate generation)."""
+    import re
+
+    from ult_spark.ops.textops import (
+        jaccard_pairs,
+        lsh_candidates,
+        minhash_lsh_dedup,
+        minhash_signature,
+        shingles,
+    )
+
+    # one viral boilerplate prefix shared by EVERY doc (the d² hot shingle),
+    # and true near-dup pairs (2i, 2i+1) that the LSH bands will catch
+    texts = []
+    for i in range(30):
+        base = f"hot viral trigram shared by all docs tail{i} one two three four five six"
+        texts.append(base)
+        texts.append(base + " extra")
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+    )
+    df = spark.createDataFrame(docs)
+    out = minhash_lsh_dedup(df, threshold=0.05)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"\bJoin\b", line):
+            keys = line.split("Join", 1)[1]
+            assert "shingle" not in keys, f"shingle-keyed join in verify plan: {line.strip()}"
+    assert "array_intersect" in plan  # per-pair native set intersection
+
+    # and the pruned plan is result-identical to the brute verify restricted
+    # to the same candidate set
+    sh = shingles(df)
+    cand = lsh_candidates(minhash_signature(sh))
+    brute = jaccard_pairs(sh, None, threshold=0.05).join(cand, ["a", "b"], "left_semi")
+    got = {tuple(r) for r in out.collect()}
+    exp = {tuple(r) for r in brute.collect()}
+    assert got == exp and len(got) > 0
+
+
 def test_salt_bounds_stage2_fanin(spark):
     """Stage 1 emits at most salt_buckets rows per cell — the merge shuffle
     never sees a hot key with more than that many rows."""

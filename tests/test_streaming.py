@@ -38,11 +38,11 @@ def test_backfill_checkpoint_resume(spark, tmp_path):
     got1 = _final_counts(spark, out)
     assert got1["cnt"].sum() > 0
 
-    # no new files → restart is a no-op (checkpoint remembers offsets)
+    # no new files → restart is a no-op (checkpoint remembers offsets):
+    # capture snapshot count + row total BEFORE, compare AFTER (ADVICE r1)
+    rows_before = sum(s["rows"] for s in catalog.list_snapshots(out))
     run_backfill(spark, src, out, ckpt)
-    assert sum(s["rows"] for s in catalog.list_snapshots(out)) == sum(
-        s["rows"] for s in catalog.list_snapshots(out)
-    )
+    assert sum(s["rows"] for s in catalog.list_snapshots(out)) == rows_before
     assert _final_counts(spark, out).equals(got1)
 
     # chunk 2: docs 1000..1999 appended → resume processes only the delta

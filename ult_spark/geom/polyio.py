@@ -132,5 +132,10 @@ def edges_values_sql(polys: list[PackedPolygon]) -> str:
     for p in polys:
         x1, y1, x2, y2 = p.edges()
         for i in range(len(x1)):
-            rows.append(f"({p.poly_id},{x1[i]!r},{y1[i]!r},{x2[i]!r},{y2[i]!r})")
+            # float() so the literal stays valid SQL under NumPy 2.x, where
+            # scalar repr becomes 'np.float64(...)' (ADVICE r1)
+            rows.append(
+                f"({p.poly_id},{float(x1[i])!r},{float(y1[i])!r},"
+                f"{float(x2[i])!r},{float(y2[i])!r})"
+            )
     return "(VALUES " + ",".join(rows) + ") AS edges(poly_id, ex1, ey1, ex2, ey2)"

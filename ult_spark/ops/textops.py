@@ -98,10 +98,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataF
 
 
 SHINGLES_SQL = (
+    # list-comprehension over scalar generate_series: the position bound is
+    # driven by each doc's own token count (no fixed ceiling — ADVICE r1)
     "SELECT DISTINCT doc_id, shingle FROM ("
-    "SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle, len(toks) AS n, i "
+    "SELECT doc_id, unnest([array_to_string(toks[i : i + 2], ' ') "
+    "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS shingle "
     "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks "
-    "FROM documents), generate_series(1, 2000) t(i) WHERE i <= len(toks) - 2) "
+    "FROM documents)) "
     "WHERE len(string_split(shingle, ' ')) = 3"
 )
 
@@ -138,29 +141,53 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.2) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs (or all pairs
-    sharing a shingle when ``pairs`` is None). Emits jaccard in e4 integer
-    form for cross-engine exactness."""
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard over shingle sets. Emits jaccard in e4 integer form for
+    cross-engine exactness.
+
+    Two plans (identical results for threshold > 0):
+
+    - ``pairs`` given (the LSH scale path): ALL work is restricted to the
+      candidate pairs. Shingles are grouped per doc once (one shuffle), the
+      pair-keyed join fetches the two doc arrays, and the intersection is a
+      native ``array_intersect`` — work is O(candidate pairs × shingles/doc).
+      Crucially there is NO shingle self-join, so a boilerplate shingle
+      appearing in d documents costs d rows, never d² (round-1 verdict #1:
+      the previous plan joined shingles before pruning, quadratic in
+      hot-shingle document frequency).
+    - ``pairs`` None (brute twin, small-scale oracle only): all pairs sharing
+      any shingle via the shingle self-join.
+    """
+    if pairs is None:
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+        sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+        out = (
+            shared.join(sa, "a").join(sb, "b")
+            # floor, not cast: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+            .withColumn("jacc_e4", F.floor(F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))).cast("long"))
+            .where(F.col("jacc_e4") >= int(threshold * 10000))
+        )
+        return out.select("a", "b", "inter", "jacc_e4")
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
     )
-    if pairs is not None:
-        shared = shared.join(pairs, ["a", "b"], "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    out = (
-        shared.join(sa, "a").join(sb, "b")
-        # floor, not cast: DuckDB CAST(double AS BIGINT) rounds, Spark truncates
+    a = docsets.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"), F.col("sz").alias("sza"))
+    b = docsets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("long"))
         .withColumn("jacc_e4", F.floor(F.col("inter") * 10000 / (F.col("sza") + F.col("szb") - F.col("inter"))).cast("long"))
         .where(F.col("jacc_e4") >= int(threshold * 10000))
+        .select("a", "b", "inter", "jacc_e4")
     )
-    return out.select("a", "b", "inter", "jacc_e4")
 
 
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:

@@ -958,7 +958,9 @@ def _attach_multimodal_oracles() -> None:
     ORACLES["multimodal_features"] = features_sql(4)
     ORACLES["video_frame_plan"] = (
         f"SELECT asset_id, CAST(f AS BIGINT) AS frame_ms FROM ({ASSETS_SQL}), "
-        "generate_series(0, 599999, 60000) g(f) WHERE kind = 'video' AND f <= duration_ms - 1"
+        # bound exceeds max possible duration_ms (600999); the f <= duration_ms - 1
+        # predicate clamps per asset (ADVICE r1)
+        "generate_series(0, 600999, 60000) g(f) WHERE kind = 'video' AND f <= duration_ms - 1"
     )
 
 
