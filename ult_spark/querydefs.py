@@ -434,6 +434,73 @@ def knn_events_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J3 geodesic variant: rank by great-circle METERS (round-1 verdict missing
+# #2 — nearest-by-degrees != nearest-by-meters at high latitude). The
+# haversine expression below is the operation-for-operation mirror of
+# ult_spark.functions.haversine_m; JVM and libm agree to the last ulp on it
+# at these magnitudes (precedent: haversine_to_origin hash-green r1).
+_HAV = (
+    "((2.0 * 6371008.8) * asin(sqrt("
+    "sin(radians(lat - qlat) / 2) * sin(radians(lat - qlat) / 2) "
+    "+ cos(radians(qlat)) * cos(radians(lat)) "
+    "* sin(radians(lon - qlon) / 2) * sin(radians(lon - qlon) / 2))))"
+)
+
+
+@q(
+    "knn_events_k5_m",
+    f"WITH q(qid, qlat, qlon) AS (VALUES {_KNN_VALUES}), "
+    f"pts AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon FROM events) "
+    f"SELECT qid, event_id, dist_mm, rk FROM ("
+    f"SELECT qid, event_id, CAST(floor({_HAV} * 1000) AS BIGINT) AS dist_mm, "
+    f"CAST(row_number() OVER (PARTITION BY qid ORDER BY {_HAV} ASC, event_id ASC) AS BIGINT) AS rk "
+    f"FROM q, pts) WHERE rk <= 5",
+)
+def knn_events_k5_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.knn import knn_join
+
+    qpts = spark.createDataFrame(KNN_QPTS, "qid long, qlat double, qlon double")
+    pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
+    res = knn_join(qpts, pts, k=5, did="event_id", metric="haversine_m")
+    return res.select(
+        "qid",
+        "event_id",
+        F.floor(F.col("dist_m") * 1000).cast("long").alias("dist_mm"),
+        "rk",
+    )
+
+
+# J3 antimeridian variant: wrapped planar metric, query points ON the seam
+# (round-1 verdict missing #1 / next-round #7)
+
+KNN_WRAP_QPTS = [(1, 10.0, 179.9), (2, -30.0, -179.9), (3, 0.0, 179.99)]
+_KNN_WRAP_VALUES = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in KNN_WRAP_QPTS)
+_SQDW = (
+    "((qlat - lat) * (qlat - lat) "
+    "+ least(abs(qlon - lon), 360.0 - abs(qlon - lon)) "
+    "* least(abs(qlon - lon), 360.0 - abs(qlon - lon)))"
+)
+
+
+@q(
+    "knn_events_wrap",
+    f"WITH q(qid, qlat, qlon) AS (VALUES {_KNN_WRAP_VALUES}), "
+    f"pts AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon FROM events) "
+    f"SELECT qid, event_id, sq_dist, rk FROM ("
+    f"SELECT qid, event_id, {_SQDW} AS sq_dist, "
+    f"CAST(row_number() OVER (PARTITION BY qid ORDER BY {_SQDW} ASC, event_id ASC) AS BIGINT) AS rk "
+    f"FROM q, pts) WHERE rk <= 5",
+)
+def knn_events_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.knn import knn_join
+
+    qpts = spark.createDataFrame(KNN_WRAP_QPTS, "qid long, qlat double, qlon double")
+    pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
+    return knn_join(qpts, pts, k=5, did="event_id", metric="sq_deg_wrap").select(
+        "qid", "event_id", "sq_dist", "rk"
+    )
+
+
 @q(
     "distance_join_errors",
     f"WITH err AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon "
