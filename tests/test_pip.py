@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ult_spark.geom.pip import point_in_polygon_naive, points_in_polygon
 from ult_spark.geom.polyio import default_layer
@@ -87,6 +88,49 @@ def test_pip_join_matches_bruteforce(spark, sf_smoke):
         exp |= {(int(e), p.poly_id) for e in pdf["event_id"].to_numpy()[m]}
     assert got == exp
     # anti join complements the inner join on the point keys
-    anti = pip_join(pts, POLYS, how="left_anti").count()
+    anti = pip_join(pts, POLYS, how="left_anti", id_cols=["event_id"]).count()
     matched_pts = len({e for e, _ in got})
     assert anti == pts.count() - matched_pts
+
+
+def test_pip_left_anti_distinguishes_coincident_points(spark):
+    """Round-1 verdict #4: two distinct points at IDENTICAL coordinates must
+    keep separate identities through left/left_anti."""
+    import pandas as pd
+    from ult_spark.ops.pip import pip_join
+
+    la0, la1, lo0, lo1 = POLYS[0].bbox()
+    cy, cx = (la0 + la1) / 2, (lo0 + lo1) / 2
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3], "lat": [cy, cy, 89.9], "lon": [cx, cx, 179.9]})
+    )
+    inner = pip_join(pts, POLYS, id_cols=["pid"])
+    hit_ids = {r.pid for r in inner.select("pid").distinct().collect()}
+    anti = pip_join(pts, POLYS, how="left_anti", id_cols=["pid"])
+    anti_ids = {r.pid for r in anti.select("pid").collect()}
+    assert hit_ids & anti_ids == set()
+    assert hit_ids | anti_ids == {1, 2, 3}
+    if 1 in hit_ids:  # coincident twins share fate but keep BOTH identities
+        assert 2 in hit_ids
+    left = pip_join(pts, POLYS, how="left", id_cols=["pid"])
+    assert left.where(F.col("pid").isin([1, 2])).count() >= 2
+    # id_cols is mandatory for the back-joins
+    try:
+        pip_join(pts, POLYS, how="left_anti")
+        assert False, "expected ValueError without id_cols"
+    except ValueError:
+        pass
+
+
+def test_pip_broadcast_scales_with_edges_not_cells(spark):
+    """Round-1 verdict #5: broadcast payload must be Σcells + Σedges, never
+    Σ(cells × edges) — the edge table has exactly one row per polygon, and
+    the cell map carries no edge arrays."""
+    from ult_spark.ops.pip import build_cell_index, build_edge_index
+
+    cells = build_cell_index(spark, POLYS)
+    edges = build_edge_index(spark, POLYS)
+    assert edges.count() == len(POLYS)
+    assert set(cells.columns) == {"icell", "poly_id"}  # no inlined edges
+    n_cells = cells.count()
+    assert n_cells > len(POLYS)  # cells >> polys, but each row is 16 bytes

@@ -84,6 +84,37 @@ def test_lsh_jaccard_verify_joins_on_pair_keys(spark):
     assert got == exp and len(got) > 0
 
 
+def test_ann_banded_lsh_caps_dense_buckets(spark):
+    """Round-1 verdict #3: vector-LSH buckets must be boundable. One dense
+    cluster (all-identical vectors → same bucket in every band) must be
+    droppable via max_bucket, surfaced by oversized_buckets — never silently
+    all-pairs joined."""
+    from ult_spark.ops.ann import ann_lsh_topk, lsh_bands, oversized_buckets
+
+    rng = np.random.default_rng(3)
+    dense = np.tile(rng.uniform(-1, 1, 64), (200, 1))  # one hot cluster
+    rest = rng.uniform(-1, 1, (100, 64))
+    vecs = np.vstack([dense, rest]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(300, dtype=np.int64), "embedding": list(map(list, vecs))}
+    )
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    bands = lsh_bands(df)
+    over = oversized_buckets(bands, max_bucket=50).collect()
+    assert len(over) >= 1 and max(r.n for r in over) >= 200
+    # capped: cluster members lose their bucket, so a cluster query finds no
+    # candidates through the dropped bucket
+    capped = ann_lsh_topk(df, [0], k=5, max_bucket=50)
+    uncapped = ann_lsh_topk(df, [0], k=5)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped == 5  # 199 identical twins available
+    assert n_capped < n_uncapped
+    # scatter queries are unaffected by the cap
+    assert ann_lsh_topk(df, [250], k=3, max_bucket=50).count() == (
+        ann_lsh_topk(df, [250], k=3).count()
+    )
+
+
 def test_salt_bounds_stage2_fanin(spark):
     """Stage 1 emits at most salt_buckets rows per cell — the merge shuffle
     never sees a hot key with more than that many rows."""

@@ -8,7 +8,7 @@ __all__ = [
     "cell_range_join", "asof_join", "sessionize", "compact_cells",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "jaccard_pairs",
     "lang_id", "quality_score", "token_count", "fingerprint",
-    "cosine_topk", "ann_lsh_topk", "lsh_buckets",
+    "cosine_topk", "ann_lsh_topk", "lsh_bands", "prune_buckets", "oversized_buckets",
     "synth_assets", "extract_features", "frame_sample",
 ]
 
@@ -26,7 +26,8 @@ def __getattr__(name):
         "dedup_exact": "textops", "minhash_lsh_dedup": "textops", "simhash": "textops",
         "jaccard_pairs": "textops", "lang_id": "textops", "quality_score": "textops",
         "token_count": "textops", "fingerprint": "textops",
-        "cosine_topk": "ann", "ann_lsh_topk": "ann", "lsh_buckets": "ann",
+        "cosine_topk": "ann", "ann_lsh_topk": "ann", "lsh_bands": "ann",
+        "prune_buckets": "ann", "oversized_buckets": "ann",
         "synth_assets": "multimodal", "extract_features": "multimodal", "frame_sample": "multimodal",
     }
     if name in homes:

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (task brief: ANN first-class).
 
-Two paths:
+Three paths:
 
 - ``cosine_topk`` — exact brute-force baseline: per query, rank all vectors
   by cosine similarity. Native higher-order functions (zip_with + aggregate);
@@ -8,14 +8,24 @@ Two paths:
   cross-engine hash compare airtight the public queries emit integer-
   quantized similarity (floor(sim * 1e6)) and ranks.
 
-- ``lsh_buckets`` / ``ann_lsh_topk`` — the scale path: random-hyperplane LSH
-  over integer-quantized vectors. Hyperplane weights derive from a pinned
-  integer formula, and dot products are INTEGER sums (order-free, exactly
+- ``lsh_bands`` / ``ann_lsh_topk`` — the scale path: BANDED random-
+  hyperplane LSH over integer-quantized vectors (round-1 verdict #3: a
+  single 8-plane signature gives a constant 256 buckets, which does not
+  partition a 100 TB corpus; the banded scheme mirrors the MinHash banding
+  in ops/textops.py). ``B`` bands × ``R`` planes per band: each vector gets
+  B bucket keys; candidates share at least one (band, bucket). Recall is
+  1-(1-p^R)^B per pair (p = 1 - θ/π); bucket width shrinks as 2^-R, so at
+  scale R is THE knob: size R ≈ log2(N / target_bucket_width) and raise B
+  to recover recall. Hyperplane weights derive from a pinned integer
+  formula, and dot products are INTEGER sums (order-free, exactly
   reproducible in any engine / any partitioning — no float sign flips).
-  Candidates share a bucket signature; exact cosine re-ranks candidates.
 
-At scale: buckets partition the corpus, the candidate join is an equi-join
-on the bucket key, and the exact re-rank touches only same-bucket rows.
+- ``oversized_buckets`` + the ``max_bucket`` knob — even banded LSH can be
+  handed a degenerate corpus (all-identical vectors). ``max_bucket`` drops
+  (band, bucket) groups wider than the cap BEFORE the candidate self-join,
+  bounding the join to O(Σ bucket²) ≤ O(n_buckets × cap²);
+  ``oversized_buckets`` returns exactly what was (or would be) dropped so
+  callers can count/log it instead of silently joining.
 """
 
 from __future__ import annotations
@@ -23,8 +33,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8
+N_BANDS = 4
+N_PLANES = 8  # per band → 2^8 buckets per band at test scale; raise with N
 Q = 1000  # embedding quantization for the integer LSH dot product
+DIM = 64
 
 
 def _vec_double(col: str = "embedding"):
@@ -68,80 +80,154 @@ def _quantized(col: str = "embedding"):
     return F.transform(F.col(col), lambda x: F.floor(x.cast("double") * Q).cast("long"))
 
 
-def lsh_buckets(df: DataFrame, vid: str = "vec_id", dim: int = 64) -> DataFrame:
-    """(vid, bucket) — sign pattern of N_PLANES integer hyperplane dots.
+def lsh_bands(
+    df: DataFrame,
+    vid: str = "vec_id",
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(vid, band, bucket) — one row per band; bucket is the sign pattern of
+    the band's ``n_planes`` integer hyperplane dots (plane index is global:
+    band*n_planes + i, so band 0 reproduces the round-1 single-signature
+    buckets).
 
     The dot is an integer sum over posexploded components — exact under any
-    aggregation order, so the bucket id is fully deterministic.
+    aggregation order, so the bucket id is fully deterministic. One shuffle:
+    all bands' dots are aggregate expressions of a single groupBy.
     """
     q = df.select(F.col(vid), F.posexplode(_quantized()).alias("d", "v"))
     aggs = []
-    for j in range(N_PLANES):
-        w = (F.lit(j * 64) + F.col("d")) * F.lit(2654435761) % F.lit(2001) - F.lit(1000)
-        aggs.append(F.sum(F.col("v") * w).alias(f"dot{j}"))
+    for b in range(n_bands):
+        for i in range(n_planes):
+            j = b * n_planes + i
+            wgt = (F.lit(j * 64) + F.col("d")) * F.lit(2654435761) % F.lit(2001) - F.lit(1000)
+            aggs.append(F.sum(F.col("v") * wgt).alias(f"dot{j}"))
     dots = q.groupBy(vid).agg(*aggs)
-    bucket = F.lit(0).cast("long")
-    for j in range(N_PLANES):
-        bucket = bucket + F.when(F.col(f"dot{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return dots.select(vid, bucket.alias("bucket"))
+    bands = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            j = b * n_planes + i
+            bucket = bucket + F.when(
+                F.col(f"dot{j}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return dots.select(
+        vid, F.explode(F.array(*bands)).alias("_bb")
+    ).select(vid, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
-def lsh_buckets_sql(table: str = "embeddings", vid: str = "vec_id") -> str:
+def lsh_bands_sql(
+    table: str = "embeddings",
+    vid: str = "vec_id",
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES,
+) -> str:
+    """DuckDB mirror of :func:`lsh_bands` (same planes, bands, buckets)."""
+    total = n_bands * n_planes
     dots = ", ".join(
-        f"sum(v * ({_plane_weight_sql(str(j), 'd')})) AS dot{j}" for j in range(N_PLANES)
+        f"sum(v * ({_plane_weight_sql(str(j), 'd')})) AS dot{j}" for j in range(total)
     )
-    val = " + ".join(f"(CASE WHEN dot{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)" for j in range(N_PLANES))
+    band_rows = " UNION ALL ".join(
+        f"SELECT {vid}, {b} AS band, CAST("
+        + " + ".join(
+            f"(CASE WHEN dot{b * n_planes + i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+            for i in range(n_planes)
+        )
+        + " AS BIGINT) AS bucket FROM dots"
+        for b in range(n_bands)
+    )
     return (
-        f"SELECT {vid}, CAST({val} AS BIGINT) AS bucket FROM ("
-        f"SELECT {vid}, {dots} FROM ("
-        f"SELECT {vid}, d.i - 1 AS d, CAST(floor(embedding[d.i]::DOUBLE * {Q}) AS BIGINT) AS v "
-        f"FROM {table}, generate_series(1, 64) d(i)) GROUP BY 1)"
+        f"WITH exploded AS (SELECT {vid}, d.i - 1 AS d, "
+        f"CAST(floor(embedding[d.i]::DOUBLE * {Q}) AS BIGINT) AS v "
+        f"FROM {table}, generate_series(1, {DIM}) d(i)), "
+        f"dots AS (SELECT {vid}, {dots} FROM exploded GROUP BY 1) "
+        f"{band_rows}"
     )
+
+
+def oversized_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, bucket, n) groups wider than ``max_bucket`` — what
+    :func:`prune_buckets` drops. Count/log this; never silently join it."""
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+    )
+
+
+def prune_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop rows in (band, bucket) groups wider than ``max_bucket`` so the
+    candidate self-join is bounded by O(n_buckets × max_bucket²)."""
+    if max_bucket is None:
+        return bands
+    n = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    return bands.withColumn("_n", n).where(F.col("_n") <= max_bucket).drop("_n")
 
 
 def ann_lsh_topk(
-    data: DataFrame, query_ids: list[int], k: int = 5, vid: str = "vec_id"
+    data: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vid: str = "vec_id",
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the query's bucket; exact integer-
-    quantized cosine re-ranks them (sim_q = dot_q² sign-carried, see below).
+    """Banded-LSH ANN: candidates share ≥1 of the query's (band, bucket)
+    keys; exact integer-quantized dot re-ranks the DISTINCT candidates.
 
     Re-rank metric (pinned, integer-exact): quantized dot product
     ``D = Σ floor(q_i * Q) * floor(d_i * Q)`` ranked descending with ties by
     candidate id — avoiding float re-association entirely.
     """
-    b = lsh_buckets(data, vid=vid)
-    vecs = data.select(F.col(vid), _quantized().alias("qv"))
-    withb = vecs.join(b, vid)
-    qside = withb.where(F.col(vid).isin(query_ids)).select(
-        F.col(vid).alias("qid"), F.col("qv").alias("qvec"), F.col("bucket").alias("qb")
+    bands = prune_buckets(lsh_bands(data, vid=vid, n_bands=n_bands, n_planes=n_planes), max_bucket)
+    qb = bands.where(F.col(vid).isin(query_ids)).select(
+        F.col(vid).alias("qid"), "band", "bucket"
     )
-    cand = F.broadcast(qside).join(withb, F.col("qb") == F.col("bucket"), "inner").where(
-        F.col("qid") != F.col(vid)
+    cand = (
+        F.broadcast(qb)
+        .join(bands, ["band", "bucket"], "inner")
+        .where(F.col("qid") != F.col(vid))
+        .select("qid", vid)
+        .distinct()
+    )
+    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    qvecs = vecs.where(F.col(vid).isin(query_ids)).select(
+        F.col(vid).alias("qid"), F.col("qv").alias("qvec")
     )
     dot = F.aggregate(
         F.zip_with("qvec", "qv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
     )
     w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc(vid))
     return (
-        cand.withColumn("qdot", dot)
+        cand.join(F.broadcast(qvecs), "qid").join(vecs, vid)
+        .withColumn("qdot", dot)
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("qid", F.col(vid).alias("nid"), "qdot", F.col("rk").cast("long").alias("rk"))
     )
 
 
-def ann_lsh_topk_sql(query_ids: list[int], k: int = 5) -> str:
+def ann_lsh_topk_sql(
+    query_ids: list[int],
+    k: int = 5,
+    n_bands: int = N_BANDS,
+    n_planes: int = N_PLANES,
+) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return (
-        f"WITH b AS ({lsh_buckets_sql()}), "
-        "qv AS (SELECT vec_id, [CAST(floor(x::DOUBLE * 1000) AS BIGINT) for x in embedding] AS v "
+        f"WITH b AS ({lsh_bands_sql(n_bands=n_bands, n_planes=n_planes)}), "
+        f"qb AS (SELECT vec_id AS qid, band, bucket FROM b WHERE vec_id IN ({ids})), "
+        "cand AS (SELECT DISTINCT qid, b.vec_id AS nid FROM qb "
+        "JOIN b USING (band, bucket) WHERE qid != b.vec_id), "
+        f"qv AS (SELECT vec_id, [CAST(floor(x::DOUBLE * {Q}) AS BIGINT) for x in embedding] AS v "
         "FROM embeddings), "
-        "wb AS (SELECT qv.vec_id, v, bucket FROM qv JOIN b USING (vec_id)), "
-        f"qs AS (SELECT vec_id AS qid, v AS qvec, bucket AS qb FROM wb WHERE vec_id IN ({ids})), "
-        "cand AS (SELECT qid, wb.vec_id AS nid, "
+        f"qs AS (SELECT vec_id AS qid, v AS qvec FROM qv WHERE vec_id IN ({ids})), "
+        "scored AS (SELECT cand.qid, nid, "
         "list_sum(list_transform(list_zip(qvec, v), p -> p[1] * p[2])) AS qdot "
-        "FROM qs JOIN wb ON qb = bucket WHERE qid != wb.vec_id) "
+        "FROM cand JOIN qs ON cand.qid = qs.qid JOIN qv ON qv.vec_id = cand.nid) "
         "SELECT qid, nid, CAST(qdot AS BIGINT) AS qdot, rk FROM ("
         "SELECT qid, nid, qdot, CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS BIGINT) AS rk "
-        f"FROM cand) WHERE rk <= {k}"
+        f"FROM scored) WHERE rk <= {k}"
     )

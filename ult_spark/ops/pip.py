@@ -9,13 +9,15 @@ big side.
 
 Stage 2 — exact ray-cast refine, two interchangeable engines:
 
-- ``refine="native"`` (default): every broadcast index row carries its
-  polygon's packed edge arrays; the even-odd crossing parity is evaluated
-  with Spark higher-order functions (filter over an index sequence +
-  element_at) — pure JVM, no Arrow hop, no second Python worker. Measured
-  on this box: chaining a second Python stage after the geotag UDF
-  oversubscribes cores (2 worker sets + JVM threads) and *anti-scales*;
-  the native refine removes that entirely.
+- ``refine="native"`` (default): the candidate map (cell → poly_id) and the
+  edge table (poly_id → packed edge arrays, ONE row per polygon) are two
+  separate small broadcasts joined on poly_id, so broadcast bytes scale as
+  Σcells + Σedges — never Σ(cells × edges) (round-1 verdict #5). The
+  even-odd crossing parity is evaluated with Spark higher-order functions
+  (filter over an index sequence + element_at) — pure JVM, no Arrow hop,
+  no second Python worker. Measured on this box: chaining a second Python
+  stage after the geotag UDF oversubscribes cores (2 worker sets + JVM
+  threads) and *anti-scales*; the native refine removes that entirely.
 - ``refine="arrow"``: the BASELINE-literal path — NumPy ray casting on
   packed-ring Arrow arrays inside a scalar pandas UDF (self-contained
   closure, no --py-files needed). Kept for parity testing and for payloads
@@ -26,8 +28,8 @@ results are bit-identical to each other and to the DuckDB oracle.
 
 At 100 TB: the points side streams through scan→encode→join→refine in one
 whole-stage-codegen pipeline; the only shuffle in a PIP-aggregate job is the
-final groupBy. The broadcast index is small by construction (compacted
-cells × per-polygon edge arrays — a few MB for admin-scale layers).
+final groupBy. The two broadcasts are small by construction (cell map rows
+are 16 bytes; the edge table is the layer's raw geometry, once).
 """
 
 from __future__ import annotations
@@ -50,9 +52,8 @@ DEFAULT_INDEX_LEVEL = 6
 _INDEX_CACHE: dict[tuple[int, int], list[tuple]] = {}
 
 
-def _index_rows(polys: list[PackedPolygon], index_level: int, with_edges: bool) -> list[tuple]:
-    key = (id(tuple(p.poly_id for p in polys)), index_level) if False else None
-    cache_key = (hash(tuple(p.poly_id for p in polys)), index_level, with_edges)
+def _index_rows(polys: list[PackedPolygon], index_level: int) -> list[tuple]:
+    cache_key = (hash(tuple(p.poly_id for p in polys)), index_level)
     if cache_key in _INDEX_CACHE:
         return _INDEX_CACHE[cache_key]
     rows: list[tuple] = []
@@ -60,11 +61,7 @@ def _index_rows(polys: list[PackedPolygon], index_level: int, with_edges: bool) 
         cov = polyfill(p, index_level)
         packed = CZ.compact(cov)
         expanded = CZ.uncompact(packed, index_level)
-        if with_edges:
-            ex1, ey1, ex2, ey2 = (a.tolist() for a in p.edges())
-            rows.extend((int(c), p.poly_id, ex1, ey1, ex2, ey2) for c in expanded.tolist())
-        else:
-            rows.extend((int(c), p.poly_id) for c in expanded.tolist())
+        rows.extend((int(c), p.poly_id) for c in expanded.tolist())
     _INDEX_CACHE[cache_key] = rows
     return rows
 
@@ -73,17 +70,27 @@ def build_cell_index(
     spark: SparkSession,
     polys: list[PackedPolygon],
     index_level: int = DEFAULT_INDEX_LEVEL,
-    with_edges: bool = False,
 ) -> DataFrame:
-    """(icell, poly_id[, edge arrays]) candidate map at ``index_level``."""
-    if with_edges:
-        return spark.createDataFrame(
-            _index_rows(polys, index_level, True),
-            "icell long, poly_id long, ex1 array<double>, ey1 array<double>, "
-            "ex2 array<double>, ey2 array<double>",
-        )
+    """(icell, poly_id) candidate map at ``index_level``."""
     return spark.createDataFrame(
-        _index_rows(polys, index_level, False), "icell long, poly_id long"
+        _index_rows(polys, index_level), "icell long, poly_id long"
+    )
+
+
+def build_edge_index(spark: SparkSession, polys: list[PackedPolygon]) -> DataFrame:
+    """(poly_id, ex1, ey1, ex2, ey2) — ONE row per polygon.
+
+    Round-1 verdict #5: inlining each polygon's full edge arrays into every
+    covering-cell row made the broadcast Σ(cells × edges); broadcasting the
+    cell map and the edge table separately keeps it Σcells + Σedges."""
+    rows = []
+    for p in polys:
+        ex1, ey1, ex2, ey2 = (a.tolist() for a in p.edges())
+        rows.append((p.poly_id, ex1, ey1, ex2, ey2))
+    return spark.createDataFrame(
+        rows,
+        "poly_id long, ex1 array<double>, ey1 array<double>, "
+        "ex2 array<double>, ey2 array<double>",
     )
 
 
@@ -140,23 +147,32 @@ def pip_join(
     index_level: int = DEFAULT_INDEX_LEVEL,
     how: str = "inner",
     refine: str = "native",
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """points ⋈ polygons (point-in-polygon). Adds ``poly_id``.
 
     ``how='inner'`` keeps matched rows; ``'left_anti'`` returns points in NO
     polygon (J8); ``'left'`` keeps all points with null poly_id.
+
+    ``id_cols``: stable point identity for the ``left``/``left_anti`` back-
+    join (round-1 verdict #4: re-keying on float lat/lon conflates distinct
+    points at identical coordinates). REQUIRED for ``left``/``left_anti``.
     """
     spark = points.sparkSession
     cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
     if refine == "native":
-        index_df = build_cell_index(spark, polys, index_level, with_edges=True)
+        # two small broadcasts: (cell → poly_id) sized by Σcells and
+        # (poly_id → edges) sized by Σedges — never Σ(cells × edges)
+        index_df = build_cell_index(spark, polys, index_level)
+        edges_df = build_edge_index(spark, polys)
         matched = (
             cand.join(F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner")
+            .join(F.broadcast(edges_df), "poly_id")
             .where(_native_inside(F.col(lat), F.col(lon)))
             .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
         )
     elif refine == "arrow":
-        index_df = build_cell_index(spark, polys, index_level, with_edges=False)
+        index_df = build_cell_index(spark, polys, index_level)
         refine_fn = _refine_udf(polys)
         matched = (
             cand.join(F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner")
@@ -167,9 +183,15 @@ def pip_join(
         raise ValueError(f"unknown refine engine {refine!r}")
     if how == "inner":
         return matched
-    if how == "left_anti":
-        return points.join(matched.select(lat, lon).distinct(), [lat, lon], "left_anti")
-    if how == "left":
-        key = [c for c in points.columns]
-        return points.join(matched.select(*key, "poly_id"), key, "left")
+    if how in ("left", "left_anti"):
+        if not id_cols:
+            raise ValueError(
+                f"how={how!r} needs id_cols — a stable point identity; float "
+                "lat/lon equality conflates coincident points"
+            )
+        if how == "left_anti":
+            return points.join(
+                matched.select(*id_cols).distinct(), id_cols, "left_anti"
+            )
+        return points.join(matched.select(*id_cols, "poly_id"), id_cols, "left")
     raise ValueError(f"unsupported how={how!r}")

@@ -84,16 +84,24 @@ DEDUP_EXACT_SQL = (
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
-    """Distinct word ``SHINGLE_N``-grams per doc (joined by single spaces)."""
+def shingle_array(text: str = "text"):
+    """Distinct word ``SHINGLE_N``-grams of a doc as a per-row ARRAY column.
+
+    Per-doc distinctness is row-local, so it's an ``array_distinct`` — NOT a
+    DataFrame ``.distinct()`` — which keeps the whole shingle derivation
+    shuffle-free (round-2 perf: the exploded+distinct variant shuffled the
+    full shingle set and was re-executed per consumer branch)."""
     toks = tokens_col(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .where(F.size(F.split("shingle", " ")) == SHINGLE_N)
-        .distinct()
+    return F.array_distinct(F.filter(sh, lambda s: F.size(F.split(s, " ")) == SHINGLE_N))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Distinct word ``SHINGLE_N``-grams per doc, exploded (oracle-twin shape)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_array(text)).alias("shingle")
     )
 
 
@@ -111,11 +119,41 @@ SHINGLES_SQL = (
 
 def minhash_signature(sh: DataFrame) -> DataFrame:
     """16 minhash values per doc via affine double hashing of the 56-bit
-    shingle hash: ``min(h1 + j*h2)`` for j = 0..15."""
+    shingle hash: ``min(h1 + j*h2)`` for j = 0..15 (exploded-input shape)."""
     h1 = _h56(F.col("shingle"), 1)
     h2 = _h56(F.col("shingle"), 15)
     aggs = [F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signature_from_sets(arr: DataFrame) -> DataFrame:
+    """16 minhash values computed ROW-NATIVELY from per-doc shingle-set rows
+    (doc_id, shs array<string>): md5 once per shingle into (h1, h2) structs,
+    then 16 ``array_min`` folds — zero shuffles, identical values to
+    :func:`minhash_signature`."""
+    hs = F.transform(
+        F.col("shs"),
+        lambda s: F.struct(_h56(s, 1).alias("h1"), _h56(s, 15).alias("h2")),
+    )
+    cols = [
+        F.array_min(
+            F.transform("_hs", lambda p: p["h1"] + F.lit(j) * p["h2"])
+        ).alias(f"mh{j}")
+        for j in range(N_MINHASH)
+    ]
+    return arr.select("doc_id", hs.alias("_hs")).select("doc_id", *cols)
+
+
+def minhash_signature_native(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Row-native signature straight from text. Docs with no shingles are
+    dropped (they have no signature — matching the groupBy twin, and
+    keeping them out of a shared all-null band bucket)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), shingle_array(text).alias("shs")
+    ).where(F.size("shs") > 0)
+    return minhash_signature_from_sets(base)
 
 
 def _band_key(b: int):
@@ -125,11 +163,14 @@ def _band_key(b: int):
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band."""
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select("doc_id", _band_key(b).alias("band"))
-        bands = part if bands is None else bands.unionByName(part)
+    """Candidate pairs (a < b) sharing at least one LSH band.
+
+    Band rows come from ONE explode over a struct array, not a union of
+    per-band selects — a union re-executes the whole signature pipeline
+    once per band (CLAUDE.md perf lesson; ops/tiles.py pyramid pattern)."""
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*[_band_key(b) for b in range(N_BANDS)])).alias("band")
+    )
     l = bands.select(F.col("doc_id").alias("a"), "band")
     r = bands.select(F.col("doc_id").alias("b"), "band")
     return (
@@ -179,6 +220,15 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: floa
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
     )
+    return jaccard_pairs_from_sets(docsets, pairs, threshold)
+
+
+def jaccard_pairs_from_sets(
+    docsets: DataFrame, pairs: DataFrame, threshold: float = 0.2
+) -> DataFrame:
+    """Exact Jaccard for candidate ``pairs`` given per-doc shingle-set rows
+    (doc_id, shs array<string>, sz) — the zero-shuffle input shape produced
+    by :func:`shingle_array`."""
     a = docsets.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"), F.col("sz").alias("sza"))
     b = docsets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"), F.col("sz").alias("szb"))
     return (
@@ -192,10 +242,26 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: floa
 
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → candidate pairs →
-    exact Jaccard verify ≥ threshold."""
-    sh = shingles(df)
+    exact Jaccard verify ≥ threshold.
+
+    Shuffle budget (the 100 TB shape): signatures and shingle sets are
+    row-native (zero shuffles); the band self-join shuffles by band key
+    (md5-uniform); pairs dedup + the two docset joins shuffle by doc id.
+    Nothing is ever keyed on a raw shingle.
+
+    Raw docs go through ONE upfront exchange with an EXPLICIT partition
+    count (AQE would coalesce by byte size, but shingle construction is
+    CPU-bound per row — tiny byte volume still wants every core; and input
+    files this small arrive as a single split). Signature and docsets both
+    reuse that exchange; the md5 double-hash stays in a codegen'd groupBy
+    aggregate where CSE shares the md5 across the 16 min expressions."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    sh = shingles(df.repartition(n_part))
     cand = lsh_candidates(minhash_signature(sh))
-    return jaccard_pairs(sh, cand, threshold)
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+    )
+    return jaccard_pairs_from_sets(docsets, cand, threshold)
 
 
 def minhash_lsh_sql(threshold: float = 0.2) -> str:

@@ -342,7 +342,12 @@ def pip_anti_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ult_spark.geom.polyio import default_layer
     from ult_spark.ops.pip import pip_join
 
-    anti = pip_join(events_points(spark, sf_dir), list(default_layer()), how="left_anti")
+    anti = pip_join(
+        events_points(spark, sf_dir),
+        list(default_layer()),
+        how="left_anti",
+        id_cols=["event_id"],
+    )
     return anti.agg(F.count("*").alias("cnt"))
 
 
@@ -1112,47 +1117,53 @@ def haversine_to_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("embedding_near_dup", None)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ult_spark.ops.ann import lsh_buckets
+    """Banded-LSH candidate pairs (a < b sharing any (band, bucket)), deduped
+    BEFORE the vector join, then exact floored-cosine threshold. Round-1
+    verdict #3: the single-signature bucket join was O(N²/256); the banded
+    scheme bounds bucket width by 2^-R per band and the all-pairs work to
+    Σ bucket² (cap-able via ops.ann.prune_buckets)."""
+    from ult_spark.ops.ann import lsh_bands
 
     emb = load(spark, sf_dir, "embeddings")
+    bands = lsh_bands(emb)
+    l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
+    r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     vec = F.transform("embedding", lambda x: x.cast("double"))
-    v = emb.select("vec_id", vec.alias("v")).join(lsh_buckets(emb), "vec_id")
-    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("bucket"))
-    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("bucket"))
+    v = emb.select("vec_id", vec.alias("v"))
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x)
     nb = F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x)
     sim_e6 = F.floor(dot / F.sqrt(na * nb) * 1000000).cast("long")
     return (
-        a.join(b, "bucket")
-        .where(F.col("a") < F.col("b"))
+        cand.join(va, "a").join(vb, "b")
         .withColumn("sim_e6", sim_e6)
         .where(F.col("sim_e6") >= 200000)
         .select("a", "b", "sim_e6")
-        .distinct()
     )
 
 
-ORACLES["embedding_near_dup"] = (
-    "WITH b AS ({buckets}), "
-    "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), "
-    "w AS (SELECT v.vec_id, vec, bucket FROM v JOIN b USING (vec_id)) "
-    "SELECT DISTINCT l.vec_id AS a, r.vec_id AS b, "
-    "CAST(floor(list_sum(list_transform(list_zip(l.vec, r.vec), p -> p[1] * p[2])) / "
-    "sqrt(list_sum(list_transform(l.vec, x -> x * x)) * list_sum(list_transform(r.vec, x -> x * x))) "
-    "* 1000000) AS BIGINT) AS sim_e6 "
-    "FROM w l JOIN w r ON l.bucket = r.bucket AND l.vec_id < r.vec_id "
-    "WHERE floor(list_sum(list_transform(list_zip(l.vec, r.vec), p -> p[1] * p[2])) / "
-    "sqrt(list_sum(list_transform(l.vec, x -> x * x)) * list_sum(list_transform(r.vec, x -> x * x))) "
-    "* 1000000) >= 200000"
-)
-
-
 def _attach_near_dup_bucket_sql() -> None:
-    from ult_spark.ops.ann import lsh_buckets_sql
+    from ult_spark.ops.ann import lsh_bands_sql
 
-    ORACLES["embedding_near_dup"] = ORACLES["embedding_near_dup"].format(
-        buckets=lsh_buckets_sql()
+    ORACLES["embedding_near_dup"] = (
+        f"WITH b AS ({lsh_bands_sql()}), "
+        "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM b l "
+        "JOIN b r USING (band, bucket) WHERE l.vec_id < r.vec_id), "
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) "
+        "SELECT a, b, sim_e6 FROM (SELECT a, b, "
+        "CAST(floor(list_sum(list_transform(list_zip(l.vec, r.vec), p -> p[1] * p[2])) / "
+        "sqrt(list_sum(list_transform(l.vec, x -> x * x)) * list_sum(list_transform(r.vec, x -> x * x))) "
+        "* 1000000) AS BIGINT) AS sim_e6 "
+        "FROM cand JOIN v l ON l.vec_id = a JOIN v r ON r.vec_id = b) "
+        "WHERE sim_e6 >= 200000"
     )
 
 
