@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "pip_join_events",
     "pip_agg_by_poly",
     "knn_events_k5",
+    "knn_events_k5_m",
     "zonal_stats_pop",
     "top_tiles_l8",
     "hourly_counts",
@@ -54,6 +55,7 @@ BENCH_QUERIES = [
     "token_count",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "embedding_near_dup",
     "multimodal_features",
 ]
 
@@ -129,6 +131,21 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
     spark.stop()
 
+    # round-over-round diff: compare against the newest BENCH_r*.json so a
+    # regression is answerable from this artifact alone (round-1 verdict #10)
+    prev_name, deltas = None, {}
+    prior = sorted(REPO.glob("BENCH_r*.json"))
+    if prior:
+        try:
+            prev = json.loads(prior[-1].read_text().strip().splitlines()[-1])
+            prev_q = prev.get("queries", {})
+            prev_name = prior[-1].name
+            deltas = {
+                q: round(t - prev_q[q], 3) for q, t in qtimes.items() if q in prev_q
+            }
+        except Exception:
+            prev_name = f"{prior[-1].name} (unreadable)"
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -145,6 +162,8 @@ def main() -> None:
                 "cores": [N_CORES, N4_CORES, CPUS],
                 "scaling_efficiency": round(eff, 3),
                 "scaling_efficiency_to_full_box": round(eff_full, 3),
+                "prev_bench": prev_name,
+                "query_deltas_sec": deltas,
             }
         )
     )

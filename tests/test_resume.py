@@ -58,6 +58,23 @@ def test_resume_exactly_once(spark, pages, tmp_path):
         )
 
 
+def test_write_snapshot_single_scan(spark, tmp_path, monkeypatch):
+    """Round-1 verdict #5: the manifest row count must come from observe()
+    metrics on the write job itself — proven by making any re-read of the
+    written unit explode."""
+    import pyspark.sql.readwriter as RW
+
+    def _boom(self, *a, **k):
+        raise AssertionError("write_snapshot re-read the written unit")
+
+    monkeypatch.setattr(RW.DataFrameReader, "parquet", _boom)
+    df = spark.range(123).selectExpr("id", "id * 2 AS v")
+    man = catalog.write_snapshot(df, str(tmp_path / "t"), "u0", "r0")
+    assert man["rows"] == 123
+    monkeypatch.undo()
+    assert catalog.read_table(spark, str(tmp_path / "t")).count() == 123
+
+
 def test_lineage_rows(spark, pages, tmp_path):
     t = str(tmp_path / "lin")
     run_job(spark, pages, t, buckets=2, run_id="r_lin")

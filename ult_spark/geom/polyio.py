@@ -125,6 +125,27 @@ def default_layer(path: str = DEFAULT_LAYER_PATH) -> tuple[PackedPolygon, ...]:
     return tuple(load_packed(path))
 
 
+def shifted_layer(
+    polys: list[PackedPolygon] | tuple[PackedPolygon, ...],
+    dlat: float,
+    dlon: float,
+    id_offset: int = 100,
+) -> list[PackedPolygon]:
+    """Deterministic second layer for polygon-polygon operators: every
+    polygon translated by (dlat, dlon) with ids offset."""
+    return [
+        PackedPolygon(
+            poly_id=p.poly_id + id_offset,
+            name=f"{p.name}_shift",
+            level=p.level,
+            ring_offsets=p.ring_offsets,
+            xs=p.xs + dlon,
+            ys=p.ys + dlat,
+        )
+        for p in polys
+    ]
+
+
 def edges_values_sql(polys: list[PackedPolygon]) -> str:
     """Inline all polygon edges as a DuckDB VALUES relation — used by the
     oracle SQL so PIP parity needs no extra table (SURVEY.md §5.5)."""

@@ -70,8 +70,15 @@ def write_snapshot(
         df.writeTo(f"ult.{Path(table).name}").append()
         return {"unit": unit, "run_id": run_id, "backend": "iceberg"}
     data_path = str(Path(table) / "data" / f"unit={unit}" / run_id)
-    df.write.mode(mode).parquet(data_path)
-    rows = spark.read.parquet(data_path).count()
+    # row count via observe(): piggybacks on the write job itself — the old
+    # spark.read.parquet(...).count() re-scanned every written unit purely
+    # for the manifest (round-1 verdict #5)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(mode).parquet(data_path)
+    rows = int(obs.get["rows"])
     snap_id = int(time.time() * 1000)
     manifest = {
         "snapshot_id": snap_id,

@@ -1,0 +1,162 @@
+"""Polygon–polygon intersects join (J-family; round-1 verdict "missing" #3).
+
+Two-stage, same architecture as the PIP join (ops/pip.py): cell-cover
+candidate pruning + exact refine, all relational (no UDFs).
+
+Stage 1 — candidates: both layers are polyfilled + compacted + uncompacted
+at an index level (reusing ops.pip._index_rows); pairs sharing a cover cell
+are candidates (equi-join on the cell id, distinct pairs).
+
+Stage 2 — exact refine (pinned rule, IEEE-exact so DuckDB mirrors it):
+
+  intersects(A, B) :=  any proper edge crossing
+                    OR A contains B's first vertex
+                    OR B contains A's first vertex
+
+- proper crossing: strict orientation sign tests — segments pq and rs cross
+  iff sign(cross(s-r, p-r)) != sign(cross(s-r, q-r)) AND
+      sign(cross(q-p, r-p)) != sign(cross(q-p, s-p)),
+  where sign(x) is the predicate x > 0 (collinear touchings — cross = 0 —
+  are NOT intersections; measure-zero, pinned).
+- containment: even-odd crossing parity of one representative vertex, the
+  same pinned ray-cast rule as geom/pip.py / ops/pip.py.
+
+This covers every topology for simple polygons: overlapping boundaries
+cross; nested polygons hit a containment test; disjoint polygons hit
+neither. The refine is a (cand × edges_a × edges_b) relational join +
+groupBy — the standard distributed shape; candidates are cell-pruned first,
+so the edge-pair blowup is local to actually-nearby polygons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ult_spark.geom.polyio import PackedPolygon
+from ult_spark.ops.pip import DEFAULT_INDEX_LEVEL, _index_rows
+
+
+def _edge_rows(polys: list[PackedPolygon]) -> list[tuple]:
+    rows = []
+    for p in polys:
+        x1, y1, x2, y2 = p.edges()
+        rows.extend(
+            (p.poly_id, float(x1[i]), float(y1[i]), float(x2[i]), float(y2[i]))
+            for i in range(len(x1))
+        )
+    return rows
+
+
+def _vertex_rows(polys: list[PackedPolygon]) -> list[tuple]:
+    return [(p.poly_id, float(p.xs[0]), float(p.ys[0])) for p in polys]
+
+
+def _cells_df(spark: SparkSession, polys, level, idc: str) -> DataFrame:
+    rows = [(c, pid) for c, pid in _index_rows(polys, level)]
+    return spark.createDataFrame(rows, f"cell long, {idc} long")
+
+
+def poly_intersect_join(
+    spark: SparkSession,
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """All (a_id, b_id) pairs whose polygons intersect (pinned rule above)."""
+    ca = _cells_df(spark, layer_a, index_level, "a_id")
+    cb = _cells_df(spark, layer_b, index_level, "b_id")
+    cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
+
+    ea = spark.createDataFrame(
+        _edge_rows(layer_a), "a_id long, ax1 double, ay1 double, ax2 double, ay2 double"
+    )
+    eb = spark.createDataFrame(
+        _edge_rows(layer_b), "b_id long, bx1 double, by1 double, bx2 double, by2 double"
+    )
+    va = spark.createDataFrame(_vertex_rows(layer_a), "a_id long, avx double, avy double")
+    vb = spark.createDataFrame(_vertex_rows(layer_b), "b_id long, bvx double, bvy double")
+
+    # proper edge crossing: orientation sign tests (0 counts as non-positive)
+    d1 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax1") - F.col("bx1"))
+    d2 = (F.col("bx2") - F.col("bx1")) * (F.col("ay2") - F.col("by1")) - (
+        F.col("by2") - F.col("by1")
+    ) * (F.col("ax2") - F.col("bx1"))
+    d3 = (F.col("ax2") - F.col("ax1")) * (F.col("by1") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx1") - F.col("ax1"))
+    d4 = (F.col("ax2") - F.col("ax1")) * (F.col("by2") - F.col("ay1")) - (
+        F.col("ay2") - F.col("ay1")
+    ) * (F.col("bx2") - F.col("ax1"))
+    crosses = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    cross_pairs = (
+        cand.join(ea, "a_id").join(eb, "b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.max(crosses.cast("int")).alias("_hit"))
+        .where(F.col("_hit") == 1)
+        .select("a_id", "b_id")
+    )
+
+    def _contains(edges: DataFrame, eid: str, vjoin: DataFrame,
+                  px: str, py: str, x1: str, y1: str, x2: str, y2: str) -> DataFrame:
+        """Pairs where the `edges`-side polygon contains the other's vertex
+        (even-odd parity, pinned crossing rule from geom/pip.py)."""
+        straddle = (F.col(y1) > F.col(py)) != (F.col(y2) > F.col(py))
+        xint = (F.col(x2) - F.col(x1)) * (F.col(py) - F.col(y1)) / (
+            F.col(y2) - F.col(y1)
+        ) + F.col(x1)
+        hit = straddle & (F.col(px) < xint)
+        return (
+            cand.join(vjoin, vjoin.columns[0]).join(edges, eid)
+            .groupBy("a_id", "b_id")
+            .agg(F.sum(hit.cast("int")).alias("_c"))
+            .where(F.col("_c") % 2 == 1)
+            .select("a_id", "b_id")
+        )
+
+    cont_ab = _contains(ea, "a_id", vb, "bvx", "bvy", "ax1", "ay1", "ax2", "ay2")
+    cont_ba = _contains(eb, "b_id", va, "avx", "avy", "bx1", "by1", "bx2", "by2")
+    return cross_pairs.unionByName(cont_ab).unionByName(cont_ba).distinct()
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror — same inputs inlined as VALUES, same relational plan
+
+
+def _values(rows: list[tuple], alias: str, cols: str) -> str:
+    body = ",".join("(" + ",".join(repr(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS {alias}({cols})"
+
+
+def poly_intersect_sql(
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> str:
+    ca = _values([(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)], "ca", "cell, a_id")
+    cb = _values([(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)], "cb", "cell, b_id")
+    ea = _values(_edge_rows(layer_a), "ea", "a_id, ax1, ay1, ax2, ay2")
+    eb = _values(_edge_rows(layer_b), "eb", "b_id, bx1, by1, bx2, by2")
+    va = _values(_vertex_rows(layer_a), "va", "a_id, avx, avy")
+    vb = _values(_vertex_rows(layer_b), "vb", "b_id, bvx, bvy")
+    cross = (
+        "((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) > 0) "
+        "!= ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) > 0) "
+        "AND ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) > 0) "
+        "!= ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) > 0)"
+    )
+    return (
+        f"WITH cand AS (SELECT DISTINCT a_id, b_id FROM {ca} JOIN {cb} USING (cell)), "
+        f"crossed AS (SELECT a_id, b_id FROM cand JOIN {ea} USING (a_id) JOIN {eb} USING (b_id) "
+        f"GROUP BY 1, 2 HAVING max(CASE WHEN {cross} THEN 1 ELSE 0 END) = 1), "
+        f"cont_ab AS (SELECT a_id, b_id FROM cand JOIN {vb} USING (b_id) JOIN {ea} USING (a_id) "
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN (ay1 > bvy) != (ay2 > bvy) "
+        "AND bvx < (ax2 - ax1) * (bvy - ay1) / (ay2 - ay1) + ax1 THEN 1 ELSE 0 END) % 2 = 1), "
+        f"cont_ba AS (SELECT a_id, b_id FROM cand JOIN {va} USING (a_id) JOIN {eb} USING (b_id) "
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN (by1 > avy) != (by2 > avy) "
+        "AND avx < (bx2 - bx1) * (avy - by1) / (by2 - by1) + bx1 THEN 1 ELSE 0 END) % 2 = 1) "
+        "SELECT DISTINCT a_id, b_id FROM ("
+        "SELECT * FROM crossed UNION ALL SELECT * FROM cont_ab UNION ALL SELECT * FROM cont_ba)"
+    )

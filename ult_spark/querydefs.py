@@ -351,6 +351,31 @@ def pip_anti_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.agg(F.count("*").alias("cnt"))
 
 
+# J-family: polygon-polygon intersects join (round-1 verdict missing #3) —
+# default layer vs a deterministically shifted copy; overlapping, nested,
+# and disjoint pairs all occur. Result depends only on the pinned layers
+# (the operator is layer x layer), so the oracle inlines the same inputs.
+
+@q("poly_intersect", None)
+def poly_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.geom.polyio import default_layer, shifted_layer
+    from ult_spark.ops.polyjoin import poly_intersect_join
+
+    a = list(default_layer())
+    return poly_intersect_join(spark, a, shifted_layer(a, 2.0, 3.0))
+
+
+def _attach_poly_intersect_oracle() -> None:
+    from ult_spark.geom.polyio import default_layer, shifted_layer
+    from ult_spark.ops.polyjoin import poly_intersect_sql
+
+    a = list(default_layer())
+    ORACLES["poly_intersect"] = poly_intersect_sql(a, shifted_layer(a, 2.0, 3.0))
+
+
+_attach_poly_intersect_oracle()
+
+
 # A7-shape on points: zonal tile aggregate per polygon at a finer cell level
 
 @q(
