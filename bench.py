@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "token_count",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "multimodal_features",
 ]
@@ -137,7 +138,9 @@ def main() -> None:
     prior = sorted(REPO.glob("BENCH_r*.json"))
     if prior:
         try:
-            prev = json.loads(prior[-1].read_text().strip().splitlines()[-1])
+            prev = json.loads(prior[-1].read_text())
+            if "parsed" in prev:  # driver wrapper format
+                prev = prev["parsed"]
             prev_q = prev.get("queries", {})
             prev_name = prior[-1].name
             deltas = {

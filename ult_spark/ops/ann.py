@@ -209,6 +209,117 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    data: DataFrame, n_lists: int = 16, vid: str = "vec_id"
+) -> DataFrame:
+    """(vid, list_id) IVF coarse assignment — the second scale path.
+
+    Centroids are PINNED deterministically: the ``n_lists`` smallest vec_ids
+    (no iterative k-means — the partitioning property, not centroid quality,
+    is what the engine provides; callers can swap in trained centroids).
+    Assignment = argmax integer-quantized dot (ties → smaller centroid id),
+    exactly reproducible in DuckDB. Lists partition the corpus: candidate
+    work per query is nprobe/n_lists of the data, the IVF analog of LSH
+    bucket pruning.
+    """
+    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a global row_number
+    # window here would force a single-partition sort of the whole corpus
+    cents = (
+        vecs.orderBy(F.asc(vid)).limit(n_lists)
+        .select(F.col(vid).alias("cid"), F.col("qv").alias("cv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    # argmax via max_by over struct(dot, -cid): map-side combinable (one
+    # partially-aggregated shuffle of 1 row/vector), vs a window that would
+    # shuffle all N x n_lists scored rows
+    key = F.struct(F.col("_dot").alias("d"), (-F.col("cid")).alias("nc"))
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("_dot", dot)
+        .groupBy(vid)
+        .agg(F.max_by("cid", key).alias("list_id"))
+    )
+
+
+def ann_ivf_topk(
+    data: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vid: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN: each query probes its ``nprobe`` nearest centroid lists;
+    exact integer-quantized dot re-ranks the probed lists' members."""
+    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    cents = (
+        vecs.orderBy(F.asc(vid)).limit(n_lists)
+        .select(F.col(vid).alias("cid"), F.col("qv").alias("cv"))
+    )
+    assigned = ivf_assign(data, n_lists, vid)
+    qvecs = vecs.where(F.col(vid).isin(query_ids)).select(
+        F.col(vid).alias("qid"), F.col("qv").alias("qvec")
+    )
+    qdot_c = F.aggregate(
+        F.zip_with("qvec", "cv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("_cd"), F.asc("cid"))
+    probes = (
+        F.broadcast(qvecs).crossJoin(F.broadcast(cents))
+        .withColumn("_cd", qdot_c)
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("qid", F.col("cid").alias("list_id"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .where(F.col("qid") != F.col(vid))
+        .select("qid", vid)
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "qv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc(vid))
+    return (
+        cand.join(F.broadcast(qvecs), "qid").join(vecs, vid)
+        .withColumn("qdot", dot)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", F.col(vid).alias("nid"), "qdot", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def ann_ivf_topk_sql(
+    query_ids: list[int], k: int = 5, n_lists: int = 16, nprobe: int = 4
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        f"WITH qv AS (SELECT vec_id, [CAST(floor(x::DOUBLE * {Q}) AS BIGINT) for x in embedding] AS v "
+        "FROM embeddings), "
+        f"cents AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT {n_lists}), "
+        "assign AS (SELECT vec_id, cid AS list_id FROM ("
+        "SELECT qv.vec_id, cents.cid, row_number() OVER (PARTITION BY qv.vec_id ORDER BY "
+        "list_sum(list_transform(list_zip(v, cv), p -> p[1] * p[2])) DESC, cid ASC) AS rk "
+        "FROM qv, cents) WHERE rk = 1), "
+        f"qs AS (SELECT vec_id AS qid, v AS qvec FROM qv WHERE vec_id IN ({ids})), "
+        "probes AS (SELECT qid, cid AS list_id FROM ("
+        "SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY "
+        "list_sum(list_transform(list_zip(qvec, cv), p -> p[1] * p[2])) DESC, cid ASC) AS pr "
+        f"FROM qs, cents) WHERE pr <= {nprobe}), "
+        "cand AS (SELECT qid, vec_id FROM probes JOIN assign USING (list_id) WHERE qid != vec_id), "
+        "scored AS (SELECT cand.qid, cand.vec_id AS nid, "
+        "list_sum(list_transform(list_zip(qs.qvec, qv.v), p -> p[1] * p[2])) AS qdot "
+        "FROM cand JOIN qs ON cand.qid = qs.qid JOIN qv ON qv.vec_id = cand.vec_id) "
+        "SELECT qid, nid, CAST(qdot AS BIGINT) AS qdot, rk FROM ("
+        "SELECT qid, nid, qdot, CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS BIGINT) AS rk "
+        f"FROM scored) WHERE rk <= {k}"
+    )
+
+
 def ann_lsh_topk_sql(
     query_ids: list[int],
     k: int = 5,

@@ -697,10 +697,20 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+@q("ann_ivf_topk", None)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat scale path: pinned coarse centroids, nprobe-list candidates,
+    exact integer-dot re-rank (ops/ann.py ann_ivf_topk)."""
+    from ult_spark.ops.ann import ann_ivf_topk
+
+    return ann_ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
+
+
 def _attach_ann_oracles() -> None:
-    from ult_spark.ops.ann import ann_lsh_topk_sql
+    from ult_spark.ops.ann import ann_ivf_topk_sql, ann_lsh_topk_sql
 
     ORACLES["ann_lsh_topk"] = ann_lsh_topk_sql(ANN_QUERY_IDS, k=5)
+    ORACLES["ann_ivf_topk"] = ann_ivf_topk_sql(ANN_QUERY_IDS, k=5)
 
 
 _attach_ann_oracles()
