@@ -135,6 +135,32 @@ def test_knn_fewer_than_k(spark):
     assert sorted(r.rk for r in rows) == [1, 2, 3]
 
 
+def test_distance_join_m_matches_bruteforce(spark):
+    """Geodesic distance join: cross-seam pairs and a high-latitude cluster
+    (where lon-degrees shrink and the x-radius must widen)."""
+    from ult_spark.ops.knn import distance_join_m
+
+    rng = np.random.default_rng(11)
+    n = 800
+    lat = np.concatenate([rng.uniform(60, 80, n // 2), rng.uniform(-20, 20, n // 2)])
+    lon = np.where(rng.random(n) < 0.3, 179.0 + rng.random(n) * 2 - 1, rng.uniform(-170, 170, n))
+    lon = np.where(lon > 180.0, lon - 360.0, lon)
+    pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon})
+    df = spark.createDataFrame(pdf)
+    left = df.select(F.col("id").alias("lid"), F.col("lat").alias("llat"), F.col("lon").alias("llon"))
+    right = df.select(F.col("id").alias("rid"), F.col("lat").alias("rlat"), F.col("lon").alias("rlon"))
+    r_m = 400_000.0
+    got = {
+        (r.lid, r.rid)
+        for r in distance_join_m(left, right, r_m).where(F.col("lid") < F.col("rid")).collect()
+    }
+    d = _hav_m(pdf["lat"].to_numpy()[:, None], pdf["lon"].to_numpy()[:, None],
+               pdf["lat"].to_numpy()[None, :], pdf["lon"].to_numpy()[None, :])
+    ii, jj = np.where(d <= r_m)
+    exp = {(int(i), int(j)) for i, j in zip(ii, jj) if i < j}
+    assert got == exp and len(got) > 0
+
+
 def test_distance_join_matches_bruteforce(spark, sf_smoke):
     pts = (
         spark.read.parquet(f"{sf_smoke}/events.parquet")

@@ -134,3 +134,20 @@ def test_pip_broadcast_scales_with_edges_not_cells(spark):
     assert set(cells.columns) == {"icell", "poly_id"}  # no inlined edges
     n_cells = cells.count()
     assert n_cells > len(POLYS)  # cells >> polys, but each row is 16 bytes
+
+
+def test_pip_split_layout_matches_inline(spark, monkeypatch):
+    """The inline/split broadcast auto-switch is result-identical: force the
+    split path with a zero budget and compare to the default (inline at this
+    layer size)."""
+    from ult_spark import functions as UF
+    from ult_spark.ops import pip as P
+
+    pts = spark.createDataFrame(
+        [(i, -40.0 + i * 0.37, -120.0 + i * 1.13) for i in range(200)],
+        "pid long, lat double, lon double",
+    )
+    inline = {(r.pid, r.poly_id) for r in P.pip_join(pts, POLYS).collect()}
+    monkeypatch.setattr(P, "INLINE_EDGE_BUDGET_BYTES", 0)
+    split = {(r.pid, r.poly_id) for r in P.pip_join(pts, POLYS).collect()}
+    assert inline == split

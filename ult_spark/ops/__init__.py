@@ -3,12 +3,13 @@
 from __future__ import annotations
 
 __all__ = [
-    "pip_join", "build_cell_index", "knn_join", "distance_join",
+    "pip_join", "build_cell_index", "build_edge_index", "knn_join",
+    "distance_join", "distance_join_m", "poly_intersect_join",
     "tile_agg", "pyramid", "zonal_stats", "rasterize",
-    "cell_range_join", "asof_join", "sessionize", "compact_cells",
+    "cell_range_join", "asof_join", "sessionize", "compact_cells", "compact_cells_native",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "jaccard_pairs",
     "lang_id", "quality_score", "token_count", "fingerprint",
-    "cosine_topk", "ann_lsh_topk", "lsh_bands", "prune_buckets", "oversized_buckets",
+    "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ivf_assign", "lsh_bands", "prune_buckets", "oversized_buckets",
     "synth_assets", "extract_features", "frame_sample",
 ]
 
@@ -18,16 +19,18 @@ def __getattr__(name):
 
     homes = {
         "pip_join": "pip", "build_cell_index": "pip",
-        "knn_join": "knn", "distance_join": "knn",
+        "knn_join": "knn", "distance_join": "knn", "distance_join_m": "knn",
+        "build_edge_index": "pip", "poly_intersect_join": "polyjoin",
         "tile_agg": "tiles", "pyramid": "tiles",
         "zonal_stats": "zonal", "rasterize": "zonal",
         "cell_range_join": "relational", "asof_join": "relational", "sessionize": "relational",
-        "compact_cells": "compact_df",
+        "compact_cells": "compact_df", "compact_cells_native": "compact_df",
         "dedup_exact": "textops", "minhash_lsh_dedup": "textops", "simhash": "textops",
         "jaccard_pairs": "textops", "lang_id": "textops", "quality_score": "textops",
         "token_count": "textops", "fingerprint": "textops",
         "cosine_topk": "ann", "ann_lsh_topk": "ann", "lsh_bands": "ann",
         "prune_buckets": "ann", "oversized_buckets": "ann",
+        "ann_ivf_topk": "ann", "ivf_assign": "ann",
         "synth_assets": "multimodal", "extract_features": "multimodal", "frame_sample": "multimodal",
     }
     if name in homes:

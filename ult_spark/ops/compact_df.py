@@ -66,6 +66,43 @@ def compact_cells(df: DataFrame, cell: str = "cell", anchor_level: int = 4) -> D
     return anchored.groupBy("_anchor").applyInPandas(compact_group, "cell long")
 
 
+def compact_cells_native(
+    df: DataFrame, cell: str = "cell", from_level: int = 8, to_level: int = 4
+) -> DataFrame:
+    """Fully-native compact for a UNIFORM-level cell set: the same unrolled
+    level-by-level merge as :func:`compact_sql`, as chained Spark aggregates
+    — zero Python stages (round-2: the applyInPandas variant pays Python
+    worker serialization; keep it for MIXED-level inputs, use this when the
+    input level is known).
+
+    Per level: parents with exactly 4 present children merge; others keep
+    their children. (from_level - to_level) groupBys over a set that shrinks
+    4x per step — all whole-stage codegen. Each level's (parent, n)
+    aggregate is persisted: it feeds THREE consumers (kept cells, merged
+    parents, next level) and without the cache the union's branches
+    recompute the whole upstream chain per consumer — measured 3^levels
+    blowup.
+    """
+    def parent_of(c):
+        lsb = c.bitwiseAND(-c)
+        return (c - c % (F.lit(4) * lsb)).bitwiseOR(F.lit(4) * lsb)
+
+    cur = df.select(F.col(cell).alias("cell")).distinct()
+    kept: list[DataFrame] = []
+    for _ in range(from_level, to_level, -1):
+        cur = cur.withColumn("_p", parent_of(F.col("cell"))).persist()
+        counts = (
+            cur.groupBy("_p").agg(F.count("*").alias("_n")).persist()
+        )
+        incomplete = counts.where(F.col("_n") < 4).select("_p")
+        kept.append(cur.join(incomplete, "_p", "left_semi").select("cell"))
+        cur = counts.where(F.col("_n") == 4).select(F.col("_p").alias("cell"))
+    out = cur.select("cell")
+    for piece in kept:
+        out = out.unionByName(piece)
+    return out
+
+
 def compact_sql(cells_sql: str, from_level: int, to_level: int = 4) -> str:
     """Unrolled compact in DuckDB SQL: one merge step per level.
 

@@ -275,3 +275,83 @@ def distance_join(
         .where(sq <= F.lit(radius_deg * radius_deg))
         .select(lid, rid, sq.alias("sq_dist"))
     )
+
+
+def distance_join_m(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    level: int = 6,
+    lid: str = "lid",
+    rid: str = "rid",
+    llat: str = "llat",
+    llon: str = "llon",
+    rlat: str = "rlat",
+    rlon: str = "rlon",
+) -> DataFrame:
+    """All (left, right) pairs within ``radius_m`` great-circle METERS (J9
+    geodesic variant; wrap-correct across the antimeridian AND the poles).
+
+    Candidate cells use a LATITUDE-AWARE x-radius: ``radius_m`` spans more
+    longitude columns near the poles (a near-pole pair is within radius at
+    ANY longitude), so each row filters the literal offset array to its own
+    bound ``Δλ ≤ 2·asin(sin(r/2R) / cos(φmax))`` with ``φmax`` = the
+    partner's worst-case |lat| (``min(|llat| + r_lat_deg, 90)``), from
+    ``cos φ1 cos φ2 ≥ cos² φmax`` in the haversine. The array's dx range
+    covers each wrapped column AT MOST ONCE (exactly n columns when a polar
+    row needs full wrap — no duplicate pairs). Refine is exact haversine
+    ≤ radius_m.
+    """
+    cell_h = 180.0 / (1 << level)
+    cell_w = 360.0 / (1 << level)
+    deg_m = UF.EARTH_RADIUS_M * math.pi / 180.0  # meters per degree latitude
+    r_lat_deg = radius_m / deg_m
+    ry = max(1, math.ceil(r_lat_deg / cell_h) + 1)
+    n = 1 << level
+
+    sin_half = math.sin(radius_m / (2.0 * UF.EARTH_RADIUS_M))
+    # widest possible per-row need (φmax = 90 → 180°), then exact-coverage
+    # dx range: [-(n//2), (n+1)//2) hits every wrapped column exactly once
+    rx_need = math.ceil(math.degrees(2.0 * math.asin(min(1.0, sin_half / 6.123e-17))) / cell_w) + 1
+    dx_lo = max(-(n // 2), -rx_need)
+    dx_hi = min((n + 1) // 2 - 1, rx_need)
+    phimax = F.least(F.abs(F.col(llat)) + F.lit(r_lat_deg), F.lit(90.0))
+    dlam_deg = F.degrees(
+        2.0 * F.asin(F.least(F.lit(1.0), F.lit(sin_half) / F.cos(F.radians(phimax))))
+    )
+    rx_row = F.ceil(dlam_deg / F.lit(cell_w)) + F.lit(1)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(dx_lo, dx_hi + 1)
+            for dy in range(-ry, ry + 1)
+        ]
+    )
+    cand = (
+        left.select(lid, llat, llon)
+        .withColumn("_rx", rx_row)
+        .withColumn("_qx", UF.grid_x(llon, level))
+        .withColumn("_qy", UF.grid_y(llat, level))
+        # filter BEFORE explode: only rows that actually need the wide
+        # x-range (near-pole) generate it; the explode volume per row is
+        # its own bound, not the worst case
+        .withColumn(
+            "_o",
+            F.explode(F.filter(offsets, lambda o: F.abs(o["dx"]) <= F.col("_rx"))),
+        )
+        .withColumn("_nx", F.pmod(F.col("_qx") + F.col("_o.dx"), F.lit(n)))
+        .withColumn("_ny", F.col("_qy") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .withColumn("_ncell", UF.xy_to_cell(F.col("_nx"), F.col("_ny"), level))
+        .drop("_rx", "_qx", "_qy", "_o", "_nx", "_ny")
+    )
+    rcells = right.select(
+        F.col(rid), F.col(rlat), F.col(rlon),
+        UF.latlon_to_cell(rlat, rlon, level).alias("_rcell"),
+    )
+    d = UF.haversine_m(F.col(llat), F.col(llon), F.col(rlat), F.col(rlon))
+    return (
+        cand.join(rcells, cand["_ncell"] == rcells["_rcell"], "inner")
+        .where(d <= F.lit(radius_m))
+        .select(lid, rid, d.alias("dist_m"))
+    )

@@ -77,6 +77,28 @@ def build_cell_index(
     )
 
 
+# inline-edges broadcast budget: below this the single-join layout wins
+# (one BHJ on the point stream); above it the split layout keeps the
+# broadcast at Σcells + Σedges. 64 MB ≈ Spark's own broadcast comfort zone.
+INLINE_EDGE_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def build_inline_index(
+    spark: SparkSession, polys: list[PackedPolygon], index_level: int
+) -> DataFrame:
+    """(icell, poly_id, edge arrays) — edges inlined per covering cell row;
+    only used under INLINE_EDGE_BUDGET_BYTES."""
+    edges = {p.poly_id: tuple(a.tolist() for a in p.edges()) for p in polys}
+    rows = [
+        (int(c), pid, *edges[pid]) for c, pid in _index_rows(polys, index_level)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "icell long, poly_id long, ex1 array<double>, ey1 array<double>, "
+        "ex2 array<double>, ey2 array<double>",
+    )
+
+
 def build_edge_index(spark: SparkSession, polys: list[PackedPolygon]) -> DataFrame:
     """(poly_id, ex1, ey1, ex2, ey2) — ONE row per polygon.
 
@@ -161,16 +183,34 @@ def pip_join(
     spark = points.sparkSession
     cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
     if refine == "native":
-        # two small broadcasts: (cell → poly_id) sized by Σcells and
-        # (poly_id → edges) sized by Σedges — never Σ(cells × edges)
-        index_df = build_cell_index(spark, polys, index_level)
-        edges_df = build_edge_index(spark, polys)
-        matched = (
-            cand.join(F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner")
-            .join(F.broadcast(edges_df), "poly_id")
-            .where(_native_inside(F.col(lat), F.col(lon)))
-            .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
-        )
+        # broadcast layout auto-switch (round-1 verdict #5): inlining edges
+        # per cell row costs Σ(cells × edges) broadcast bytes but gives ONE
+        # broadcast join on the point stream; splitting costs Σcells +
+        # Σedges but adds a second join. Inline only under a byte budget —
+        # both layouts are result-identical (tests assert it).
+        cell_rows = _index_rows(polys, index_level)
+        edges_per_poly = {p.poly_id: len(p.edges()[0]) for p in polys}
+        inline_floats = sum(4 * edges_per_poly[pid] for _, pid in cell_rows)
+        if inline_floats * 8 <= INLINE_EDGE_BUDGET_BYTES:
+            index_df = build_inline_index(spark, polys, index_level)
+            matched = (
+                cand.join(
+                    F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner"
+                )
+                .where(_native_inside(F.col(lat), F.col(lon)))
+                .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+            )
+        else:
+            index_df = build_cell_index(spark, polys, index_level)
+            edges_df = build_edge_index(spark, polys)
+            matched = (
+                cand.join(
+                    F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner"
+                )
+                .join(F.broadcast(edges_df), "poly_id")
+                .where(_native_inside(F.col(lat), F.col(lon)))
+                .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+            )
     elif refine == "arrow":
         index_df = build_cell_index(spark, polys, index_level)
         refine_fn = _refine_udf(polys)

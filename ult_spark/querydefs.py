@@ -556,6 +556,43 @@ def distance_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# J9 geodesic variant: all error-event pairs within 150 km great-circle
+# distance (latitude-aware candidate cells, wrap-correct; ops/knn.py
+# distance_join_m). Haversine mirror identical to _HAV but pair-named.
+
+_HAV_AB = (
+    "((2.0 * 6371008.8) * asin(sqrt("
+    "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2) "
+    "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+    "* sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2))))"
+)
+
+
+@q(
+    "distance_join_errors_m",
+    f"WITH err AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon "
+    f"FROM events WHERE event_type = 'error') "
+    f"SELECT a.event_id AS lid, b.event_id AS rid, "
+    f"CAST(floor({_HAV_AB}) AS BIGINT) AS dist_floor_m FROM err a, err b "
+    f"WHERE a.event_id < b.event_id AND {_HAV_AB} <= 150000.0",
+)
+def distance_join_errors_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.knn import distance_join_m
+
+    err = (
+        events_points(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "lat", "lon")
+    )
+    left = err.select(F.col("event_id").alias("lid"), F.col("lat").alias("llat"), F.col("lon").alias("llon"))
+    right = err.select(F.col("event_id").alias("rid"), F.col("lat").alias("rlat"), F.col("lon").alias("rlon"))
+    return (
+        distance_join_m(left, right, radius_m=150000.0)
+        .where(F.col("lid") < F.col("rid"))
+        .select("lid", "rid", F.floor("dist_m").cast("long").alias("dist_floor_m"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A7/A8: raster↔vector. The raster is synthesized identically in both engines
 # (pinned integer formula), so zonal stats get full value parity.
@@ -1078,12 +1115,14 @@ _attach_multimodal_oracles()
 
 @q("compact_event_cells", None)
 def compact_event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ult_spark.ops.compact_df import compact_cells
+    """Uniform-level input → the fully-native chained-merge compact (r2);
+    the applyInPandas anchor-group variant remains for mixed-level sets."""
+    from ult_spark.ops.compact_df import compact_cells_native
 
     cells8 = events_points(spark, sf_dir).select(
         UF.latlon_to_cell("lat", "lon", 8).alias("cell")
     )
-    return compact_cells(cells8, anchor_level=4)
+    return compact_cells_native(cells8, from_level=8, to_level=4)
 
 
 def _attach_compact_oracle() -> None:
