@@ -127,9 +127,15 @@ def main() -> None:
     qs = E.queries()
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        qtimes[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):  # min-of-2, plan rebuilt per run (CLAUDE.md:
+            # re-collecting the same DF reuses shuffle stages); the first
+            # run carries codegen-compile + worker-spawn noise that made
+            # round-over-round deltas meaningless at these data sizes
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            walls.append(time.time() - t0)
+        qtimes[name] = round(min(walls), 3)
     spark.stop()
 
     # round-over-round diff: compare against the newest BENCH_r*.json so a
