@@ -168,21 +168,34 @@ EVENT_LON_SQL = "(((event_id * 2654435761) % 360000) / 1000.0 - 180.0)"
 EVENT_LAT_SQL = "(((user_id * 40503 + event_id) % 180000) / 1000.0 - 90.0)"
 
 
+def _spread_sql(e: str) -> str:
+    v = f"(({e}) & 4294967295)"
+    for sh, mask in _MASKS:
+        v = f"((({v} | ({v} << {sh})) ) & {mask})"
+    return v
+
+
+def xy_cell_sql(x_sql: str, y_sql: str, level: int) -> str:
+    """DuckDB SQL computing the same cell id as :func:`xy_to_cell` from
+    already-computed grid coordinates."""
+    m = f"({_spread_sql(x_sql)} | ({_spread_sql(y_sql)} << 1))"
+    return f"((({m} << 1) | 1) << {2 * (MAX_LEVEL - level)})"
+
+
+def grid_x_sql(lon_sql: str, level: int) -> str:
+    n = 1 << level
+    return f"greatest(0, least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * {float(n)}) AS BIGINT), {n - 1}))"
+
+
+def grid_y_sql(lat_sql: str, level: int) -> str:
+    n = 1 << level
+    return f"greatest(0, least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * {float(n)}) AS BIGINT), {n - 1}))"
+
+
 def cell_sql(lat_sql: str, lon_sql: str, level: int) -> str:
     """DuckDB SQL computing the same cell id as :func:`latlon_to_cell`.
 
     Emits the floor + clamp + Morton spread + sentinel pipeline as nested
     expressions; used by __spark_entry__.oracle_sql for parity checks.
     """
-    n = 1 << level
-
-    def spread(e: str) -> str:
-        v = f"(({e}) & 4294967295)"
-        for sh, mask in _MASKS:
-            v = f"((({v} | ({v} << {sh})) ) & {mask})"
-        return v
-
-    x = f"greatest(0, least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * {float(n)}) AS BIGINT), {n - 1}))"
-    y = f"greatest(0, least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * {float(n)}) AS BIGINT), {n - 1}))"
-    m = f"({spread(x)} | ({spread(y)} << 1))"
-    return f"((({m} << 1) | 1) << {2 * (MAX_LEVEL - level)})"
+    return xy_cell_sql(grid_x_sql(lon_sql, level), grid_y_sql(lat_sql, level), level)

@@ -5,7 +5,7 @@ from __future__ import annotations
 __all__ = [
     "pip_join", "build_cell_index", "build_edge_index", "knn_join",
     "distance_join", "distance_join_m", "poly_intersect_join",
-    "tile_agg", "pyramid", "zonal_stats", "rasterize",
+    "tile_agg", "pyramid", "focal_agg", "zonal_stats", "rasterize",
     "cell_range_join", "asof_join", "sessionize", "compact_cells", "compact_cells_native",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "jaccard_pairs",
     "lang_id", "quality_score", "token_count", "fingerprint",
@@ -21,7 +21,7 @@ def __getattr__(name):
         "pip_join": "pip", "build_cell_index": "pip",
         "knn_join": "knn", "distance_join": "knn", "distance_join_m": "knn",
         "build_edge_index": "pip", "poly_intersect_join": "polyjoin",
-        "tile_agg": "tiles", "pyramid": "tiles",
+        "tile_agg": "tiles", "pyramid": "tiles", "focal_agg": "tiles",
         "zonal_stats": "zonal", "rasterize": "zonal",
         "cell_range_join": "relational", "asof_join": "relational", "sessionize": "relational",
         "compact_cells": "compact_df", "compact_cells_native": "compact_df",

@@ -60,6 +60,64 @@ def tile_agg(
     return stage1.groupBy(cell).agg(*merge)
 
 
+def focal_agg(
+    points: DataFrame,
+    level: int,
+    k: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Focal (neighborhood) statistics: for every tile at ``level``, the
+    count of points within its Chebyshev-``k`` neighbor disk — kernel
+    smoothing over the tile grid (x wraps across the antimeridian, y clamps
+    at the poles).
+
+    Plan shape: aggregate FIRST (tiles, one shuffle), then scatter each tile
+    count to its (2k+1)² neighbor targets (literal offset explode on the
+    already-tiny tile set) and re-aggregate — never an explode of raw
+    points. Cells whose whole neighborhood is empty don't appear (pinned).
+    """
+    n = 1 << level
+    tiles = points.groupBy(
+        UF.grid_x(lon, level).alias("_x"), UF.grid_y(lat, level).alias("_y")
+    ).agg(F.count("*").alias("_c"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-k, k + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    return (
+        tiles.withColumn("_o", F.explode(offsets))
+        .withColumn("_tx", F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)))
+        .withColumn("_ty", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy("_tx", "_ty")
+        .agg(F.sum("_c").alias("focal_cnt"))
+        .select(
+            UF.xy_to_cell(F.col("_tx"), F.col("_ty"), level).alias("cell"),
+            "focal_cnt",
+        )
+    )
+
+
+def focal_agg_sql(lat_sql: str, lon_sql: str, level: int, k: int = 1, table: str = "events") -> str:
+    """DuckDB mirror of :func:`focal_agg` (same grid arithmetic)."""
+    n = 1 << level
+    offs = ",".join(
+        f"({dx},{dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    )
+    return (
+        f"WITH t AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y, count(*) AS c FROM {table} GROUP BY 1, 2), "
+        f"o(dx, dy) AS (VALUES {offs}), "
+        f"f AS (SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, CAST(sum(c) AS BIGINT) AS focal_cnt "
+        f"FROM t, o WHERE y + dy >= 0 AND y + dy < {n} GROUP BY 1, 2) "
+        f"SELECT {UF.xy_cell_sql('tx', 'ty', level)} AS cell, focal_cnt FROM f"
+    )
+
+
 def pyramid(
     tiles: DataFrame,
     levels: list[int],

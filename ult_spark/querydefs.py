@@ -398,6 +398,27 @@ def pip_tiles_by_poly_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A-family: focal (neighborhood) statistics — 3x3 kernel count smoothing
+# over the L6 tile grid (x wraps, y clamps; ops/tiles.py focal_agg)
+
+@q("focal_counts_l6", None)
+def focal_counts_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.tiles import focal_agg
+
+    return focal_agg(events_points(spark, sf_dir), level=6, k=1)
+
+
+def _attach_focal_oracle() -> None:
+    from ult_spark.ops.tiles import focal_agg_sql
+
+    ORACLES["focal_counts_l6"] = focal_agg_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6, k=1
+    )
+
+
+_attach_focal_oracle()
+
+
 # A2: salted tile aggregate — same oracle as the unsalted plan, proving the
 # two-stage skew-safe layout is result-identical (SURVEY.md §2.5)
 
