@@ -114,6 +114,32 @@ def test_knn_haversine_matches_bruteforce(spark, sf_smoke):
     assert got == exp
 
 
+def test_knn_many_queries(spark, sf_smoke):
+    """2000 query points in one pass — the lazy plan's round/fallback
+    machinery must stay exact when the query side is large."""
+    pts = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select(
+            F.col("event_id").alias("id"),
+            UF.event_lat().alias("lat"),
+            UF.event_lon().alias("lon"),
+        )
+    )
+    rng = np.random.default_rng(23)
+    qpts = [
+        (int(i), float(la), float(lo))
+        for i, (la, lo) in enumerate(
+            zip(rng.uniform(-88, 88, 2000), rng.uniform(-180, 180, 2000))
+        )
+    ]
+    qdf = spark.createDataFrame(qpts, "qid long, qlat double, qlon double")
+    got = {
+        (r.qid, r.id, r.rk) for r in knn_join(qdf, pts, k=3).collect()
+    }
+    exp = _brute_knn(qpts, pts.toPandas(), 3)
+    assert got == exp
+
+
 def test_knn_exact_without_aqe(spark):
     """AQE's empty-relation pruning is an OPTIMIZATION of the lazy plan;
     with AQE off the inactive rounds execute and the result must be

@@ -84,6 +84,24 @@ def test_lsh_jaccard_verify_joins_on_pair_keys(spark):
     assert got == exp and len(got) > 0
 
 
+def test_approx_distinct_error_bound(spark, sf_correct):
+    """A5 approx twin: HLL++ (rsd=2%) must track the exact distinct count
+    within a loose 10% band on every tile (no cross-engine oracle exists
+    for sketches, so the exact query is the reference)."""
+    from ult_spark.querydefs import QUERIES
+
+    exact = {
+        r.cell: r.users for r in QUERIES["distinct_users_per_tile_l6"](spark, sf_correct).collect()
+    }
+    approx = {
+        r.cell: r.approx_users
+        for r in QUERIES["approx_users_per_tile_l6"](spark, sf_correct).collect()
+    }
+    assert set(exact) == set(approx)
+    for cell, users in exact.items():
+        assert abs(approx[cell] - users) <= max(2, 0.1 * users), (cell, users, approx[cell])
+
+
 def test_ann_banded_lsh_caps_dense_buckets(spark):
     """Round-1 verdict #3: vector-LSH buckets must be boundable. One dense
     cluster (all-identical vectors → same bucket in every band) must be

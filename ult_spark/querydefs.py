@@ -1318,6 +1318,19 @@ def cube_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A5 approx twin: HLL++ distinct users per tile. No cross-engine oracle —
+# DuckDB's approx sketch differs by design — so this is registered
+# rows-only; tests/test_skew.py bounds its error against the exact query.
+
+@q("approx_users_per_tile_l6", None)
+def approx_users_per_tile_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        events_points(spark, sf_dir)
+        .groupBy(UF.latlon_to_cell("lat", "lon", 6).alias("cell"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
 # A5: exact distinct users per tile
 
 @q(
