@@ -48,6 +48,25 @@ TOKEN_COUNT_SQL = (
     "AS n_tokens FROM documents"
 )
 
+# GPT-2-flavoured pre-tokenizer pattern (contractions, space-prefixed
+# letter/digit runs, punctuation runs) — pinned; Java regex and RE2 agree
+# on it (leftmost-first alternation, verified)
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """BPE-ish token count per doc (task brief: 'whitespace + a BPE-ish
+    regex'): one native regexp_extract_all, no UDF."""
+    toks = F.regexp_extract_all(F.col(text), F.lit(BPE_PATTERN), 0)
+    return df.select(id_col, F.size(toks).cast("long").alias("n_bpe"))
+
+
+BPE_TOKEN_COUNT_SQL = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    f"'{BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT) "
+    "AS n_bpe FROM documents"
+)
+
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text: str = "text", nchars: int = 64) -> DataFrame:
     """Polynomial rolling hash of the first ``nchars`` chars (pinned: base 31

@@ -686,6 +686,7 @@ def _textops_sql(name):
 
 q("dedup_exact", _textops_sql("DEDUP_EXACT_SQL"))(_doc("dedup_exact"))
 q("token_count", _textops_sql("TOKEN_COUNT_SQL"))(_doc("token_count"))
+q("bpe_token_count", _textops_sql("BPE_TOKEN_COUNT_SQL"))(_doc("bpe_token_count"))
 q("doc_fingerprint", _textops_sql("FINGERPRINT_SQL"))(_doc("fingerprint"))
 q("quality_score", _textops_sql("QUALITY_SQL"))(_doc("quality_score"))
 q("simhash32", _textops_sql("simhash_sql")())(_doc("simhash"))
