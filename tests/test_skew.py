@@ -84,6 +84,28 @@ def test_lsh_jaccard_verify_joins_on_pair_keys(spark):
     assert got == exp and len(got) > 0
 
 
+def test_simhash_banding_is_exact(spark):
+    """Pigeonhole claim: 4x8-bit banding finds EVERY pair with hamming <= 3
+    — compare against brute-force hamming over all signature pairs."""
+    from ult_spark.ops.textops import simhash, simhash_near_dup
+
+    texts = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(40):
+        texts.append(base + f" tail{i % 7}")  # near-dup clusters
+    docs = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    df = spark.createDataFrame(docs)
+    got = {(r.a, r.b, r.hamming) for r in simhash_near_dup(df, max_hamming=3).collect()}
+    sigs = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    exp = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_approx_distinct_error_bound(spark, sf_correct):
     """A5 approx twin: HLL++ (rsd=2%) must track the exact distinct count
     within a loose 10% band on every tile (no cross-engine oracle exists

@@ -365,6 +365,60 @@ def simhash_sql(bits: int = 32) -> str:
     )
 
 
+def simhash_near_dup(
+    df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Banding is EXACT here, not probabilistic: splitting the 32-bit signature
+    into 4 8-bit chunks, any pair within hamming ≤ 3 must agree on at least
+    one chunk (pigeonhole), so the (chunk_idx, chunk_value) equi-join loses
+    nothing and the verify is a cheap bit_count(xor). One signature pass +
+    one band-keyed shuffle — the simhash analog of the MinHash-LSH plan.
+    """
+    if max_hamming > 3:
+        raise ValueError("4x8-bit banding is exact only for max_hamming <= 3")
+    sig = simhash(df, id_col=id_col, text=text)
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255)).alias("v"),
+                )
+                for j in range(4)
+            ]
+        )
+    ).alias("_c")
+    bands = sig.select("doc_id", "simhash", chunks).select(
+        "doc_id", "simhash", F.col("_c.j").alias("j"), F.col("_c.v").alias("v")
+    )
+    l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "j", "v")
+    r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "j", "v")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        l.join(r, ["j", "v"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", ham.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_dup_sql(max_hamming: int = 3) -> str:
+    chunks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS j, (simhash >> {8 * j}) & 255 AS v FROM sig"
+        for j in range(4)
+    )
+    return (
+        f"WITH sig AS ({simhash_sql()}), bands AS ({chunks}) "
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, "
+        "CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming "
+        "FROM bands l JOIN bands r USING (j, v) WHERE l.doc_id < r.doc_id "
+        f"AND bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # language ID + quality score (heuristic marker-word scoring, pinned)
 

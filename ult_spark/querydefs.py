@@ -700,6 +700,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(load(spark, sf_dir, "documents"), threshold=0.2)
 
 
+@q("simhash_near_dup", None)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-banded simhash pair search (pigeonhole: hamming<=3 over 4x8-bit
+    chunks never misses); ops/textops.py simhash_near_dup."""
+    from ult_spark.ops.textops import simhash_near_dup
+
+    return simhash_near_dup(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @q("ngram_jaccard_pairs", None)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ult_spark.ops.textops import jaccard_pairs, shingles
@@ -708,10 +717,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _attach_text_oracles() -> None:
-    from ult_spark.ops.textops import jaccard_pairs_sql, minhash_lsh_sql
+    from ult_spark.ops.textops import (
+        jaccard_pairs_sql,
+        minhash_lsh_sql,
+        simhash_near_dup_sql,
+    )
 
     ORACLES["minhash_lsh_pairs"] = minhash_lsh_sql(0.2)
     ORACLES["ngram_jaccard_pairs"] = jaccard_pairs_sql(0.1)
+    ORACLES["simhash_near_dup"] = simhash_near_dup_sql(3)
 
 
 _attach_text_oracles()
