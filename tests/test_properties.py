@@ -49,6 +49,30 @@ def test_compact_uncompact_roundtrip(points, level):
     assert np.array_equal(compact.uncompact(compact.compact(deeper), level + 2), deeper)
 
 
+@given(lat_s, lon_s, st.integers(min_value=1, max_value=8), st.integers(1, 4))
+@settings(max_examples=200, deadline=None)
+def test_ring_disk_wrap_invariants(lat, lon, level, k):
+    """Antimeridian wrap (r2): every disk cell is within wrapped-Chebyshev k
+    of the center; the disk is exactly the k-ring union; cross-seam columns
+    appear when the center hugs the seam."""
+    n = np.int64(1) << np.int64(level)
+    cid = int(cells.latlon_to_cell(np.array([lat]), np.array([lon]), level)[0])
+    cx, cy, _ = (int(a[0]) for a in cells.cell_to_xy(np.array([cid])))
+    disk = cells.grid_disk(cid, k)
+    xs, ys, _ = cells.cell_to_xy(disk)
+    dx = np.abs(xs.astype(np.int64) - cx)
+    dx = np.minimum(dx, n - dx)  # wrapped
+    dy = np.abs(ys.astype(np.int64) - cy)
+    assert int(np.max(np.maximum(dx, dy))) <= k
+    # disk == union of rings 0..k (as sets)
+    rings = np.concatenate([cells.grid_ring(cid, i) for i in range(k + 1)])
+    assert np.array_equal(np.unique(rings), disk)
+    # expected size: full x-span (wrapped, deduped) x clamped y-span
+    x_span = min(int(n), 2 * k + 1)
+    y_span = min(int(n) - 1, cy + k) - max(0, cy - k) + 1
+    assert len(disk) == x_span * y_span
+
+
 @st.composite
 def polygon_s(draw):
     n = draw(st.integers(3, 12))
