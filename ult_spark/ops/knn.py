@@ -22,7 +22,7 @@ Design — everything stays native (whole-stage codegen), no UDFs:
    A query is complete iff it has k hits and the k-th distance is STRICTLY
    below that bound (ties keep the query pending one more round — a point
    exactly on the bound circle could otherwise be missed). Unsatisfied
-   queries re-run with doubled radius.
+   queries fall to the next round (4x radius), then the exact fallback.
 
 Round-2 rewrite (round-1 verdict #2): the whole multi-round search is ONE
 LAZY PLAN — no driver loop, no driver-side rows, not even a per-round
@@ -50,7 +50,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ult_spark import functions as UF
-from ult_spark.grid.cells import MAX_LEVEL
 
 METRICS = ("sq_deg", "sq_deg_wrap", "haversine_m")
 

@@ -12,13 +12,16 @@ Spark wraps — staying in range keeps both exact and equal).
 
 Scale notes: every operator is shuffle-minimal — shingle explode → groupBy
 doc (one shuffle); LSH banding joins on band keys (pre-aggregated, skew-safe
-because band buckets are md5-uniform); the brute-force Jaccard join exists
-as the small-scale oracle twin of the LSH path, not the scale path.
+because band buckets are md5-uniform); the LSH verify is PAIR-KEYED
+(array_intersect over per-doc sets — a shingle in d docs costs d rows,
+never d²; round-2 rewrite); simhash near-dup banding is pigeonhole-exact.
+The brute-force Jaccard join exists as the small-scale oracle twin of the
+LSH path, not the scale path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 P_FP = 1_000_000_007  # fingerprint modulus (pinned)
