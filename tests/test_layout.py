@@ -56,6 +56,29 @@ def test_scan_prunes_html(spark, sf_smoke):
         assert "html" not in plan.split("ReadSchema:")[1].split("\n")[0]
 
 
+def test_round2_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Every round-2 operator is a native Column program: no
+    ArrowEvalPython/BatchEvalPython anywhere in their executed plans."""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "knn_events_k5_m",
+        "knn_events_wrap",
+        "distance_join_errors_m",
+        "poly_intersect",
+        "focal_counts_l6",
+        "ann_ivf_topk",
+        "simhash_near_dup",
+        "bpe_token_count",
+        "compact_event_cells",
+        "minhash_lsh_pairs",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
 def test_distributed_compact_matches_numpy(spark, sf_smoke):
     from ult_spark.grid import cells as C, compact as CZ
     from ult_spark.ops.compact_df import compact_cells
