@@ -136,6 +136,44 @@ def test_pip_broadcast_scales_with_edges_not_cells(spark):
     assert n_cells > len(POLYS)  # cells >> polys, but each row is 16 bytes
 
 
+def test_uncompact_native_matches_numpy(spark):
+    from ult_spark.grid import compact as CZ
+    from ult_spark.ops.compact_df import uncompact_cells_native
+
+    rng = np.random.default_rng(5)
+    base = np.unique(
+        C.latlon_to_cell(rng.uniform(-80, 80, 300), rng.uniform(-179, 179, 300), 8)
+    )
+    packed = CZ.compact(base)  # mixed levels
+    df = spark.createDataFrame([(int(c),) for c in packed.tolist()], "cell long")
+    got = np.sort(np.array([r.cell for r in uncompact_cells_native(df, 8).collect()]))
+    exp = CZ.uncompact(packed, 8)
+    assert np.array_equal(got, exp)
+
+
+def test_pip_join_df_matches_broadcast_path(spark, sf_smoke):
+    """The distributed-layer PIP twin (shuffle joins, cluster-side polyfill
+    via shipped py-files) is result-identical to the broadcast path."""
+    from ult_spark import functions as UF
+    from ult_spark.geom.polyio import to_dataframe
+    from ult_spark.ops.pip import pip_join, pip_join_df
+
+    pts = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id", UF.event_lat().alias("lat"), UF.event_lon().alias("lon"))
+    )
+    layer_df = to_dataframe(spark, POLYS)
+    got = {
+        (r.event_id, r.poly_id)
+        for r in pip_join_df(pts, layer_df).select("event_id", "poly_id").collect()
+    }
+    exp = {
+        (r.event_id, r.poly_id)
+        for r in pip_join(pts, POLYS).select("event_id", "poly_id").collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_pip_split_layout_matches_inline(spark, monkeypatch):
     """The inline/split broadcast auto-switch is result-identical: force the
     split path with a zero budget and compare to the default (inline at this

@@ -3,10 +3,12 @@
 from __future__ import annotations
 
 __all__ = [
-    "pip_join", "build_cell_index", "build_edge_index", "knn_join",
+    "pip_join", "pip_join_df", "build_cell_index", "build_edge_index",
+    "build_cell_index_df", "build_edge_index_df", "knn_join",
     "distance_join", "distance_join_m", "poly_intersect_join",
     "tile_agg", "pyramid", "focal_agg", "zonal_stats", "rasterize",
-    "cell_range_join", "asof_join", "sessionize", "compact_cells", "compact_cells_native",
+    "cell_range_join", "asof_join", "sessionize", "compact_cells",
+    "compact_cells_native", "uncompact_cells_native",
     "dedup_exact", "minhash_lsh_dedup", "simhash", "jaccard_pairs",
     "lang_id", "quality_score", "token_count", "fingerprint",
     "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ivf_assign", "lsh_bands", "prune_buckets", "oversized_buckets",
@@ -18,13 +20,15 @@ def __getattr__(name):
     from importlib import import_module
 
     homes = {
-        "pip_join": "pip", "build_cell_index": "pip",
+        "pip_join": "pip", "pip_join_df": "pip", "build_cell_index": "pip",
+        "build_cell_index_df": "pip", "build_edge_index_df": "pip",
         "knn_join": "knn", "distance_join": "knn", "distance_join_m": "knn",
         "build_edge_index": "pip", "poly_intersect_join": "polyjoin",
         "tile_agg": "tiles", "pyramid": "tiles", "focal_agg": "tiles",
         "zonal_stats": "zonal", "rasterize": "zonal",
         "cell_range_join": "relational", "asof_join": "relational", "sessionize": "relational",
         "compact_cells": "compact_df", "compact_cells_native": "compact_df",
+        "uncompact_cells_native": "compact_df",
         "dedup_exact": "textops", "minhash_lsh_dedup": "textops", "simhash": "textops",
         "jaccard_pairs": "textops", "lang_id": "textops", "quality_score": "textops",
         "token_count": "textops", "fingerprint": "textops",

@@ -103,6 +103,31 @@ def compact_cells_native(
     return out
 
 
+def uncompact_cells_native(
+    df: DataFrame, to_level: int, cell: str = "cell"
+) -> DataFrame:
+    """C4 at scale, fully native: each (mixed-level) cell expands to its
+    descendants at ``to_level`` via ONE sequence+explode — descendants at a
+    fixed level form an arithmetic id progression inside the contiguous
+    range: first = c - lsb + lsbL, last = c + lsb - lsbL, step = 2·lsbL
+    (lsb = the cell's sentinel, lsbL = the target level's). A cell already
+    at ``to_level`` yields itself. Input cells deeper than ``to_level`` are
+    invalid (same contract as grid/compact.uncompact).
+
+    Other columns are preserved (each input row fans out to its leaves).
+    """
+    from ult_spark.grid.cells import MAX_LEVEL
+
+    lsb_l = 1 << (2 * (MAX_LEVEL - to_level))
+    c = F.col(cell)
+    lsb = c.bitwiseAND(-c)
+    seq = F.sequence(
+        c - lsb + F.lit(lsb_l), c + lsb - F.lit(lsb_l), F.lit(2 * lsb_l)
+    )
+    others = [x for x in df.columns if x != cell]
+    return df.select(*others, F.explode(seq).alias(cell))
+
+
 def compact_sql(cells_sql: str, from_level: int, to_level: int = 4) -> str:
     """Unrolled compact in DuckDB SQL: one merge step per level.
 

@@ -116,6 +116,115 @@ def build_edge_index(spark: SparkSession, polys: list[PackedPolygon]) -> DataFra
     )
 
 
+# ---------------------------------------------------------------------------
+# Distributed-layer path (parcel-scale: millions of polygons, where even the
+# edge table is too big to broadcast and the polyfill must not run on the
+# driver). The layer arrives as the packed-ring DataFrame
+# (geom/polyio.to_dataframe schema); the cover is built in the cluster, the
+# candidate and edge joins are SHUFFLE joins keyed by cell / poly_id.
+
+
+def build_cell_index_df(
+    layer_df: DataFrame, index_level: int = DEFAULT_INDEX_LEVEL
+) -> DataFrame:
+    """(poly_id, icell) candidate map computed IN the cluster: mapInPandas
+    polyfill+compact per polygon (the package ships via addPyFile), then the
+    NATIVE sequence-explode uncompact back to ``index_level``."""
+    from ult_spark.deploy import ensure_py_files
+    from ult_spark.ops.compact_df import uncompact_cells_native
+
+    ensure_py_files(layer_df.sparkSession)
+
+    def fill(pdf_iter):
+        import numpy as _np
+        import pandas as _pd
+
+        from ult_spark.geom.polyio import PackedPolygon
+        from ult_spark.grid import compact as CZ
+        from ult_spark.grid.polyfill import polyfill
+
+        for pdf in pdf_iter:
+            ids, cells_out = [], []
+            for r in pdf.itertuples(index=False):
+                p = PackedPolygon(
+                    poly_id=int(r.poly_id),
+                    name=str(r.name),
+                    level=int(r.level),
+                    ring_offsets=_np.asarray(r.ring_offsets, dtype=_np.int32),
+                    xs=_np.asarray(r.xs, dtype=_np.float64),
+                    ys=_np.asarray(r.ys, dtype=_np.float64),
+                )
+                packed = CZ.compact(polyfill(p, index_level))
+                ids.extend([p.poly_id] * len(packed))
+                cells_out.extend(packed.tolist())
+            yield _pd.DataFrame({"poly_id": ids, "cell": cells_out})
+
+    compacted = layer_df.mapInPandas(fill, "poly_id long, cell long")
+    return uncompact_cells_native(compacted, index_level).withColumnRenamed(
+        "cell", "icell"
+    )
+
+
+def build_edge_index_df(layer_df: DataFrame) -> DataFrame:
+    """(poly_id, ex1, ey1, ex2, ey2) — one row per polygon, computed in the
+    cluster from the packed rings (ring-closing edges included)."""
+    from ult_spark.deploy import ensure_py_files
+
+    ensure_py_files(layer_df.sparkSession)
+
+    def edges(pdf_iter):
+        import numpy as _np
+        import pandas as _pd
+
+        from ult_spark.geom.polyio import PackedPolygon
+
+        for pdf in pdf_iter:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                p = PackedPolygon(
+                    poly_id=int(r.poly_id),
+                    name=str(r.name),
+                    level=int(r.level),
+                    ring_offsets=_np.asarray(r.ring_offsets, dtype=_np.int32),
+                    xs=_np.asarray(r.xs, dtype=_np.float64),
+                    ys=_np.asarray(r.ys, dtype=_np.float64),
+                )
+                x1, y1, x2, y2 = (a.tolist() for a in p.edges())
+                rows.append((p.poly_id, x1, y1, x2, y2))
+            yield _pd.DataFrame(
+                rows, columns=["poly_id", "ex1", "ey1", "ex2", "ey2"]
+            )
+
+    return layer_df.mapInPandas(
+        edges,
+        "poly_id long, ex1 array<double>, ey1 array<double>, "
+        "ex2 array<double>, ey2 array<double>",
+    )
+
+
+def pip_join_df(
+    points: DataFrame,
+    layer_df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """points ⋈ polygons with the layer as a DATAFRAME — the huge-layer
+    twin of :func:`pip_join` (inner semantics; result-identical, asserted in
+    tests). Candidate join shuffles on the cell id, the refine join on
+    poly_id; nothing is broadcast, so layer size is bounded by the cluster,
+    not by driver/executor memory."""
+    index_df = build_cell_index_df(layer_df, index_level)
+    edges_df = build_edge_index_df(layer_df)
+    cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
+    return (
+        cand.join(index_df, cand["_icell"] == index_df["icell"], "inner")
+        .join(edges_df, "poly_id")
+        .where(_native_inside(F.col(lat), F.col(lon)))
+        .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+    )
+
+
 def _native_inside(lat, lon) -> F.Column:
     """Even-odd crossing parity over the row's packed edge arrays — native
     higher-order functions, same pinned IEEE rule as geom/pip.py."""

@@ -266,6 +266,12 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → candidate pairs →
     exact Jaccard verify ≥ threshold.
 
+    Operational note for corpus scale: run :func:`dedup_exact` FIRST and
+    keep one representative per identical-text group — exact-duplicate
+    clusters share every band bucket, so leaving them in makes the bucket
+    self-join quadratic in cluster size for pairs that exact dedup already
+    answers.
+
     Shuffle budget (the 100 TB shape): signatures and shingle sets are
     row-native (zero shuffles); the band self-join shuffles by band key
     (md5-uniform); pairs dedup + the two docset joins shuffle by doc id.

@@ -319,6 +319,20 @@ def pip_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pip_points(spark, sf_dir).select("event_id", "poly_id")
 
 
+@q("pip_join_events_dist", _pip_oracle_cte() + "SELECT event_id, poly_id FROM hits")
+def pip_join_events_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer PIP twin (ops/pip.py pip_join_df): cluster-side
+    polyfill + shuffle joins, nothing broadcast — same oracle as
+    pip_join_events because the semantics are identical."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.ops.pip import pip_join_df
+
+    layer_df = to_dataframe(spark, list(default_layer()))
+    return pip_join_df(events_points(spark, sf_dir), layer_df).select(
+        "event_id", "poly_id"
+    )
+
+
 @q(
     "pip_agg_by_poly",
     _pip_oracle_cte()
