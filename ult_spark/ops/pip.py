@@ -53,7 +53,12 @@ _INDEX_CACHE: dict[tuple[int, int], list[tuple]] = {}
 
 
 def _index_rows(polys: list[PackedPolygon], index_level: int) -> list[tuple]:
-    cache_key = (hash(tuple(p.poly_id for p in polys)), index_level)
+    # key on GEOMETRY, not just ids — two layers sharing poly_ids (e.g. an
+    # edited layer) must not hit each other's cache
+    cache_key = (
+        hash(tuple((p.poly_id, p.xs.tobytes(), p.ys.tobytes()) for p in polys)),
+        index_level,
+    )
     if cache_key in _INDEX_CACHE:
         return _INDEX_CACHE[cache_key]
     rows: list[tuple] = []
