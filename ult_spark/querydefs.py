@@ -704,6 +704,7 @@ q("bpe_token_count", _textops_sql("BPE_TOKEN_COUNT_SQL"))(_doc("bpe_token_count"
 q("doc_fingerprint", _textops_sql("FINGERPRINT_SQL"))(_doc("fingerprint"))
 q("quality_score", _textops_sql("QUALITY_SQL"))(_doc("quality_score"))
 q("simhash32", _textops_sql("simhash_sql")())(_doc("simhash"))
+q("winnowing_fp", _textops_sql("winnowing_sql")())(_doc("winnowing_fingerprints"))
 q("lang_id", _textops_sql("lang_id_sql")())(_doc("lang_id"))
 
 
