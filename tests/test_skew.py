@@ -84,6 +84,30 @@ def test_lsh_jaccard_verify_joins_on_pair_keys(spark):
     assert got == exp and len(got) > 0
 
 
+def test_embedding_near_dup_finds_planted_duplicates(spark, tmp_path):
+    """Recall sanity beyond oracle parity: identical vectors share every
+    band bucket, so planted exact duplicates MUST surface as sim_e6=1e6
+    pairs."""
+    from ult_spark.querydefs import QUERIES
+
+    rng = np.random.default_rng(17)
+    vecs = rng.uniform(-1, 1, (200, 64)).astype(np.float32)
+    vecs[150] = vecs[50]  # planted duplicate pair (50, 150)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(200, dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+            "label": np.zeros(200, dtype=np.int32),
+        }
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(pdf, "vec_id long, embedding array<float>, label int").write.parquet(
+        f"{d}/embeddings.parquet"
+    )
+    out = {(r.a, r.b): r.sim_e6 for r in QUERIES["embedding_near_dup"](spark, d).collect()}
+    assert (50, 150) in out and out[(50, 150)] == 1_000_000
+
+
 def test_simhash_banding_is_exact(spark):
     """Pigeonhole claim: 4x8-bit banding finds EVERY pair with hamming <= 3
     — compare against brute-force hamming over all signature pairs."""
