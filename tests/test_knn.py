@@ -160,6 +160,27 @@ def test_knn_exact_without_aqe(spark):
     assert off == on and len(on) == 8
 
 
+def test_knn_haversine_near_pole_exact(spark):
+    """Regression (round-2 self-review #1): near the pole, tiny great-circle
+    distances span many longitude columns; the lon completeness bound must
+    vanish there so the query is NOT marked done while a closer
+    cross-longitude neighbor sits outside the disk."""
+    rng = np.random.default_rng(31)
+    n = 1500
+    lat = np.concatenate([89.99 + rng.random(n // 2) * 0.009, rng.uniform(-60, 60, n // 2)])
+    lon = rng.uniform(-180, 180, n)
+    pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon})
+    data = spark.createDataFrame(pdf)
+    qpts = [(1, 89.9995, 0.0), (2, 89.995, 120.0), (3, -89.999, -60.0)]
+    qdf = spark.createDataFrame(qpts, "qid long, qlat double, qlon double")
+    got = {
+        (r.qid, r.id, r.rk)
+        for r in knn_join(qdf, data, k=4, metric="haversine_m", start_radius=1).collect()
+    }
+    exp = _brute_knn_metric(qpts, pdf, 4, _hav_m)
+    assert got == exp
+
+
 def test_knn_source_has_no_driver_collect():
     """Round-1 verdict #2: the per-round completion decision must be fully
     distributed — no .collect()/.take() of per-query rows in ops/knn.py."""

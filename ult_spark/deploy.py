@@ -14,28 +14,41 @@ duplicating the geometry core would be a sync hazard.)
 
 from __future__ import annotations
 
+import os
 import tempfile
+import uuid
 import zipfile
 from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()  # id(sparkContext) guards repeat addPyFile
+# applicationId + startTime uniquely identify a context across restarts
+# (id() of a stopped context can be reused by CPython — self-review #2)
+_SHIPPED: set[tuple[str, int]] = set()
+_ZIP: Path | None = None  # per-process unique file; never shared across pids
 
 
 def build_zip(out: str | Path | None = None) -> Path:
+    global _ZIP
+    if out is None:
+        if _ZIP is not None and _ZIP.exists():
+            return _ZIP
+        out = Path(tempfile.gettempdir()) / (
+            f"ult_spark_pyfiles_{os.getpid()}_{uuid.uuid4().hex[:8]}.zip"
+        )
     pkg = Path(__file__).resolve().parent
-    out = Path(out) if out else Path(tempfile.gettempdir()) / "ult_spark_pyfiles.zip"
+    out = Path(out)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for f in sorted(pkg.rglob("*")):
             if f.suffix in (".py", ".json") and "__pycache__" not in f.parts:
                 z.write(f, Path("ult_spark") / f.relative_to(pkg))
+    _ZIP = out
     return out
 
 
 def ensure_py_files(spark: SparkSession) -> None:
     sc = spark.sparkContext
-    key = id(sc)
+    key = (sc.applicationId, sc.startTime)
     if key in _SHIPPED:
         return
     sc.addPyFile(str(build_zip()))

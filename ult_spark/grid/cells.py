@@ -148,6 +148,12 @@ def grid_ring(cell: int, k: int) -> np.ndarray:
     clamps at the poles (cells off the grid in y are dropped). k=0 → the
     cell itself. Round-2 change: v0 clamped x too, silently losing Pacific
     cross-seam neighbors (round-1 verdict, missing #1).
+
+    Wrap aliasing (pinned): when 2k+1 > 2^L the square ring wraps onto
+    itself — results are deduped, and some returned cells then sit at
+    wrapped Chebyshev distance < k (there IS no cell at distance k in x).
+    Ring-annulus arithmetic on such coarse levels should use `grid_disk`
+    set differences instead.
     """
     x, y, lvl = cell_to_xy(np.asarray([cell]))
     level = int(lvl[0])

@@ -209,8 +209,18 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_centroids(vecs: DataFrame, n_lists: int, vid: str) -> DataFrame:
+    # orderBy+limit compiles to TakeOrderedAndProject — a global row_number
+    # window here would force a single-partition sort of the whole corpus
+    return (
+        vecs.orderBy(F.asc(vid)).limit(n_lists)
+        .select(F.col(vid).alias("cid"), F.col("qv").alias("cv"))
+    )
+
+
 def ivf_assign(
-    data: DataFrame, n_lists: int = 16, vid: str = "vec_id"
+    data: DataFrame, n_lists: int = 16, vid: str = "vec_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """(vid, list_id) IVF coarse assignment — the second scale path.
 
@@ -223,12 +233,8 @@ def ivf_assign(
     bucket pruning.
     """
     vecs = data.select(F.col(vid), _quantized().alias("qv"))
-    # orderBy+limit compiles to TakeOrderedAndProject — a global row_number
-    # window here would force a single-partition sort of the whole corpus
-    cents = (
-        vecs.orderBy(F.asc(vid)).limit(n_lists)
-        .select(F.col(vid).alias("cid"), F.col("qv").alias("cv"))
-    )
+    if cents is None:
+        cents = _ivf_centroids(vecs, n_lists, vid)
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
     )
@@ -255,11 +261,10 @@ def ann_ivf_topk(
     """IVF-flat ANN: each query probes its ``nprobe`` nearest centroid lists;
     exact integer-quantized dot re-ranks the probed lists' members."""
     vecs = data.select(F.col(vid), _quantized().alias("qv"))
-    cents = (
-        vecs.orderBy(F.asc(vid)).limit(n_lists)
-        .select(F.col(vid).alias("cid"), F.col("qv").alias("cv"))
-    )
-    assigned = ivf_assign(data, n_lists, vid)
+    # ONE centroid derivation shared by probes and assignment (self-review
+    # #5: two identical TakeOrderedAndProject scans of the corpus before)
+    cents = _ivf_centroids(vecs, n_lists, vid)
+    assigned = ivf_assign(data, n_lists, vid, cents=cents)
     qvecs = vecs.where(F.col(vid).isin(query_ids)).select(
         F.col(vid).alias("qid"), F.col("qv").alias("qvec")
     )

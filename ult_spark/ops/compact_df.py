@@ -75,32 +75,45 @@ def compact_cells_native(
     worker serialization; keep it for MIXED-level inputs, use this when the
     input level is known).
 
-    Per level: parents with exactly 4 present children merge; others keep
-    their children. (from_level - to_level) groupBys over a set that shrinks
-    4x per step — all whole-stage codegen. Each level's (parent, n)
-    aggregate is persisted: it feeds THREE consumers (kept cells, merged
-    parents, next level) and without the cache the union's branches
-    recompute the whole upstream chain per consumer — measured 3^levels
-    blowup.
+    Shape (round-2 final): ONE explode of (level, ancestor) structs per
+    distinct leaf + ONE groupBy counting present leaves per ancestor — an
+    ancestor at level ℓ is COMPLETE iff its count is 4^(from_level-ℓ)
+    (leaves are trivially complete). The compacted set is exactly the
+    complete nodes whose PARENT is not complete (maximality), which is one
+    anti-join of the complete table against itself keyed on the
+    level-agnostic parent id. No driver loop, no persist, no per-level
+    chain — the earlier chained-merge variant recomputed its upstream once
+    per consumer branch (measured 3^levels blowup before caching).
     """
-    def parent_of(c):
-        lsb = c.bitwiseAND(-c)
-        return (c - c % (F.lit(4) * lsb)).bitwiseOR(F.lit(4) * lsb)
-
-    cur = df.select(F.col(cell).alias("cell")).distinct()
-    kept: list[DataFrame] = []
-    for _ in range(from_level, to_level, -1):
-        cur = cur.withColumn("_p", parent_of(F.col("cell"))).persist()
-        counts = (
-            cur.groupBy("_p").agg(F.count("*").alias("_n")).persist()
+    leaves = df.select(F.col(cell).alias("cell")).distinct()
+    anc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lvl).alias("lvl"),
+                    (
+                        F.col("cell")
+                        if lvl == from_level
+                        else UF.cell_parent("cell", lvl)
+                    ).alias("acell"),
+                )
+                for lvl in range(to_level, from_level + 1)
+            ]
         )
-        incomplete = counts.where(F.col("_n") < 4).select("_p")
-        kept.append(cur.join(incomplete, "_p", "left_semi").select("cell"))
-        cur = counts.where(F.col("_n") == 4).select(F.col("_p").alias("cell"))
-    out = cur.select("cell")
-    for piece in kept:
-        out = out.unionByName(piece)
-    return out
+    ).alias("_a")
+    complete = (
+        leaves.select(anc)
+        .groupBy(F.col("_a.lvl").alias("lvl"), F.col("_a.acell").alias("cell"))
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") == F.pow(F.lit(4.0), F.lit(from_level) - F.col("lvl")).cast("long"))
+        .select("cell")
+    )
+    # level-agnostic parent id (sentinel arithmetic, same as compact_sql)
+    lsb = F.col("cell").bitwiseAND(-F.col("cell"))
+    parent = (F.col("cell") - F.col("cell") % (F.lit(4) * lsb)).bitwiseOR(F.lit(4) * lsb)
+    return complete.withColumn("_p", parent).join(
+        complete.select(F.col("cell").alias("_p")), "_p", "left_anti"
+    ).select("cell")
 
 
 def uncompact_cells_native(

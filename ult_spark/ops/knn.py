@@ -133,7 +133,13 @@ def _round_bound_xy(
     bound_y = F.lit(UF.EARTH_RADIUS_M) * F.radians(F.lit(radius * cell_h))
     if x_full:
         return bound_y
-    phimax = F.least(F.abs(qlat) + F.lit((radius + 1) * cell_h), F.lit(89.999))
+    # NO upper clamp on phimax: when |qlat| + (r+1)·cell_h reaches/passes
+    # 90°, cos goes to ~0/negative and greatest(·, 0) zeroes the lon bound,
+    # so near-pole queries can only complete via bound_y or the fallback.
+    # (A previous 89.999° clamp OVERSTATED the bound by cos(89.999)≈1.7e-5
+    # and could mark a pole query done while a closer cross-longitude
+    # neighbor sat outside the disk — round-2 self-review finding #1.)
+    phimax = F.abs(qlat) + F.lit((radius + 1) * cell_h)
     lam = F.radians(F.lit(min(rx * cell_w, 180.0)))
     bound_x = (
         F.lit(2.0 * UF.EARTH_RADIUS_M)
@@ -309,11 +315,13 @@ def distance_join_m(
     n = 1 << level
 
     sin_half = math.sin(radius_m / (2.0 * UF.EARTH_RADIUS_M))
-    # widest possible per-row need (φmax = 90 → 180°), then exact-coverage
-    # dx range: [-(n//2), (n+1)//2) hits every wrapped column exactly once
-    rx_need = math.ceil(math.degrees(2.0 * math.asin(min(1.0, sin_half / 6.123e-17))) / cell_w) + 1
-    dx_lo = max(-(n // 2), -rx_need)
-    dx_hi = min((n + 1) // 2 - 1, rx_need)
+    # the literal dx range must cover the widest per-row need, which is the
+    # FULL wrap (a near-pole row is within radius at any longitude), so the
+    # array always spans every wrapped column exactly once:
+    # [-(n//2), (n+1)//2). Per-row pruning below keeps the EXPLODED volume
+    # proportional to each row's own bound; only the literal array (constant
+    # folded, never shuffled) carries the worst case.
+    dx_lo, dx_hi = -(n // 2), (n + 1) // 2 - 1
     phimax = F.least(F.abs(F.col(llat)) + F.lit(r_lat_deg), F.lit(90.0))
     dlam_deg = F.degrees(
         2.0 * F.asin(F.least(F.lit(1.0), F.lit(sin_half) / F.cos(F.radians(phimax))))

@@ -196,36 +196,6 @@ def minhash_signature(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signature_from_sets(arr: DataFrame) -> DataFrame:
-    """16 minhash values computed ROW-NATIVELY from per-doc shingle-set rows
-    (doc_id, shs array<string>): md5 once per shingle into (h1, h2) structs,
-    then 16 ``array_min`` folds — zero shuffles, identical values to
-    :func:`minhash_signature`."""
-    hs = F.transform(
-        F.col("shs"),
-        lambda s: F.struct(_h56(s, 1).alias("h1"), _h56(s, 15).alias("h2")),
-    )
-    cols = [
-        F.array_min(
-            F.transform("_hs", lambda p: p["h1"] + F.lit(j) * p["h2"])
-        ).alias(f"mh{j}")
-        for j in range(N_MINHASH)
-    ]
-    return arr.select("doc_id", hs.alias("_hs")).select("doc_id", *cols)
-
-
-def minhash_signature_native(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text"
-) -> DataFrame:
-    """Row-native signature straight from text. Docs with no shingles are
-    dropped (they have no signature — matching the groupBy twin, and
-    keeping them out of a shared all-null band bucket)."""
-    base = df.select(
-        F.col(id_col).alias("doc_id"), shingle_array(text).alias("shs")
-    ).where(F.size("shs") > 0)
-    return minhash_signature_from_sets(base)
-
-
 def _band_key(b: int):
     r = N_MINHASH // N_BANDS
     cols = [F.col(f"mh{b * r + i}").cast("string") for i in range(r)]
@@ -320,10 +290,11 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     self-join quadratic in cluster size for pairs that exact dedup already
     answers.
 
-    Shuffle budget (the 100 TB shape): signatures and shingle sets are
-    row-native (zero shuffles); the band self-join shuffles by band key
-    (md5-uniform); pairs dedup + the two docset joins shuffle by doc id.
-    Nothing is ever keyed on a raw shingle.
+    Shuffle budget (the 100 TB shape): one groupBy for the signatures, one
+    for the docsets (both keyed by doc id over per-doc-distinct shingles);
+    the band self-join shuffles by band key (md5-uniform); pair dedup + the
+    two docset joins shuffle by doc id. Nothing is EVER keyed on a raw
+    shingle.
 
     Raw docs go through ONE upfront exchange with an EXPLICIT partition
     count (AQE would coalesce by byte size, but shingle construction is

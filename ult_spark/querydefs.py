@@ -412,6 +412,39 @@ def pip_tiles_by_poly_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.10 UDTF: bbox → covering cells as a SQL table function; the oracle
+# mirrors the grid arithmetic with generate_series × generate_series so the
+# UDTF's inlined Morton copy can never drift from the pinned encoding
+# unnoticed (workflow rule: every operator ships with an oracle pair).
+
+_BBOX = (-31.7, 12.4, 100.2, 151.9, 7)
+
+
+@q("bbox_cover_l7", None)
+def bbox_cover_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.tablefuncs import register_table_functions
+
+    register_table_functions(spark)
+    la0, la1, lo0, lo1, lvl = _BBOX
+    return spark.sql(
+        f"SELECT cell, x, y FROM bbox_cover({la0}, {la1}, {lo0}, {lo1}, {lvl})"
+    )
+
+
+def _attach_bbox_cover_oracle() -> None:
+    la0, la1, lo0, lo1, lvl = _BBOX
+    x0, x1 = UF.grid_x_sql(str(lo0), lvl), UF.grid_x_sql(str(lo1), lvl)
+    y0, y1 = UF.grid_y_sql(str(la0), lvl), UF.grid_y_sql(str(la1), lvl)
+    ORACLES["bbox_cover_l7"] = (
+        f"SELECT {UF.xy_cell_sql('x', 'y', lvl)} AS cell, x, y "
+        f"FROM (SELECT unnest(generate_series({x0}, {x1})) AS x), "
+        f"(SELECT unnest(generate_series({y0}, {y1})) AS y)"
+    )
+
+
+_attach_bbox_cover_oracle()
+
+
 # A-family: focal (neighborhood) statistics — 3x3 kernel count smoothing
 # over the L6 tile grid (x wraps, y clamps; ops/tiles.py focal_agg)
 
