@@ -9,7 +9,7 @@ Typical usage::
     tiles = tile_agg(pip_join(pts, layer), value="v", salt_by="url")
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["functions", "get_spark"]
 
