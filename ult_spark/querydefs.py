@@ -1050,6 +1050,10 @@ def rolling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT {_cell(5)} AS cell, count(*) AS cnt FROM events GROUP BY 1)",
 )
 def tile_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global (unpartitioned) windows are intentional here — W6 is a GLOBAL
+    # ranking, and the input is the L5 tile aggregate, bounded at 4^5 = 1024
+    # rows by construction regardless of input scale (the single-partition
+    # WindowExec warning is about this pre-bounded set, not the raw data)
     tiles = (
         events_points(spark, sf_dir)
         .groupBy(UF.latlon_to_cell("lat", "lon", 5).alias("cell"))
