@@ -24,22 +24,25 @@ Design — everything stays native (whole-stage codegen), no UDFs:
    exactly on the bound circle could otherwise be missed). Unsatisfied
    queries fall to the next round (4x radius), then the exact fallback.
 
-Round-2 rewrite (round-1 verdict #2): the whole multi-round search is ONE
-LAZY PLAN — no driver loop, no driver-side rows, not even a per-round
-scalar. The completion flag is computed INSIDE the same window pass that
-ranks candidates (count/max window functions share the row_number shuffle),
-done rows are a filter, and the next round's pending set is an anti-join
-against the done query ids. Rounds whose pending set comes up empty are
-collapsed to empty relations at runtime by AQE's empty-relation propagation
-— their data-side scans never run. The final piece is an exact
-broadcast-fallback for stragglers (queries in empty regions), which AQE
-likewise skips when no straggler remains. `start_radius=None` sizes round 1
-from a density estimate (one count() of the data — the only driver scalar,
-and skippable by passing start_radius) so the common case is one round.
+Round-2 rewrite (round-1 verdict #2): the whole search is ONE LAZY PLAN —
+no driver loop, no driver-side rows. Candidates are generated ONCE for the
+outer disk (4× the density-sized start radius) tagged with their ring
+distance, so the inner round's ranking and completeness flags are just
+additional window expressions over the SAME shuffle (the inner rank is a
+running count of inner-disk rows in distance order). Per query: if the
+inner disk completes (k hits strictly inside its bound), its top-k is
+emitted with inner ranks; else if the outer disk completes, outer ranks;
+else the query falls to an exact broadcast fallback over the data, pruned
+at runtime by AQE's empty-relation propagation when no straggler remains.
+`start_radius=None` sizes the inner radius from a density estimate (one
+count() of the data — the only driver scalar, skippable by passing
+start_radius).
 
-At scale: each active round is one shuffle of candidate matches keyed by
-query id; the data side streams through a broadcast join with zero shuffle.
-Without AQE the plan is still exact — inactive rounds just cost their scan.
+At scale: the keyed search costs ONE scan of the data (broadcast join on
+cell ids, zero data-side shuffle) + one candidate shuffle keyed by query id
+— the outer disk inflates that shuffle ~16x over the minimum, which buys
+never needing a second scan when the inner radius falls short. Without AQE
+the plan is still exact — an empty fallback just costs its scan.
 """
 
 from __future__ import annotations
@@ -55,19 +58,25 @@ METRICS = ("sq_deg", "sq_deg_wrap", "haversine_m")
 
 
 def _neighbor_cells(
-    df: DataFrame, lat: str, lon: str, level: int, radius: int
+    df: DataFrame, lat: str, lon: str, level: int, radius: int,
+    with_cheb: bool = False,
 ) -> DataFrame:
     """Explode each row into its grid-disk(radius) neighbor cells at ``level``
     as column ``_ncell`` — fully native (literal offset array + Generate).
     x wraps modulo 2^L (antimeridian); y clamps (rows off-grid dropped).
-    """
+    ``with_cheb``: also emit ``_cheb`` = max(|dx|, |dy|) (which ring of the
+    disk the cell sits on — lets one explode serve several radii)."""
     n = 1 << level
     # cap so the wrapped x offsets cannot alias (2r+1 <= n) — beyond that the
     # disk already spans every longitude column
     rx = min(radius, (n - 1) // 2)
     offsets = F.array(
         *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("cheb"),
+            )
             for dx in range(-rx, rx + 1)
             for dy in range(-radius, radius + 1)
         ]
@@ -81,6 +90,8 @@ def _neighbor_cells(
         .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
         .withColumn("_ncell", UF.xy_to_cell(F.col("_nx"), F.col("_ny"), level))
     )
+    if with_cheb:
+        out = out.withColumn("_cheb", F.col("_o.cheb"))
     return out.drop("_qx", "_qy", "_o", "_nx", "_ny")
 
 
@@ -200,41 +211,59 @@ def knn_join(
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_queries else df
 
-    def round_topk(pending: DataFrame, radius: int) -> DataFrame:
-        """Top-k rows for this round's pending queries, with a `_done`
-        column computed in the SAME window shuffle as the ranking: a query
-        is complete iff it saw >= k candidates and its k-th distance is
-        STRICTLY inside the round's completeness bound (ties keep it pending
-        — a point exactly on the bound circle could otherwise be missed)."""
-        cand = _neighbor_cells(pending, qlat, qlon, level, radius)
-        joined = _b(cand).join(
-            data_cells, cand["_ncell"] == data_cells["_dcell"], "inner"
+    # BOTH radii share ONE candidate pass: candidates are generated for the
+    # outer disk tagged with their ring distance (_cheb), so the inner
+    # round's ranking/completeness are window expressions over the same
+    # shuffle (idx1 = running count of inner-disk rows in distance order).
+    # One data scan total for the keyed rounds — the staged two-round
+    # variant re-scanned the data when round 2 activated — and the exact
+    # broadcast fallback remains for stragglers, pruned by AQE when none.
+    r1 = start_radius
+    r2 = 4 * start_radius if 4 * start_radius <= max_radius else r1
+    queries_ = queries.select(qid, qlat, qlon)
+    cand = _neighbor_cells(queries_, qlat, qlon, level, r2, with_cheb=True)
+    joined = (
+        _b(cand)
+        .join(data_cells, cand["_ncell"] == data_cells["_dcell"], "inner")
+        .withColumn(dist_name, dist)
+    )
+    in1 = (F.col("_cheb") <= r1).cast("int")
+    scored = (
+        joined
+        .withColumn("_idx2", F.row_number().over(w))
+        .withColumn(
+            "_idx1",
+            F.sum(in1).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         )
-        bound = _round_bound(metric, level, radius, F.col(qlat))
-        return (
-            joined.withColumn(dist_name, dist)
-            .withColumn("rk", F.row_number().over(w))
-            .withColumn("_ncand", F.count(F.lit(1)).over(wq))
-            .withColumn("_kth", F.max(F.when(F.col("rk") <= k, F.col(dist_name))).over(wq))
-            .where(F.col("rk") <= k)
-            .withColumn("_done", (F.col("_ncand") >= k) & (F.col("_kth") < bound))
+        .withColumn("_in1", in1 == 1)
+    )
+    b1 = _round_bound(metric, level, r1, F.col(qlat))
+    b2 = _round_bound(metric, level, r2, F.col(qlat))
+    flagged = (
+        scored
+        .withColumn("_n1", F.sum(in1).over(wq))
+        .withColumn("_n2", F.count(F.lit(1)).over(wq))
+        .withColumn(
+            "_kth1",
+            F.max(F.when(F.col("_in1") & (F.col("_idx1") <= k), F.col(dist_name))).over(wq),
         )
-
-    # fixed lazy round schedule: auto radius, then 4x, then the exact
-    # broadcast fallback — later pieces evaporate via AQE when the previous
-    # round finished every query
-    radii = [start_radius]
-    if 4 * start_radius <= max_radius:
-        radii.append(4 * start_radius)
-    pending = queries.select(qid, qlat, qlon)
-    pieces: list[DataFrame] = []
-    for radius in radii:
-        tk = round_topk(pending, radius)
-        pieces.append(
-            tk.where(F.col("_done")).select(*out_cols, F.col("rk").cast("long").alias("rk"))
+        .withColumn(
+            "_kth2", F.max(F.when(F.col("_idx2") <= k, F.col(dist_name))).over(wq)
         )
-        done_ids = tk.where(F.col("_done")).select(qid).distinct()
-        pending = pending.join(_b(done_ids), qid, "left_anti")
+        .withColumn("_done1", (F.col("_n1") >= k) & (F.col("_kth1") < b1))
+        .withColumn("_done2", (F.col("_n2") >= k) & (F.col("_kth2") < b2))
+    )
+    keep = (F.col("_done1") & F.col("_in1") & (F.col("_idx1") <= k)) | (
+        ~F.col("_done1") & F.col("_done2") & (F.col("_idx2") <= k)
+    )
+    rows = flagged.where(keep).select(
+        *out_cols,
+        F.when(F.col("_done1"), F.col("_idx1")).otherwise(F.col("_idx2"))
+        .cast("long")
+        .alias("rk"),
+    )
+    done_ids = flagged.where(F.col("_done1") | F.col("_done2")).select(qid).distinct()
+    pending = queries_.join(_b(done_ids), qid, "left_anti")
     # exact fallback: broadcast the (few) unsatisfied queries across the
     # data once — data side streams through a single stage, no shuffle
     brute = (
@@ -244,11 +273,7 @@ def knn_join(
         .where(F.col("rk") <= k)
         .select(*out_cols, F.col("rk").cast("long").alias("rk"))
     )
-    pieces.append(brute)
-    res = pieces[0]
-    for p in pieces[1:]:
-        res = res.unionByName(p)
-    return res
+    return rows.unionByName(brute)
 
 
 def distance_join(
