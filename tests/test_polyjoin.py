@@ -56,3 +56,21 @@ def test_poly_intersect_matches_bruteforce(spark):
         if _brute_intersects(pa, pb)
     }
     assert got == exp and len(got) > 0
+
+
+def test_poly_intersect_df_matches_driver_path(spark):
+    """Distributed-layer twin (cluster-side covers, shuffle joins) is
+    result-identical to the driver-layer path."""
+    from ult_spark.geom.polyio import to_dataframe
+    from ult_spark.ops.polyjoin import poly_intersect_join_df
+
+    a = list(default_layer())
+    b = shifted_layer(a, 2.0, 3.0)
+    got = {
+        (r.a_id, r.b_id)
+        for r in poly_intersect_join_df(
+            to_dataframe(spark, a), to_dataframe(spark, b)
+        ).collect()
+    }
+    exp = {(r.a_id, r.b_id) for r in poly_intersect_join(spark, a, b).collect()}
+    assert got == exp and len(got) > 0

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 __all__ = [
     "pip_join", "pip_join_df", "build_cell_index", "build_edge_index",
-    "build_cell_index_df", "build_edge_index_df", "knn_join",
+    "build_cell_index_df", "build_edge_index_df", "knn_join", "poly_intersect_join_df",
     "distance_join", "distance_join_m", "poly_intersect_join",
     "tile_agg", "pyramid", "focal_agg", "zonal_stats", "rasterize",
     "cell_range_join", "asof_join", "sessionize", "compact_cells",
@@ -22,6 +22,7 @@ def __getattr__(name):
     homes = {
         "pip_join": "pip", "pip_join_df": "pip", "build_cell_index": "pip",
         "build_cell_index_df": "pip", "build_edge_index_df": "pip",
+        "poly_intersect_join_df": "polyjoin",
         "knn_join": "knn", "distance_join": "knn", "distance_join_m": "knn",
         "build_edge_index": "pip", "poly_intersect_join": "polyjoin",
         "tile_agg": "tiles", "pyramid": "tiles", "focal_agg": "tiles",

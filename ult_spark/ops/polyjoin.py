@@ -76,7 +76,14 @@ def poly_intersect_join(
     )
     va = spark.createDataFrame(_vertex_rows(layer_a), "a_id long, avx double, avy double")
     vb = spark.createDataFrame(_vertex_rows(layer_b), "b_id long, bvx double, bvy double")
+    return _refine(cand, ea, eb, va, vb)
 
+
+def _refine(
+    cand: DataFrame, ea: DataFrame, eb: DataFrame, va: DataFrame, vb: DataFrame
+) -> DataFrame:
+    """Pinned exact refine shared by the driver-layer and DataFrame-layer
+    variants: proper edge crossing ∪ vertex containment both ways."""
     # proper edge crossing: orientation sign tests (0 counts as non-positive)
     d1 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
         F.col("by2") - F.col("by1")
@@ -119,6 +126,56 @@ def poly_intersect_join(
     cont_ab = _contains(ea, "a_id", vb, "bvx", "bvy", "ax1", "ay1", "ax2", "ay2")
     cont_ba = _contains(eb, "b_id", va, "avx", "avy", "bx1", "by1", "bx2", "by2")
     return cross_pairs.unionByName(cont_ab).unionByName(cont_ba).distinct()
+
+
+def poly_intersect_join_df(
+    layer_a_df: DataFrame,
+    layer_b_df: DataFrame,
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Distributed-layer twin of :func:`poly_intersect_join`: both layers
+    arrive as packed-ring DataFrames (geom/polyio.to_dataframe), covers are
+    built IN the cluster (ops/pip.py build_cell_index_df — mapInPandas over
+    shipped py-files + native uncompact), and every join is a shuffle join
+    — parcel-scale layers never touch the driver. Refine is the same pinned
+    sign-test/containment rule, evaluated per edge-pair row."""
+    from ult_spark.ops.pip import build_cell_index_df, build_edge_index_df
+
+    ca = build_cell_index_df(layer_a_df, index_level).select(
+        F.col("poly_id").alias("a_id"), F.col("icell").alias("cell")
+    )
+    cb = build_cell_index_df(layer_b_df, index_level).select(
+        F.col("poly_id").alias("b_id"), F.col("icell").alias("cell")
+    )
+    cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
+    ea_w = build_edge_index_df(layer_a_df)  # (poly_id, arrays)
+    eb_w = build_edge_index_df(layer_b_df)
+    # explode edge arrays into the row-per-edge shape the refine expects
+    ea = ea_w.select(
+        F.col("poly_id").alias("a_id"),
+        F.explode(F.arrays_zip("ex1", "ey1", "ex2", "ey2")).alias("_e"),
+    ).select(
+        "a_id",
+        F.col("_e.ex1").alias("ax1"), F.col("_e.ey1").alias("ay1"),
+        F.col("_e.ex2").alias("ax2"), F.col("_e.ey2").alias("ay2"),
+    )
+    eb = eb_w.select(
+        F.col("poly_id").alias("b_id"),
+        F.explode(F.arrays_zip("ex1", "ey1", "ex2", "ey2")).alias("_e"),
+    ).select(
+        "b_id",
+        F.col("_e.ex1").alias("bx1"), F.col("_e.ey1").alias("by1"),
+        F.col("_e.ex2").alias("bx2"), F.col("_e.ey2").alias("by2"),
+    )
+    va = layer_a_df.select(
+        F.col("poly_id").alias("a_id"),
+        F.element_at("xs", 1).alias("avx"), F.element_at("ys", 1).alias("avy"),
+    )
+    vb = layer_b_df.select(
+        F.col("poly_id").alias("b_id"),
+        F.element_at("xs", 1).alias("bvx"), F.element_at("ys", 1).alias("bvy"),
+    )
+    return _refine(cand, ea, eb, va, vb)
 
 
 # ---------------------------------------------------------------------------
