@@ -1385,6 +1385,28 @@ def cube_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4 completion: explicit GROUPING SETS (rollup and cube are the other two
+# registered shapes) — custom set list ((event_type), (ub), ())
+
+@q(
+    "grouping_sets_type_bucket",
+    "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(ub, -1) AS ub, count(*) AS cnt, "
+    "CAST(grouping(event_type) AS BIGINT) AS g_t, CAST(grouping(ub) AS BIGINT) AS g_b "
+    "FROM (SELECT event_type, user_id % 10 AS ub FROM events) "
+    "GROUP BY GROUPING SETS ((event_type), (ub), ())",
+)
+def grouping_sets_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("ub")
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        "SELECT coalesce(event_type, 'ALL') AS etype, coalesce(ub, -1) AS ub, "
+        "count(*) AS cnt, CAST(grouping(event_type) AS BIGINT) AS g_t, "
+        "CAST(grouping(ub) AS BIGINT) AS g_b "
+        "FROM _gs_events GROUP BY GROUPING SETS ((event_type), (ub), ())"
+    )
+
+
 # A5 approx twin: HLL++ distinct users per tile. No cross-engine oracle —
 # DuckDB's approx sketch differs by design — so this is registered
 # rows-only; tests/test_skew.py bounds its error against the exact query.
