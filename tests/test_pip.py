@@ -136,6 +136,27 @@ def test_pip_broadcast_scales_with_edges_not_cells(spark):
     assert n_cells > len(POLYS)  # cells >> polys, but each row is 16 bytes
 
 
+def test_pip_refine_engines_agree(spark, sf_smoke):
+    """native / arrow (pandas UDF) / arrow_batch (mapInArrow) refine engines
+    are bit-identical."""
+    from ult_spark import functions as UF
+    from ult_spark.ops.pip import pip_join
+
+    pts = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("event_id", UF.event_lat().alias("lat"), UF.event_lon().alias("lon"))
+    )
+    sets = []
+    for engine in ("native", "arrow", "arrow_batch"):
+        sets.append(
+            {
+                (r.event_id, r.poly_id)
+                for r in pip_join(pts, POLYS, refine=engine).select("event_id", "poly_id").collect()
+            }
+        )
+    assert sets[0] == sets[1] == sets[2] and len(sets[0]) > 0
+
+
 def test_uncompact_native_matches_numpy(spark):
     from ult_spark.grid import compact as CZ
     from ult_spark.ops.compact_df import uncompact_cells_native

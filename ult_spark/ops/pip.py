@@ -275,6 +275,39 @@ def _refine_udf(polys: list[PackedPolygon]):
     return pip_refine
 
 
+def _refine_map_in_arrow(cand: DataFrame, polys: list[PackedPolygon],
+                         lat: str, lon: str) -> DataFrame:
+    """mapInArrow engine (SURVEY §2.10 J2 mapping): ray-cast directly on
+    Arrow RecordBatches — no pandas conversion at all. SELF-CONTAINED
+    closure (plain NumPy edge arrays + column names captured)."""
+    edges_by_id = {p.poly_id: p.edges() for p in polys}
+    lat_i = cand.columns.index(lat)
+    lon_i = cand.columns.index(lon)
+    pid_i = cand.columns.index("poly_id")
+
+    def ray(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            la = b.column(lat_i).to_numpy(zero_copy_only=False)
+            lo = b.column(lon_i).to_numpy(zero_copy_only=False)
+            pid = b.column(pid_i).to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(la), dtype=bool)
+            for p in np.unique(pid):
+                m = pid == p
+                ex1, ey1, ex2, ey2 = edges_by_id[int(p)]
+                cy = la[m][:, None]
+                cx = lo[m][:, None]
+                straddle = (ey1[None, :] > cy) != (ey2[None, :] > cy)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (ex2 - ex1)[None, :] * (cy - ey1[None, :]) / (ey2 - ey1)[None, :] + ex1[None, :]
+                keep[m] = ((straddle & (cx < xint)).sum(axis=1) & 1).astype(bool)
+            yield b.filter(pa.array(keep))
+
+    return cand.mapInArrow(ray, cand.schema)
+
+
 def pip_join(
     points: DataFrame,
     polys: list[PackedPolygon],
@@ -333,6 +366,12 @@ def pip_join(
             .where(refine_fn(F.col(lat), F.col(lon), F.col("poly_id")))
             .drop("_icell", "icell")
         )
+    elif refine == "arrow_batch":
+        index_df = build_cell_index(spark, polys, index_level)
+        joined = cand.join(
+            F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner"
+        )
+        matched = _refine_map_in_arrow(joined, polys, lat, lon).drop("_icell", "icell")
     else:
         raise ValueError(f"unknown refine engine {refine!r}")
     if how == "inner":
