@@ -76,15 +76,24 @@ def focal_agg(
     count to its (2k+1)² neighbor targets (literal offset explode on the
     already-tiny tile set) and re-aggregate — never an explode of raw
     points. Cells whose whole neighborhood is empty don't appear (pinned).
+
+    The dx span is capped so each wrapped column is reached AT MOST once
+    (round-2 ADVICE #1): uncapped, 2k+1 > 2^level makes the same source tile
+    reach one target column through multiple dx offsets and double-count.
+    The capped span is asymmetric ``[-min(k, n//2), min(k, (n-1)//2)]`` —
+    exactly ``min(2k+1, n)`` consecutive offsets, so a full wrap covers
+    every column exactly once (same construction as knn.distance_join_m).
     """
     n = 1 << level
+    rlo = min(k, n // 2)  # keep in sync with focal_agg_sql
+    rhi = min(k, (n - 1) // 2)
     tiles = points.groupBy(
         UF.grid_x(lon, level).alias("_x"), UF.grid_y(lat, level).alias("_y")
     ).agg(F.count("*").alias("_c"))
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-k, k + 1)
+            for dx in range(-rlo, rhi + 1)
             for dy in range(-k, k + 1)
         ]
     )
@@ -103,10 +112,12 @@ def focal_agg(
 
 
 def focal_agg_sql(lat_sql: str, lon_sql: str, level: int, k: int = 1, table: str = "events") -> str:
-    """DuckDB mirror of :func:`focal_agg` (same grid arithmetic)."""
+    """DuckDB mirror of :func:`focal_agg` (same grid arithmetic, same dx cap)."""
     n = 1 << level
+    rlo = min(k, n // 2)  # keep in sync with focal_agg
+    rhi = min(k, (n - 1) // 2)
     offs = ",".join(
-        f"({dx},{dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+        f"({dx},{dy})" for dx in range(-rlo, rhi + 1) for dy in range(-k, k + 1)
     )
     return (
         f"WITH t AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
