@@ -179,6 +179,45 @@ def test_ann_banded_lsh_caps_dense_buckets(spark):
     )
 
 
+def test_near_dup_default_cap_bounds_degenerate_corpus(spark, tmp_path):
+    """Round-2 verdict #2: the bucket cap must be the DEFAULT, not opt-in.
+    A corpus dominated by one identical-vector cluster wider than
+    DEFAULT_MAX_BUCKET must (a) produce a BOUNDED candidate set in
+    embedding_near_dup instead of cluster² pairs, and (b) surface the
+    dropped buckets via the near_dup_oversized companion query."""
+    from ult_spark.ops.ann import DEFAULT_MAX_BUCKET
+    from ult_spark.querydefs import QUERIES
+
+    rng = np.random.default_rng(11)
+    n_clone = DEFAULT_MAX_BUCKET + 176  # 1200 — wider than the default cap
+    clone = np.tile(rng.uniform(-1, 1, 64), (n_clone, 1))
+    rest = rng.uniform(-1, 1, (80, 64))
+    vecs = np.vstack([clone, rest]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": list(map(list, vecs)),
+            "label": np.zeros(len(vecs), dtype=np.int32),
+        }
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    over = QUERIES["near_dup_oversized"](spark, d).collect()
+    assert len(over) >= 4  # the clone cluster is oversized in EVERY band
+    assert all(r.n >= n_clone for r in over)  # scatter vectors may co-bucket
+
+    pairs = QUERIES["embedding_near_dup"](spark, d).count()
+    # uncapped, the clone cluster alone would emit C(1200,2) = 719,400
+    # pairs; the capped plan drops the oversized buckets so the remaining
+    # pair count is bounded by the scatter vectors
+    assert pairs < n_clone * (n_clone - 1) // 20
+    # and the capped query on a HEALTHY corpus is identical to uncapped
+    # (covered by the sf0.01 oracle run in test_oracle_contract)
+
+
 def test_salt_bounds_stage2_fanin(spark):
     """Stage 1 emits at most salt_buckets rows per cell — the merge shuffle
     never sees a hot key with more than that many rows."""

@@ -38,6 +38,16 @@ N_PLANES = 8  # per band → 2^8 buckets per band at test scale; raise with N
 Q = 1000  # embedding quantization for the integer LSH dot product
 DIM = 64
 
+# Default bucket-width cap (round-2 verdict #2: the bounded plan existed but
+# was opt-in). Conservative by design: with R sized to the corpus
+# (R ≈ log2(N / target_bucket_width)), expected bucket width is tens-to-
+# hundreds, so 1024 never engages on a healthy distribution (measured max
+# 119 at sf0.1) — it only truncates degenerate mass-duplicate clusters,
+# which would otherwise make the bucket self-join quadratic in cluster
+# size. Callers who cap MUST check :func:`oversized_buckets` for what was
+# dropped; pass ``max_bucket=None`` to disable.
+DEFAULT_MAX_BUCKET = 1024
+
 
 def _vec_double(col: str = "embedding"):
     return F.transform(F.col(col), lambda x: x.cast("double"))
@@ -172,7 +182,7 @@ def ann_lsh_topk(
     vid: str = "vec_id",
     n_bands: int = N_BANDS,
     n_planes: int = N_PLANES,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Banded-LSH ANN: candidates share ≥1 of the query's (band, bucket)
     keys; exact integer-quantized dot re-ranks the DISTINCT candidates.
@@ -180,14 +190,23 @@ def ann_lsh_topk(
     Re-rank metric (pinned, integer-exact): quantized dot product
     ``D = Σ floor(q_i * Q) * floor(d_i * Q)`` ranked descending with ties by
     candidate id — avoiding float re-association entirely.
+
+    ``max_bucket`` (default :data:`DEFAULT_MAX_BUCKET`) prunes oversized
+    (band, bucket) groups from the CANDIDATE side only — the query's own
+    band keys are exempt (round-2 ADVICE #2: pruning them made a query
+    inside an oversized bucket silently return < k rows). A capped query
+    can still lose its bucket-MATES: callers must check
+    :func:`oversized_buckets` for affected buckets instead of trusting the
+    row count alone.
     """
-    bands = prune_buckets(lsh_bands(data, vid=vid, n_bands=n_bands, n_planes=n_planes), max_bucket)
+    bands = lsh_bands(data, vid=vid, n_bands=n_bands, n_planes=n_planes)
     qb = bands.where(F.col(vid).isin(query_ids)).select(
         F.col(vid).alias("qid"), "band", "bucket"
     )
+    cand_bands = prune_buckets(bands, max_bucket)
     cand = (
         F.broadcast(qb)
-        .join(bands, ["band", "bucket"], "inner")
+        .join(cand_bands, ["band", "bucket"], "inner")
         .where(F.col("qid") != F.col(vid))
         .select("qid", vid)
         .distinct()
@@ -330,13 +349,25 @@ def ann_lsh_topk_sql(
     k: int = 5,
     n_bands: int = N_BANDS,
     n_planes: int = N_PLANES,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
+    # mirror of prune_buckets: drop oversized (band, bucket) groups from the
+    # candidate side only (query rows in qb come from the unpruned bands)
+    cap = (
+        "b"
+        if max_bucket is None
+        else (
+            "(SELECT vec_id, band, bucket FROM b QUALIFY "
+            f"count(*) OVER (PARTITION BY band, bucket) <= {max_bucket})"
+        )
+    )
     return (
         f"WITH b AS ({lsh_bands_sql(n_bands=n_bands, n_planes=n_planes)}), "
+        f"bp AS (SELECT * FROM {cap}), "
         f"qb AS (SELECT vec_id AS qid, band, bucket FROM b WHERE vec_id IN ({ids})), "
-        "cand AS (SELECT DISTINCT qid, b.vec_id AS nid FROM qb "
-        "JOIN b USING (band, bucket) WHERE qid != b.vec_id), "
+        "cand AS (SELECT DISTINCT qid, bp.vec_id AS nid FROM qb "
+        "JOIN bp USING (band, bucket) WHERE qid != bp.vec_id), "
         f"qv AS (SELECT vec_id, [CAST(floor(x::DOUBLE * {Q}) AS BIGINT) for x in embedding] AS v "
         "FROM embeddings), "
         f"qs AS (SELECT vec_id AS qid, v AS qvec FROM qv WHERE vec_id IN ({ids})), "

@@ -1282,12 +1282,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH candidate pairs (a < b sharing any (band, bucket)), deduped
     BEFORE the vector join, then exact floored-cosine threshold. Round-1
     verdict #3: the single-signature bucket join was O(N²/256); the banded
-    scheme bounds bucket width by 2^-R per band and the all-pairs work to
-    Σ bucket² (cap-able via ops.ann.prune_buckets)."""
-    from ult_spark.ops.ann import lsh_bands
+    scheme bounds bucket width by 2^-R per band. Round-2 verdict #2: the
+    bucket cap is now ENGAGED by default (ops.ann.DEFAULT_MAX_BUCKET), so
+    the self-join is bounded by O(n_buckets × cap²) even on a degenerate
+    identical-vector corpus; what the cap drops is surfaced by the
+    ``near_dup_oversized`` companion query — run it alongside, never assume
+    an empty report."""
+    from ult_spark.ops.ann import DEFAULT_MAX_BUCKET, lsh_bands, prune_buckets
 
     emb = load(spark, sf_dir, "embeddings")
-    bands = lsh_bands(emb)
+    bands = prune_buckets(lsh_bands(emb), DEFAULT_MAX_BUCKET)
     l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
     r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")
     cand = (
@@ -1312,11 +1316,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _attach_near_dup_bucket_sql() -> None:
-    from ult_spark.ops.ann import lsh_bands_sql
+@q("near_dup_oversized", None)
+def near_dup_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surfacing half of the capped near-dup plan: (band, bucket, n)
+    groups WIDER than the default cap — exactly what embedding_near_dup's
+    prune dropped. Empty on a healthy corpus; non-empty means near-dup
+    recall inside those buckets was truncated (see the degenerate-corpus
+    test in tests/test_textops.py)."""
+    from ult_spark.ops.ann import DEFAULT_MAX_BUCKET, lsh_bands, oversized_buckets
 
+    return oversized_buckets(
+        lsh_bands(load(spark, sf_dir, "embeddings")), DEFAULT_MAX_BUCKET
+    )
+
+
+def _attach_near_dup_bucket_sql() -> None:
+    from ult_spark.ops.ann import DEFAULT_MAX_BUCKET, lsh_bands_sql
+
+    ORACLES["near_dup_oversized"] = (
+        f"WITH b AS ({lsh_bands_sql()}) "
+        "SELECT band, bucket, count(*) AS n FROM b GROUP BY 1, 2 "
+        f"HAVING count(*) > {DEFAULT_MAX_BUCKET}"
+    )
     ORACLES["embedding_near_dup"] = (
-        f"WITH b AS ({lsh_bands_sql()}), "
+        f"WITH b0 AS ({lsh_bands_sql()}), "
+        "b AS (SELECT vec_id, band, bucket FROM b0 QUALIFY "
+        f"count(*) OVER (PARTITION BY band, bucket) <= {DEFAULT_MAX_BUCKET}), "
         "cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b FROM b l "
         "JOIN b r USING (band, bucket) WHERE l.vec_id < r.vec_id), "
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) "
