@@ -72,39 +72,57 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:  # p
     return assets
 
 
-def extract_features(assets: DataFrame, dim: int = 4) -> DataFrame:
-    """Deterministic fake feature extraction over Arrow batches.
+FEATURES_VERSION = 2  # v1 hashed per row inside the kernel (round-2 verdict
+# #6); v2 hoists ONE native md5 to the JVM and derives each dim from a hex
+# slice of that digest, so the Python kernel is pure vectorized numpy
 
-    mapInPandas: iterates pandas batches, reads the binary payload, emits a
-    fixed-dim integer feature vector derived from md5 — a stand-in with the
-    exact batch shape / schema / partitioning a real encoder UDF would have.
-    Self-contained closure (no package imports inside).
+
+def extract_features(assets: DataFrame, dim: int = 4) -> DataFrame:
+    """Deterministic fake feature extraction over Arrow batches (feature id
+    v2 — :data:`FEATURES_VERSION`).
+
+    Two stages, shaped like a real encoder pipeline:
+
+    1. digest: ``md5(payload)`` as a NATIVE JVM expression (whole-stage
+       codegen — the expensive byte crunch never enters Python);
+    2. encode: mapInPandas kernel with the batch shape / schema /
+       partitioning a real batched encoder UDF would have, but the body is
+       pure VECTORIZED numpy — hex nibbles → per-dim integers via matrix
+       arithmetic, zero per-row Python (round-2 verdict #6: v1 called
+       hashlib once per row per dim inside ``Series.map``).
+
+    dim ≤ 4: each feature consumes 8 of the 32 hex chars of one md5.
+    Self-contained closure (numpy/pandas only, no package imports).
     """
     n_dim = int(dim)
+    if not 1 <= n_dim <= 4:
+        raise ValueError("dim must be in [1, 4] — 4 × 8 hex chars per md5")
 
     def feats(batches):
-        import hashlib
-
+        import numpy as _np
         import pandas as _pd
 
         for pdf in batches:
-            base = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             out = _pd.DataFrame({"asset_id": pdf["asset_id"], "kind": pdf["kind"]})
+            # (n, 32) uint8 matrix of hex chars → nibble values, vectorized
+            hx = _np.asarray(pdf["_h"], dtype="S32").view(_np.uint8).reshape(-1, 32)
+            nib = _np.where(hx >= ord("a"), hx - ord("a") + 10, hx - ord("0"))
+            nib = nib.astype(_np.int64)
+            pw = _np.int64(16) ** _np.arange(7, -1, -1, dtype=_np.int64)
             for j in range(n_dim):
-                out[f"f{j}"] = base.map(
-                    lambda h, j=j: int(hashlib.md5(f"{j}:{h}".encode()).hexdigest()[:8], 16)
-                )
+                out[f"f{j}"] = nib[:, 8 * j : 8 * j + 8] @ pw
             yield out
 
     schema = "asset_id long, kind string, " + ", ".join(f"f{j} long" for j in range(n_dim))
-    return assets.mapInPandas(feats, schema)
+    return assets.withColumn("_h", F.md5("payload")).mapInPandas(feats, schema)
 
 
 def features_sql(dim: int = 4) -> str:
     # DuckDB 1.0 md5 accepts VARCHAR only; the payload IS the utf-8 text
-    # bytes, so md5(text) equals Spark-side md5(binary payload)
+    # bytes, so md5(text) equals Spark-side md5(binary payload). Feature id
+    # v2: dim j = hex slice [8j, 8j+8) of the single digest.
     cols = ", ".join(
-        f"('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || md5(text)), 1, 8))::BIGINT AS f{j}"
+        f"('0x' || substr(md5(text), {8 * j + 1}, 8))::BIGINT AS f{j}"
         for j in range(dim)
     )
     return (
