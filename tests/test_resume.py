@@ -75,6 +75,44 @@ def test_write_snapshot_single_scan(spark, tmp_path, monkeypatch):
     assert catalog.read_table(spark, str(tmp_path / "t")).count() == 123
 
 
+def test_run_job_scans_input_once(spark, tmp_path):
+    """Round-2 verdict #1: a B-unit run must read the input ONCE, not B
+    times. The whole run is one lazy plan over one scan + one
+    partitionBy(unit) write; asserted on the physical plan of the actual
+    parquet input (the path may appear in exactly one scan node)."""
+    from ult_spark.runner import units_plan
+
+    src = str(tmp_path / "pages_src")
+    pages_df(spark, 500, partitions=4).write.parquet(src)
+    pages = spark.read.parquet(src)
+    df = units_plan(pages, [f"b{i:04d}" for i in range(8)], buckets=8)
+    # count parquet relation LEAVES of the optimized plan (the tree string
+    # is length-truncated by Spark, so regex over toString() is unreliable)
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    parquet_leaves = [
+        leaves.apply(i).toString()
+        for i in range(leaves.length())
+        if "parquet" in leaves.apply(i).toString().lower()
+    ]
+    assert len(parquet_leaves) == 1, f"input scanned {len(parquet_leaves)}x: {parquet_leaves}"
+
+    # and the full runner over the same source commits all units from that
+    # one plan (ONE write job) with outputs identical to the bucketed split
+    t = str(tmp_path / "once")
+    units = run_job(spark, pages, t, buckets=8, run_id="r_once")
+    assert len(units) == 8
+    total = catalog.read_table(spark, t)
+    from ult_spark.pipeline import pages_pipeline
+
+    exp = pages_pipeline(pages, levels=(12, 10, 8)).toPandas()
+    got = (
+        total.toPandas().groupby(["level", "cell"], as_index=False)["cnt"].sum()
+    )
+    exp = exp.sort_values(["level", "cell"]).reset_index(drop=True)
+    got = got.sort_values(["level", "cell"]).reset_index(drop=True)
+    assert got.equals(exp[["level", "cell", "cnt"]].astype(got.dtypes.to_dict()))
+
+
 def test_lineage_rows(spark, pages, tmp_path):
     t = str(tmp_path / "lin")
     run_job(spark, pages, t, buckets=2, run_id="r_lin")

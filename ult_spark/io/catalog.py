@@ -88,18 +88,76 @@ def write_snapshot(
         "rows": rows,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    commit_unit(table, manifest)
+    return manifest
+
+
+def write_units(
+    df: DataFrame, table: str, units: list[str], run_id: str, unit_col: str = "unit"
+) -> dict[str, dict]:
+    """Write EVERY pending unit's output in ONE job (round-2 verdict #1:
+    the per-unit loop re-scanned the full input once per bucket — B=8 meant
+    8× the I/O at 100 TB).
+
+    ``df`` must carry ``unit_col``; the write is ``partitionBy(unit_col)``
+    under ``table/data/<run_id>/`` so each unit lands in its own directory,
+    and per-unit row counts ride the SAME job via observe() conditional
+    sums. Returns {unit: manifest} — NOT yet committed; callers commit each
+    via :func:`commit_unit` (atomic rename, exactly-once). A crash before
+    any commit leaves only invisible orphans under the run_id dir.
+    """
+    overlap = set(units) & committed_units(table)
+    if overlap:
+        raise ValueError(f"units {sorted(overlap)} already committed to {table}")
+    spark = df.sparkSession
+    if iceberg_enabled(spark):  # pragma: no cover — no jar in this sandbox
+        df.drop(unit_col).writeTo(f"ult.{Path(table).name}").append()
+        return {
+            u: {"unit": u, "run_id": run_id, "backend": "iceberg"} for u in units
+        }
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    run_dir = str(Path(table) / "data" / run_id)
+    obs = Observation()
+    aggs = [
+        F.sum(F.when(F.col(unit_col) == u, 1).otherwise(0)).alias(u) for u in units
+    ]
+    df.observe(obs, *aggs).write.partitionBy(unit_col).mode("overwrite").parquet(run_dir)
+    counts = obs.get
+    snap_id = int(time.time() * 1000)
+    ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    return {
+        u: {
+            "snapshot_id": snap_id,
+            "unit": u,
+            "run_id": run_id,
+            "path": f"{run_dir}/{unit_col}={u}",
+            "rows": int(counts[u] or 0),
+            "ts": ts,
+        }
+        for u in units
+    }
+
+
+def commit_unit(table: str, manifest: dict) -> None:
+    """Atomically commit one unit's manifest (the snapshot point)."""
     d = _snap_dir(table)
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, d / f"{unit}.json")  # atomic commit — the snapshot point
-    return manifest
+    os.rename(tmp, d / f"{manifest['unit']}.json")
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
-    """Union of all committed snapshots (uncommitted orphans invisible)."""
+    """Union of all committed snapshots (uncommitted orphans invisible).
+    Committed EMPTY units (rows=0) write no files under partitionBy — their
+    paths are skipped rather than failing the read."""
     snaps = list_snapshots(table)
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots in {table}")
-    return spark.read.parquet(*[s["path"] for s in snaps])
+    paths = [s["path"] for s in snaps if s.get("rows", 1) != 0 or Path(s["path"]).exists()]
+    if not paths:
+        return None  # pragma: no cover — all committed units empty
+    return spark.read.parquet(*paths)

@@ -22,10 +22,12 @@ LINEAGE_SCHEMA = (
 )
 
 
-def instrumented(df: DataFrame):
+def instrumented(df: DataFrame, unit_col: str | None = None):
     """Returns (df', accumulator): df' is df with a pass-through metrics
     stage; after an action on df', the accumulator maps partition_id →
-    (rows, wall_ms)."""
+    (rows, wall_ms) — or (partition_id, unit) → (rows, wall_ms) when
+    ``unit_col`` is given (the single-scan runner instruments ALL units in
+    one job; batch wall time is apportioned to units by row share)."""
 
     class _DictSum(AccumulatorParam):
         # defined in function scope so cloudpickle ships the class by value
@@ -41,6 +43,7 @@ def instrumented(df: DataFrame):
 
     acc = df.sparkSession.sparkContext.accumulator({}, _DictSum())
     schema = df.schema
+    ucol = unit_col
 
     def count_rows(it):
         # self-contained closure: imports inside, so cloudpickle ships it by
@@ -53,10 +56,20 @@ def instrumented(df: DataFrame):
         pid = ctx.partitionId() if ctx is not None else -1
         t0 = _time.time()
         n = 0
+        per_unit: dict = {}
         for pdf in it:
             n += len(pdf)
+            if ucol is not None and len(pdf):
+                for u, cnt in pdf[ucol].value_counts().items():
+                    per_unit[u] = per_unit.get(u, 0) + int(cnt)
             yield pdf
-        acc.add({pid: (n, int((_time.time() - t0) * 1000))})
+        ms = int((_time.time() - t0) * 1000)
+        if ucol is None:
+            acc.add({pid: (n, ms)})
+        elif n:
+            acc.add(
+                {(pid, u): (c, ms * c // n) for u, c in per_unit.items()}
+            )
 
     return df.mapInPandas(count_rows, schema), acc
 

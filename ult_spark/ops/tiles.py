@@ -34,30 +34,37 @@ def tile_agg(
     value: Column | str | None = None,
     salt_by: Column | str | None = None,
     salt_buckets: int = 64,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """groupBy(cell) → cnt (+ sum_val when ``value`` given).
 
     ``salt_by``: high-cardinality deterministic column (e.g. url / event_id)
     enabling the two-stage skew-safe plan. Results are identical with or
     without salting at any parallelism — only the shuffle layout differs.
+
+    ``extra_keys``: pass-through grouping columns (e.g. the runner's work
+    ``unit``) — grouping by (extra..., cell) on a disjointly-partitioned
+    input produces EXACTLY the union of the per-partition aggregates, which
+    is what lets the resumable runner process every unit in one scan.
     """
     val = (F.col(value) if isinstance(value, str) else value) if value is not None else None
+    keys = [*extra_keys, cell]
     if salt_by is None:
         aggs = [F.count("*").alias("cnt")]
         if val is not None:
             aggs.append(F.sum(val).alias("sum_val"))
-        return df.groupBy(cell).agg(*aggs)
+        return df.groupBy(*keys).agg(*aggs)
 
     salt_src = F.col(salt_by) if isinstance(salt_by, str) else salt_by
     salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).alias("_salt")
     partial_aggs = [F.count("*").alias("_cnt")]
     if val is not None:
         partial_aggs.append(F.sum(val).alias("_sum"))
-    stage1 = df.groupBy(F.col(cell), salt).agg(*partial_aggs)
+    stage1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(*partial_aggs)
     merge = [F.sum("_cnt").alias("cnt")]
     if val is not None:
         merge.append(F.sum("_sum").alias("sum_val"))
-    return stage1.groupBy(cell).agg(*merge)
+    return stage1.groupBy(*keys).agg(*merge)
 
 
 def focal_agg(
@@ -135,6 +142,7 @@ def pyramid(
     cell: str = "cell",
     sum_cols: tuple[str, ...] = ("cnt",),
     mode: str = "explode",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Roll finest-level tile aggregates up a resolution pyramid.
 
@@ -165,15 +173,21 @@ def pyramid(
             )
         ).alias("_lc")
         return (
-            tiles.select(lc, *sum_cols)
-            .groupBy(F.col("_lc.level").alias("level"), F.col("_lc.cell").alias(cell))
+            tiles.select(*extra_keys, lc, *sum_cols)
+            .groupBy(
+                *extra_keys,
+                F.col("_lc.level").alias("level"),
+                F.col("_lc.cell").alias(cell),
+            )
             .agg(*[F.sum(c).alias(c) for c in sum_cols])
         )
-    out = tiles.select(F.lit(finest).alias("level"), F.col(cell), *sum_cols)
+    out = tiles.select(*extra_keys, F.lit(finest).alias("level"), F.col(cell), *sum_cols)
     cur = tiles
     for lvl in levels[1:]:
-        cur = cur.groupBy(UF.cell_parent(cell, lvl).alias(cell)).agg(
+        cur = cur.groupBy(*extra_keys, UF.cell_parent(cell, lvl).alias(cell)).agg(
             *[F.sum(c).alias(c) for c in sum_cols]
         )
-        out = out.unionByName(cur.select(F.lit(lvl).alias("level"), F.col(cell), *sum_cols))
+        out = out.unionByName(
+            cur.select(*extra_keys, F.lit(lvl).alias("level"), F.col(cell), *sum_cols)
+        )
     return out

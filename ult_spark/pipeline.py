@@ -23,6 +23,7 @@ def pages_pipeline(
     levels: tuple[int, ...] = (12, 10, 8),
     index_level: int = 6,
     salt_buckets: int = 64,
+    unit_col: str | None = None,
 ) -> DataFrame:
     """The BASELINE-metric pipeline over a Common-Crawl-style pages table:
 
@@ -33,25 +34,33 @@ def pages_pipeline(
     One Arrow-batch pipeline per input split until the single groupBy
     shuffle: scan → geotag → encode → broadcast-join → refine are all
     stage-local (SURVEY.md §4 pipelining note).
+
+    ``unit_col``: a pass-through grouping column (the resumable runner's
+    work unit). Because units partition the input disjointly, grouping by
+    (unit, …) yields exactly the union of the per-unit pipeline outputs —
+    the runner processes EVERY unit in one scan of the input instead of
+    re-scanning per unit (round-2 verdict #1).
     """
     from ult_spark.extract.geo import geotag_native
     from ult_spark.geom.polyio import default_layer
     from ult_spark.ops.pip import pip_join
     from ult_spark.ops.tiles import pyramid, tile_agg
 
+    extra = (unit_col,) if unit_col else ()
     lat, lon = geotag_native("html")
     # no isNotNull filter: the inner equi-join drops null cells for free, and
     # an explicit filter makes Catalyst inline (= re-evaluate) the regex
     # extraction into the filter — measured 40% slower at 32 cores
-    pts = pages.select("url", lat.alias("lat"), lon.alias("lon"))
+    pts = pages.select(*extra, "url", lat.alias("lat"), lon.alias("lon"))
     joined = pip_join(pts, list(default_layer()), index_level=index_level)
     finest = levels[0]
     tiles = tile_agg(
         joined.withColumn("cell", UF.latlon_to_cell("lat", "lon", finest)),
         salt_by="url",
         salt_buckets=salt_buckets,
+        extra_keys=extra,
     )
-    return pyramid(tiles, list(levels), sum_cols=("cnt",))
+    return pyramid(tiles, list(levels), sum_cols=("cnt",), extra_keys=extra)
 
 
 def flagship(spark: SparkSession, sf_dir: str, level: int = 8) -> DataFrame:

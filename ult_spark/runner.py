@@ -1,10 +1,18 @@
 """Resumable batch runner (SURVEY §3 E1) — the spark-submit entry point.
 
 Work is split into B deterministic **units** by ``pmod(xxhash64(url), B)``;
-each unit runs the pages pipeline, writes its output as a snapshot, and
-commits atomically. A killed job resumes by skipping committed units
-(exactly-once outputs); per-partition lineage rows land in
-``<out>/_lineage`` for every unit (BASELINE.json north_star).
+a killed job resumes by skipping committed units (exactly-once outputs);
+per-partition lineage rows land in ``<out>/_lineage`` for every unit
+(BASELINE.json north_star).
+
+SINGLE-SCAN design (round-2 verdict #1: the per-unit loop re-filtered the
+whole pages table once per bucket, so a B-bucket run read the input B times
+— at 100 TB that is 800 TB of I/O for B=8). Now the unit id is derived ONCE
+as a column, the pipeline groups by (unit, …) — exact, because units
+partition the input disjointly — and ONE ``partitionBy(unit)`` write lands
+every pending unit's data; manifests then commit per unit atomically. A
+crash mid-commit leaves later units as invisible orphans; the rerun
+recomputes only the uncommitted units (still one scan for all of them).
 
 Run: ``spark-submit --py-files ult_spark.zip -m ult_spark.runner <pages>
 <out_table> [--buckets B] [--run-id R]`` — or call :func:`run_job`.
@@ -21,6 +29,28 @@ from pyspark.sql import functions as F
 from ult_spark.io import catalog, lineage as L
 
 
+def _unit_name(b: int) -> str:
+    return f"b{b:04d}"
+
+
+def units_plan(
+    pages: DataFrame,
+    pending: list[str],
+    buckets: int,
+    levels: tuple[int, ...] = (12, 10, 8),
+) -> DataFrame:
+    """The ONE lazy plan that computes every pending unit's pipeline output,
+    tagged by a ``unit`` column. Exposed separately so tests can assert the
+    plan scans the input exactly once regardless of len(pending)."""
+    from ult_spark.pipeline import pages_pipeline
+
+    unit = F.format_string("b%04d", F.pmod(F.xxhash64("url"), F.lit(buckets)).cast("int"))
+    part = pages.withColumn("unit", unit)
+    if len(pending) < buckets:
+        part = part.where(F.col("unit").isin(pending))
+    return pages_pipeline(part, levels=levels, unit_col="unit")
+
+
 def run_job(
     spark: SparkSession,
     pages: DataFrame,
@@ -30,27 +60,31 @@ def run_job(
     levels: tuple[int, ...] = (12, 10, 8),
     fail_after: int | None = None,
 ) -> list[str]:
-    """Process all uncommitted units; returns the units committed this run.
+    """Process all uncommitted units in ONE input scan; returns the units
+    committed this run.
 
     ``fail_after``: test hook — raise after committing that many units to
-    simulate a mid-job crash (resume test, SURVEY §5.7).
+    simulate a mid-job crash (resume test, SURVEY §5.7). Data for the
+    remaining units is already written but uncommitted (invisible orphans);
+    the rerun recomputes and rewrites them under its own run_id.
     """
-    from ult_spark.pipeline import pages_pipeline
-
     run_id = run_id or uuid.uuid4().hex[:12]
     done = catalog.committed_units(out_table)
+    pending = [u for b in range(buckets) if (u := _unit_name(b)) not in done]
+    if not pending:
+        return []
+    tiles = units_plan(pages, pending, buckets, levels)
+    tiles_m, acc = L.instrumented(tiles, unit_col="unit")
+    manifests = catalog.write_units(tiles_m, out_table, pending, run_id)
     committed: list[str] = []
-    for b in range(buckets):
-        unit = f"b{b:04d}"
-        if unit in done:
-            continue
-        part = pages.where(F.pmod(F.xxhash64("url"), F.lit(buckets)) == b)
-        tiles = pages_pipeline(part, levels=levels)
-        tiles_m, acc = L.instrumented(tiles)
-        manifest = catalog.write_snapshot(tiles_m, out_table, unit, run_id)
+    for unit in pending:
+        catalog.commit_unit(out_table, manifests[unit])
+        metrics = {
+            pid: v for (pid, u), v in acc.value.items() if u == unit
+        }
         L.emit_lineage(
             spark, f"{out_table}/_lineage", run_id, unit,
-            manifest.get("snapshot_id", 0), acc.value,
+            manifests[unit].get("snapshot_id", 0), metrics,
         )
         committed.append(unit)
         if fail_after is not None and len(committed) >= fail_after:
