@@ -280,21 +280,55 @@ def jaccard_pairs_from_sets(
     )
 
 
+def collapse_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Collapse identical-text groups to one representative row (round-2
+    verdict #7): (doc_id = min id of the group, text, _members = sorted
+    member ids). Identical texts share every LSH band, so leaving them in
+    makes any band self-join quadratic in cluster size for pairs the
+    collapse answers for free."""
+    return df.groupBy(F.md5(F.col(text)).alias("_g")).agg(
+        F.min(id_col).alias("doc_id"),
+        F.sort_array(F.collect_list(id_col)).alias("_members"),
+        F.first(text).alias("text"),
+    )
+
+
+def _expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame, val_cols: list[str]) -> DataFrame:
+    """Re-expand representative-level near-dup pairs to all cross-group
+    member pairs. Exact: every member shares its representative's text,
+    hence its signature/shingle set, hence the pair's verify values."""
+    ma = groups.select(F.col("doc_id").alias("a"), F.col("_members").alias("_ma"))
+    mb = groups.select(F.col("doc_id").alias("b"), F.col("_members").alias("_mb"))
+    return (
+        rep_pairs.join(ma, "a").join(mb, "b")
+        .select(F.explode("_ma").alias("_xa"), "_mb", *val_cols)
+        .select("_xa", F.explode("_mb").alias("_xb"), *val_cols)
+        .select(
+            F.least("_xa", "_xb").alias("a"),
+            F.greatest("_xa", "_xb").alias("b"),
+            *val_cols,
+        )
+    )
+
+
 def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
-    """Full near-dup pipeline: shingle → minhash → band → candidate pairs →
-    exact Jaccard verify ≥ threshold.
+    """Full near-dup pipeline: exact-dup pre-collapse → shingle → minhash →
+    band → candidate pairs → exact Jaccard verify ≥ threshold → re-expand.
 
-    Operational note for corpus scale: run :func:`dedup_exact` FIRST and
-    keep one representative per identical-text group — exact-duplicate
-    clusters share every band bucket, so leaving them in makes the bucket
-    self-join quadratic in cluster size for pairs that exact dedup already
-    answers.
+    Round-2 verdict #7: identical-text groups are collapsed to ONE
+    representative BEFORE the band join (exact-duplicate clusters share
+    every band bucket, so the bucket self-join was quadratic in cluster
+    size), then pairs re-expand exactly afterwards: within-group pairs are
+    (sz, 10000) by definition of identity, cross-group pairs inherit the
+    representative pair's verify values. Result-identical to the uncollapsed
+    plan — the DuckDB oracle is unchanged and stays hash-green.
 
-    Shuffle budget (the 100 TB shape): one groupBy for the signatures, one
-    for the docsets (both keyed by doc id over per-doc-distinct shingles);
-    the band self-join shuffles by band key (md5-uniform); pair dedup + the
-    two docset joins shuffle by doc id. Nothing is EVER keyed on a raw
-    shingle.
+    Shuffle budget (the 100 TB shape): one groupBy for the collapse (keyed
+    by text md5), one for the signatures, one for the docsets (both keyed
+    by rep id over per-doc-distinct shingles); the band self-join shuffles
+    by band key (md5-uniform, now cluster-free); pair dedup + the two
+    docset joins shuffle by rep id. Nothing is EVER keyed on a raw shingle,
+    and no identical-text pair ever reaches a shuffle.
 
     Raw docs go through ONE upfront exchange with an EXPLICIT partition
     count (AQE would coalesce by byte size, but shingle construction is
@@ -303,12 +337,31 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     reuse that exchange; the md5 double-hash stays in a codegen'd groupBy
     aggregate where CSE shares the md5 across the 16 min expressions."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    sh = shingles(df.repartition(n_part))
+    groups = collapse_exact(df.repartition(n_part))
+    reps = groups.select("doc_id", "text")
+    sh = shingles(reps)
     cand = lsh_candidates(minhash_signature(sh))
     docsets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
     )
-    return jaccard_pairs_from_sets(docsets, cand, threshold)
+    rep_pairs = jaccard_pairs_from_sets(docsets, cand, threshold)
+    cross = _expand_group_pairs(rep_pairs, groups, ["inter", "jacc_e4"])
+    # within-group pairs: identical texts ⇒ inter = the group's distinct-
+    # shingle count, jaccard = 1 exactly; groups whose text yields no
+    # shingle produce no signature and no pairs (inner join drops them)
+    within = (
+        groups.join(docsets.select("doc_id", "sz"), "doc_id")
+        .select(F.explode("_members").alias("_xa"), "_members", "sz")
+        .select("_xa", F.explode("_members").alias("_xb"), "sz")
+        .where(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias("a"),
+            F.col("_xb").alias("b"),
+            F.col("sz").cast("long").alias("inter"),
+            F.lit(10000).cast("long").alias("jacc_e4"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_sql(threshold: float = 0.2) -> str:
@@ -403,10 +456,18 @@ def simhash_near_dup(
     one chunk (pigeonhole), so the (chunk_idx, chunk_value) equi-join loses
     nothing and the verify is a cheap bit_count(xor). One signature pass +
     one band-keyed shuffle — the simhash analog of the MinHash-LSH plan.
+
+    Round-2 verdict #7: identical-text groups collapse to one
+    representative BEFORE the chunk self-join (identical texts share every
+    chunk, so the join was quadratic in exact-dup cluster size) and pairs
+    re-expand exactly afterwards: within-group pairs have hamming 0,
+    cross-group pairs inherit the representative pair's hamming (identical
+    text ⇒ identical simhash). Result-identical; oracle unchanged.
     """
     if max_hamming > 3:
         raise ValueError("4x8-bit banding is exact only for max_hamming <= 3")
-    sig = simhash(df, id_col=id_col, text=text)
+    groups = collapse_exact(df, id_col=id_col, text=text)
+    sig = simhash(groups, id_col="doc_id", text="text")
     chunks = F.explode(
         F.array(
             *[
@@ -424,13 +485,28 @@ def simhash_near_dup(
     l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "j", "v")
     r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "j", "v")
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
+    rep_pairs = (
         l.join(r, ["j", "v"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", ham.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    cross = _expand_group_pairs(rep_pairs, groups, ["hamming"])
+    # within-group: identical texts ⇒ hamming 0; token-less docs have no
+    # signature and therefore no pairs (semi join drops their groups)
+    within = (
+        groups.join(sig.select("doc_id"), "doc_id", "left_semi")
+        .select(F.explode("_members").alias("_xa"), "_members")
+        .select("_xa", F.explode("_members").alias("_xb"))
+        .where(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias("a"),
+            F.col("_xb").alias("b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def simhash_near_dup_sql(max_hamming: int = 3) -> str:
