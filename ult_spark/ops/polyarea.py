@@ -1,0 +1,363 @@
+"""Polygon–polygon intersection AREA (round-2 verdict #4: boolean
+intersects — ops/polyjoin.py — was the only overlay primitive).
+
+Exact-area rule (pinned, IEEE-deterministic, mirrored term-for-term in the
+DuckDB oracle):
+
+By Green's theorem, ``area(A ∩ B) = ∮_{∂(A∩B)} x dy``, and the boundary of
+the intersection is (portions of ∂A inside B) ∪ (portions of ∂B inside A).
+Each edge is split at its PROPER crossings with the other polygon's edges
+(the same strict orientation sign tests as ops/polyjoin.py); each
+sub-segment is entirely inside or outside, decided by the pinned even-odd
+ray-cast of its midpoint (geom/pip.py rule). A sub-segment [t0, t1] of the
+edge (x1,y1)→(x2,y2) contributes ``dy·(x1·(t1−t0) + dx·(t1²−t0²)/2)``,
+weighted 1 strictly inside, ½ when its midpoint lies exactly ON the clip
+boundary (the classic half-weight rule: coincident boundary segments are
+traversed once per direction pass, so same-side overlaps sum to full
+weight and mere touchings cancel), 0 outside.
+
+Orientation: contributions assume outer rings CCW and holes CW. The layer
+data winds every ring CCW, so each edge carries a ±1 multiplier computed
+ON THE DRIVER when packing the layer (ring shoelace sign × even-odd ring
+depth) — the same place the PIP broadcast index is built.
+
+Determinism across engines: every per-edge quantity is row-local HOF
+arithmetic over the packed edge arrays — crossing parameters are sorted
+ascending, the sub-segment sum is a LEFT FOLD over that fixed order
+(Spark ``aggregate`` ≡ DuckDB ``list_reduce``), and each edge's float
+contribution is floored at 1e6 BEFORE the per-pair integer sum, so no
+float addition ever crosses a partition boundary. Output ``area_e6`` is
+therefore pinned to the quantization (error ≤ n_edges µdeg²; the driver
+hash-compare is exact).
+
+Plan shape (the 100 TB story): candidate pairs from the compacted cell
+cover (equi-join, no geometry shuffle), then ONE join attaches both
+polygons' packed arrays to each pair row; clipping, parity and the area
+fold are all row-local native expressions — no UDF, no per-edge shuffle.
+Boundary-degenerate inputs (shared edge segments, vertex-on-edge) fall on
+the strict-inequality side of the pinned rules; both engines agree by
+construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ult_spark.geom.polyio import PackedPolygon
+from ult_spark.ops.pip import DEFAULT_INDEX_LEVEL, _index_rows
+
+AREA_Q = 1_000_000  # per-edge contribution quantization (pinned)
+
+
+def _ring_sign(xs: np.ndarray, ys: np.ndarray) -> int:
+    """Shoelace orientation: +1 CCW, -1 CW (0-area rings count as CCW)."""
+    s = float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys))
+    return -1 if s < 0 else 1
+
+
+def _point_in_ring(px: float, py: float, xs: np.ndarray, ys: np.ndarray) -> bool:
+    """Pinned even-odd crossing rule (geom/pip.py) for ring-depth tests."""
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    straddle = (ys > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - xs) * (py - ys) / (y2 - ys) + xs
+    return bool(np.sum(straddle & (px < xint)) % 2 == 1)
+
+
+def oriented_edges(p: PackedPolygon) -> tuple[list, list, list, list, list]:
+    """(x1, y1, x2, y2, orient) over all ring edges; orient flips a ring to
+    its even-odd role — outer (even depth) CCW, hole (odd depth) CW —
+    regardless of how the data winds it."""
+    rings = [
+        (p.xs[p.ring_offsets[r] : p.ring_offsets[r + 1]],
+         p.ys[p.ring_offsets[r] : p.ring_offsets[r + 1]])
+        for r in range(len(p.ring_offsets) - 1)
+    ]
+    x1s, y1s, x2s, y2s, os_ = [], [], [], [], []
+    for r, (rx, ry) in enumerate(rings):
+        depth = sum(
+            _point_in_ring(float(rx[0]), float(ry[0]), ox, oy)
+            for q, (ox, oy) in enumerate(rings)
+            if q != r
+        )
+        desired = 1 if depth % 2 == 0 else -1
+        m = float(desired * _ring_sign(rx, ry))
+        x1s.extend(float(v) for v in rx)
+        y1s.extend(float(v) for v in ry)
+        x2s.extend(float(v) for v in np.roll(rx, -1))
+        y2s.extend(float(v) for v in np.roll(ry, -1))
+        os_.extend([m] * len(rx))
+    return x1s, y1s, x2s, y2s, os_
+
+
+def _packed_rows(polys: list[PackedPolygon], idc: str) -> list[tuple]:
+    return [(p.poly_id, *oriented_edges(p)) for p in polys]
+
+
+def _arrays_df(spark: SparkSession, polys, idc: str, pre: str) -> DataFrame:
+    schema = (
+        f"{idc} long, {pre}x1 array<double>, {pre}y1 array<double>, "
+        f"{pre}x2 array<double>, {pre}y2 array<double>, {pre}o array<double>"
+    )
+    return spark.createDataFrame(_packed_rows(polys, idc), schema)
+
+
+def _clipped_area_e6(src: str, clip: str) -> Column:
+    """Σ over ``src`` edges of floor(1e6 × clipped Green contribution inside
+    the ``clip`` polygon) — one nested-HOF Column over the packed arrays.
+
+    ``src``/``clip`` are the column prefixes (e.g. 'a', 'b')."""
+
+    def sx1(i):
+        return F.element_at(f"{src}x1", i + 1)
+
+    def sy1(i):
+        return F.element_at(f"{src}y1", i + 1)
+
+    def sx2(i):
+        return F.element_at(f"{src}x2", i + 1)
+
+    def sy2(i):
+        return F.element_at(f"{src}y2", i + 1)
+
+    cidx = F.sequence(F.lit(0), F.size(f"{clip}x1") - 1)
+
+    def cross_t(i, j):
+        """Crossing parameter along src edge i for clip edge j, else NULL.
+        Same strict proper-crossing predicate as ops/polyjoin.py."""
+        ax1, ay1, ax2, ay2 = sx1(i), sy1(i), sx2(i), sy2(i)
+        bx1 = F.element_at(f"{clip}x1", j + 1)
+        by1 = F.element_at(f"{clip}y1", j + 1)
+        bx2 = F.element_at(f"{clip}x2", j + 1)
+        by2 = F.element_at(f"{clip}y2", j + 1)
+        d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        crosses = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+        denom = (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)
+        t = ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / denom
+        return F.when(crosses, t)
+
+    def inside_clip(mx, my):
+        """Even-odd parity of midpoint vs the clip polygon (pinned rule)."""
+        def hit(j):
+            bx1 = F.element_at(f"{clip}x1", j + 1)
+            by1 = F.element_at(f"{clip}y1", j + 1)
+            bx2 = F.element_at(f"{clip}x2", j + 1)
+            by2 = F.element_at(f"{clip}y2", j + 1)
+            straddle = (by1 > my) != (by2 > my)
+            xint = (bx2 - bx1) * (my - by1) / (by2 - by1) + bx1
+            return straddle & (mx < xint)
+
+        return F.size(F.filter(cidx, hit)) % 2 == 1
+
+    def on_clip_boundary(mx, my):
+        """Midpoint exactly ON a clip edge (collinear + within bbox). Such
+        sub-segments are weighted ½: a boundary segment shared by both
+        polygons is traversed once per direction pass, so ½ + ½ = 1 when
+        both regions lie on the same side (coincident boundaries) and
+        +½ − ½ = 0 when they lie on opposite sides (mere touching) — the
+        classic half-weight rule for degenerate overlays."""
+        def on(j):
+            bx1 = F.element_at(f"{clip}x1", j + 1)
+            by1 = F.element_at(f"{clip}y1", j + 1)
+            bx2 = F.element_at(f"{clip}x2", j + 1)
+            by2 = F.element_at(f"{clip}y2", j + 1)
+            coll = (bx2 - bx1) * (my - by1) - (by2 - by1) * (mx - bx1) == 0.0
+            inx = (F.least(bx1, bx2) <= mx) & (mx <= F.greatest(bx1, bx2))
+            iny = (F.least(by1, by2) <= my) & (my <= F.greatest(by1, by2))
+            return coll & inx & iny
+
+        return F.size(F.filter(cidx, on)) > 0
+
+    def edge_contrib_e6(i):
+        x1, y1 = sx1(i), sy1(i)
+        dx, dy = sx2(i) - x1, sy2(i) - y1
+        ts = F.filter(F.transform(cidx, lambda j: cross_t(i, j)), lambda t: t.isNotNull())
+        bounds = F.array_sort(F.concat(F.array(F.lit(0.0), F.lit(1.0)), ts))
+        segs = F.sequence(F.lit(0), F.size(bounds) - 2)
+
+        def seg_val(k):
+            t0 = F.element_at(bounds, k + 1)
+            t1 = F.element_at(bounds, k + 2)
+            tm = (t0 + t1) / 2
+            mx, my = x1 + tm * dx, y1 + tm * dy
+            c = dy * (x1 * (t1 - t0) + dx * (t1 * t1 - t0 * t0) / 2)
+            w = (
+                F.when(on_clip_boundary(mx, my), F.lit(0.5))
+                .when(inside_clip(mx, my), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+            )
+            return w * c
+
+        # LEFT FOLD in bound order — DuckDB list_reduce mirrors it exactly
+        total = F.aggregate(
+            F.transform(segs, seg_val), F.lit(0.0), lambda acc, v: acc + v
+        )
+        return F.floor(total * F.element_at(f"{src}o", i + 1) * AREA_Q).cast("long")
+
+    sidx = F.sequence(F.lit(0), F.size(f"{src}x1") - 1)
+    return F.aggregate(
+        F.transform(sidx, edge_contrib_e6),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def poly_intersect_area(
+    spark: SparkSession,
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """(a_id, b_id, area_e6) for every pair with positive intersection area
+    (pairs touching only at boundary measure-zero sets quantize to ≤ 0 and
+    are dropped — pinned)."""
+    ca = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)],
+        "cell long, a_id long",
+    )
+    cb = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)],
+        "cell long, b_id long",
+    )
+    cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
+    ea = _arrays_df(spark, layer_a, "a_id", "a")
+    eb = _arrays_df(spark, layer_b, "b_id", "b")
+    area = _clipped_area_e6("a", "b") + _clipped_area_e6("b", "a")
+    return (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .withColumn("area_e6", area)
+        .where(F.col("area_e6") > 0)
+        .select("a_id", "b_id", "area_e6")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle mirror — same packed arrays inlined as VALUES list literals,
+# same clipping/fold structure via list comprehensions + list_reduce.
+
+
+def _list_lit(vals: list[float]) -> str:
+    # ::DOUBLE[] is load-bearing: DuckDB types bare decimal literals as
+    # DECIMAL and computes EXACT decimal arithmetic on them, which diverges
+    # from Spark's IEEE doubles in the last ulp — enough to flip a floor()
+    return "[" + ",".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _arrays_values(polys: list[PackedPolygon], alias: str, idc: str, pre: str) -> str:
+    rows = []
+    for p in polys:
+        x1, y1, x2, y2, o = oriented_edges(p)
+        rows.append(
+            f"({p.poly_id},{_list_lit(x1)},{_list_lit(y1)},"
+            f"{_list_lit(x2)},{_list_lit(y2)},{_list_lit(o)})"
+        )
+    cols = f"{idc}, {pre}x1, {pre}y1, {pre}x2, {pre}y2, {pre}o"
+    return f"(VALUES {','.join(rows)}) AS {alias}({cols})"
+
+
+def _direction_ctes(tag: str, sid: str, cid: str, sal: str, cal: str,
+                    spre: str, cpre: str) -> str:
+    """CTE chain for one clip direction: ``sal`` (source layer VALUES alias,
+    prefix ``spre``) clipped against ``cal`` (prefix ``cpre``). Emits
+    ``{tag}pair(a_id, b_id, s{tag})``. Arithmetic mirrors
+    :func:`_clipped_area_e6` term-for-term (same op order → IEEE-equal).
+
+    Generic scalar names: (ex1, ey1, ex2, ey2) = source edge, (cx1, cy1,
+    cx2, cy2) = clip edge — extracted from the packed arrays in staged CTEs
+    because DuckDB's generate_series table function cannot lateral-correlate
+    (unnest a per-row series first, extract scalars next)."""
+    cx1, cy1 = f"{cpre}x1[j]", f"{cpre}y1[j]"
+    cx2, cy2 = f"{cpre}x2[j]", f"{cpre}y2[j]"
+    crosses = (
+        f"(({cx2} - {cx1}) * (ey1 - {cy1}) - ({cy2} - {cy1}) * (ex1 - {cx1}) > 0) "
+        f"!= (({cx2} - {cx1}) * (ey2 - {cy1}) - ({cy2} - {cy1}) * (ex2 - {cx1}) > 0) "
+        f"AND ((ex2 - ex1) * ({cy1} - ey1) - (ey2 - ey1) * ({cx1} - ex1) > 0) "
+        f"!= ((ex2 - ex1) * ({cy2} - ey1) - (ey2 - ey1) * ({cx2} - ex1) > 0)"
+    )
+    t = (
+        f"(({cx1} - ex1) * ({cy2} - {cy1}) - ({cy1} - ey1) * ({cx2} - {cx1})) / "
+        f"((ex2 - ex1) * ({cy2} - {cy1}) - (ey2 - ey1) * ({cx2} - {cx1}))"
+    )
+    # crossing parameters as a row-local lambda program over the clip arrays
+    # (a lateral-unnest formulation trips a DuckDB binder bug when filtered)
+    ts = (
+        f"list_filter(list_transform(generate_series(1, len({cpre}x1)), "
+        f"j -> CASE WHEN {crosses} THEN {t} ELSE NULL END), x -> x IS NOT NULL)"
+    )
+    # parity of the midpoint (mx, my) vs the clip arrays — single-level
+    # comprehension over the clip polygon's packed edge arrays
+    bx1, by1 = f"{cpre}x1[j]", f"{cpre}y1[j]"
+    bx2, by2 = f"{cpre}x2[j]", f"{cpre}y2[j]"
+    par = (
+        f"len([j for j in generate_series(1, len({cpre}x1)) "
+        f"if (({by1} > my) != ({by2} > my)) "
+        f"AND mx < ({bx2} - {bx1}) * (my - {by1}) / ({by2} - {by1}) + {bx1}]) % 2 = 1"
+    )
+    # half-weight rule: midpoint exactly ON a clip edge (collinear + bbox)
+    onb = (
+        f"len([j for j in generate_series(1, len({cpre}x1)) "
+        f"if ({bx2} - {bx1}) * (my - {by1}) - ({by2} - {by1}) * (mx - {bx1}) = 0.0::DOUBLE "
+        f"AND least({bx1}, {bx2}) <= mx AND mx <= greatest({bx1}, {bx2}) "
+        f"AND least({by1}, {by2}) <= my AND my <= greatest({by1}, {by2})]) > 0"
+    )
+    c = (
+        "(ey2 - ey1) * (ex1 * (t1 - t0) + (ex2 - ex1) * (t1 * t1 - t0 * t0) / 2)"
+    )
+    return (
+        # one row per (pair, source edge)
+        f"{tag}bi AS (SELECT c.a_id, c.b_id, s.{spre}x1, s.{spre}y1, s.{spre}x2, "
+        f"s.{spre}y2, s.{spre}o, unnest(generate_series(1, len(s.{spre}x1))) AS i "
+        f"FROM cand c JOIN {sal} s USING ({sid})), "
+        f"{tag}base AS (SELECT a_id, b_id, i, {spre}x1[i] AS ex1, {spre}y1[i] AS ey1, "
+        f"{spre}x2[i] AS ex2, {spre}y2[i] AS ey2, {spre}o[i] AS eo FROM {tag}bi), "
+        # bounds: [0, 1] ∪ sorted proper-crossing parameters (row-local)
+        f"{tag}bo AS (SELECT b.*, list_sort(list_concat([0.0, 1.0]::DOUBLE[], {ts})) AS bo "
+        f"FROM {tag}base b JOIN {cal} cl USING ({cid})), "
+        # sub-segments with midpoints (same two-stage unnest)
+        f"{tag}sk AS (SELECT *, unnest(generate_series(1, len(bo) - 1)) AS k FROM {tag}bo), "
+        f"{tag}seg AS (SELECT a_id, b_id, i, eo, k, ex1, ey1, ex2, ey2, "
+        f"bo[k] AS t0, bo[k + 1] AS t1 FROM {tag}sk), "
+        f"{tag}mid AS (SELECT *, ex1 + ((t0 + t1) / 2) * (ex2 - ex1) AS mx, "
+        f"ey1 + ((t0 + t1) / 2) * (ey2 - ey1) AS my FROM {tag}seg), "
+        f"{tag}val AS (SELECT m.a_id, m.b_id, m.i, m.eo, m.k, "
+        f"(CASE WHEN {onb} THEN 0.5::DOUBLE WHEN {par} THEN 1.0::DOUBLE "
+        f"ELSE 0.0::DOUBLE END) * ({c}) AS v "
+        f"FROM {tag}mid m JOIN {cal} cl USING ({cid})), "
+        # LEFT FOLD over k order, floor per edge, integer sum per pair
+        f"{tag}edge AS (SELECT a_id, b_id, i, CAST(floor(list_reduce("
+        "list_prepend(0.0::DOUBLE, list(v ORDER BY k)), (acc, vv) -> acc + vv) "
+        f"* any_value(eo) * {AREA_Q}) AS BIGINT) AS e6 FROM {tag}val GROUP BY 1, 2, 3), "
+        f"{tag}pair AS (SELECT a_id, b_id, CAST(sum(e6) AS BIGINT) AS s{tag} "
+        f"FROM {tag}edge GROUP BY 1, 2)"
+    )
+
+
+def poly_intersect_area_sql(
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> str:
+    def _vals(rows, alias, cols):
+        body = ",".join("(" + ",".join(repr(v) for v in r) + ")" for r in rows)
+        return f"(VALUES {body}) AS {alias}({cols})"
+
+    ca = _vals([(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)], "ca", "cell, a_id")
+    cb = _vals([(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)], "cb", "cell, b_id")
+    ea = _arrays_values(layer_a, "ea", "a_id", "a")
+    eb = _arrays_values(layer_b, "eb", "b_id", "b")
+    return (
+        f"WITH cand AS (SELECT DISTINCT a_id, b_id FROM {ca} JOIN {cb} USING (cell)), "
+        f"ea AS (SELECT * FROM {ea}), eb AS (SELECT * FROM {eb}), "
+        + _direction_ctes("a", "a_id", "b_id", "ea", "eb", "a", "b")
+        + ", "
+        + _direction_ctes("b", "b_id", "a_id", "eb", "ea", "b", "a")
+        + " SELECT a_id, b_id, CAST(coalesce(sa, 0) + coalesce(sb, 0) AS BIGINT) AS area_e6 "
+        "FROM cand LEFT JOIN apair USING (a_id, b_id) LEFT JOIN bpair USING (a_id, b_id) "
+        "WHERE coalesce(sa, 0) + coalesce(sb, 0) > 0"
+    )

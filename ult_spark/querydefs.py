@@ -379,6 +379,30 @@ def poly_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly_intersect_join(spark, a, shifted_layer(a, 2.0, 3.0))
 
 
+@q("poly_intersect_area", None)
+def poly_intersect_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay beyond boolean intersects (round-2 verdict #4): exact
+    Green's-theorem intersection area over clipped edges, quantized per edge
+    at 1e6 (ops/polyarea.py pinned rule), same two deterministic layers as
+    poly_intersect."""
+    from ult_spark.geom.polyio import default_layer, shifted_layer
+    from ult_spark.ops.polyarea import poly_intersect_area
+
+    a = list(default_layer())
+    return poly_intersect_area(spark, a, shifted_layer(a, 2.0, 3.0))
+
+
+def _attach_poly_area_oracle() -> None:
+    from ult_spark.geom.polyio import default_layer, shifted_layer
+    from ult_spark.ops.polyarea import poly_intersect_area_sql
+
+    a = list(default_layer())
+    ORACLES["poly_intersect_area"] = poly_intersect_area_sql(a, shifted_layer(a, 2.0, 3.0))
+
+
+_attach_poly_area_oracle()
+
+
 def _attach_poly_intersect_oracle() -> None:
     from ult_spark.geom.polyio import default_layer, shifted_layer
     from ult_spark.ops.polyjoin import poly_intersect_sql
