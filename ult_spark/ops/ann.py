@@ -269,6 +269,52 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    data: DataFrame, n_lists: int = 16, rounds: int = 2, vid: str = "vec_id"
+) -> DataFrame:
+    """(cid, cv) centroids after ``rounds`` Lloyd iterations of integer
+    k-means, seeded by the pinned smallest-id centroids (round-2 verdict #5:
+    pinned centroids give sound partitioning but poor recall on clustered
+    corpora).
+
+    ONE LAZY PLAN (CLAUDE.md r2 kNN lesson): the Python loop only CHAINS
+    DataFrames — no per-round driver action; nothing executes until the
+    caller's plan runs. Each round is: broadcast-crossJoin assignment
+    (argmax integer dot via max_by — map-side combinable), then an exact
+    integer mean per (list, dim): floor(Σv / n) on 56-bit-safe sums, arrays
+    rebuilt by dim-sorted collect_list. Every step is order-free integer
+    arithmetic, so trained centroids are exactly reproducible in DuckDB.
+    Lists that lose all members drop out (deterministic)."""
+    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    cents = _ivf_centroids(vecs, n_lists, vid)
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    key = F.struct(F.col("_dot").alias("d"), (-F.col("cid")).alias("nc"))
+    for _ in range(rounds):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("_dot", dot)
+            .groupBy(vid)
+            # qv is constant per vid — any_value avoids a second join back
+            .agg(F.max_by("cid", key).alias("cid"), F.any_value("qv").alias("qv"))
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("d", "v"))
+            .groupBy("cid", "d")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            sums.withColumn(
+                "m", F.floor(F.col("s").cast("double") / F.col("n")).cast("long")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda x: x["m"]).alias("cv"))
+        )
+    return cents
+
+
 def ann_ivf_topk(
     data: DataFrame,
     query_ids: list[int],
@@ -276,13 +322,17 @@ def ann_ivf_topk(
     n_lists: int = 16,
     nprobe: int = 4,
     vid: str = "vec_id",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: each query probes its ``nprobe`` nearest centroid lists;
-    exact integer-quantized dot re-ranks the probed lists' members."""
+    exact integer-quantized dot re-ranks the probed lists' members.
+    ``cents``: swap in trained centroids (:func:`ivf_train`); default = the
+    pinned smallest-id seeds."""
     vecs = data.select(F.col(vid), _quantized().alias("qv"))
     # ONE centroid derivation shared by probes and assignment (self-review
     # #5: two identical TakeOrderedAndProject scans of the corpus before)
-    cents = _ivf_centroids(vecs, n_lists, vid)
+    if cents is None:
+        cents = _ivf_centroids(vecs, n_lists, vid)
     assigned = ivf_assign(data, n_lists, vid, cents=cents)
     qvecs = vecs.where(F.col(vid).isin(query_ids)).select(
         F.col(vid).alias("qid"), F.col("qv").alias("qvec")
@@ -317,14 +367,45 @@ def ann_ivf_topk(
     )
 
 
+def _ivf_train_ctes(n_lists: int, rounds: int) -> str:
+    """CTE chain mirroring :func:`ivf_train`: cents0 = pinned seeds, then
+    ``rounds`` Lloyd iterations; the final CTE is named ``cents``."""
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT {n_lists})"
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        assign = (
+            f"a{r} AS (SELECT vec_id, cid FROM ("
+            "SELECT qv.vec_id, cid, row_number() OVER (PARTITION BY qv.vec_id ORDER BY "
+            "list_sum(list_transform(list_zip(v, cv), p -> p[1] * p[2])) DESC, cid ASC) AS rk "
+            f"FROM qv, {prev}) WHERE rk = 1)"
+        )
+        sums = (
+            f"s{r} AS (SELECT cid, d.i AS d, CAST(sum(v[d.i]) AS BIGINT) AS s, count(*) AS n "
+            f"FROM a{r} JOIN qv USING (vec_id), generate_series(1, {DIM}) d(i) GROUP BY 1, 2)"
+        )
+        cname = "cents" if r == rounds else f"c{r}"
+        mean = (
+            f"{cname} AS (SELECT cid, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY d) AS cv "
+            f"FROM s{r} GROUP BY cid)"
+        )
+        parts.extend([assign, sums, mean])
+        prev = cname
+    if rounds == 0:
+        parts[0] = parts[0].replace("c0 AS", "cents AS")
+    return ", ".join(parts)
+
+
 def ann_ivf_topk_sql(
-    query_ids: list[int], k: int = 5, n_lists: int = 16, nprobe: int = 4
+    query_ids: list[int], k: int = 5, n_lists: int = 16, nprobe: int = 4,
+    rounds: int = 0,
 ) -> str:
     ids = ", ".join(str(i) for i in query_ids)
     return (
         f"WITH qv AS (SELECT vec_id, [CAST(floor(x::DOUBLE * {Q}) AS BIGINT) for x in embedding] AS v "
         "FROM embeddings), "
-        f"cents AS (SELECT vec_id AS cid, v AS cv FROM qv ORDER BY vec_id LIMIT {n_lists}), "
+        f"{_ivf_train_ctes(n_lists, rounds)}, "
         "assign AS (SELECT vec_id, cid AS list_id FROM ("
         "SELECT qv.vec_id, cents.cid, row_number() OVER (PARTITION BY qv.vec_id ORDER BY "
         "list_sum(list_transform(list_zip(v, cv), p -> p[1] * p[2])) DESC, cid ASC) AS rk "

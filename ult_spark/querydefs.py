@@ -851,11 +851,23 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5)
 
 
+@q("ann_ivf_trained", None)
+def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (round-2 verdict #5): 2 Lloyd rounds of
+    integer k-means chained as one lazy plan (ops/ann.py ivf_train), then
+    the same nprobe/re-rank plan as ann_ivf_topk."""
+    from ult_spark.ops.ann import ann_ivf_topk, ivf_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, ANN_QUERY_IDS, k=5, cents=ivf_train(emb, rounds=2))
+
+
 def _attach_ann_oracles() -> None:
     from ult_spark.ops.ann import ann_ivf_topk_sql, ann_lsh_topk_sql
 
     ORACLES["ann_lsh_topk"] = ann_lsh_topk_sql(ANN_QUERY_IDS, k=5)
     ORACLES["ann_ivf_topk"] = ann_ivf_topk_sql(ANN_QUERY_IDS, k=5)
+    ORACLES["ann_ivf_trained"] = ann_ivf_topk_sql(ANN_QUERY_IDS, k=5, rounds=2)
 
 
 _attach_ann_oracles()
