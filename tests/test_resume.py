@@ -113,6 +113,41 @@ def test_run_job_scans_input_once(spark, tmp_path):
     assert got.equals(exp[["level", "cell", "cnt"]].astype(got.dtypes.to_dict()))
 
 
+def test_iceberg_branch_routes_writeTo(spark, tmp_path, monkeypatch):
+    """Round-2 verdict #9: with a catalog conf present, write_snapshot /
+    write_units must route to the Iceberg writeTo branch (mocked at the
+    DataFrame boundary — no jar exists offline) instead of the parquet
+    fallback, and report the iceberg backend in their manifests."""
+    calls = []
+
+    class _FakeWriterV2:
+        def __init__(self, table):
+            self.table = table
+
+        def append(self):
+            calls.append(self.table)
+
+    df = spark.range(5).selectExpr("id", "id AS v")
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is the abstract API; classic sessions instantiate a subclass)
+    monkeypatch.setattr(type(df), "writeTo", lambda self, t: _FakeWriterV2(t))
+    spark.conf.set("spark.sql.catalog.ult", "fake.Catalog")
+    try:
+        man = catalog.write_snapshot(df, str(tmp_path / "ice_t"), "u0", "r0")
+        assert man["backend"] == "iceberg"
+        assert calls == ["ult.ice_t"]
+
+        dfu = spark.range(6).selectExpr("id", "pmod(id, 2) AS unit")
+        mans = catalog.write_units(dfu, str(tmp_path / "ice_u"), ["b0", "b1"], "r1")
+        assert {m["backend"] for m in mans.values()} == {"iceberg"}
+        assert calls == ["ult.ice_t", "ult.ice_u"]
+        # no parquet fallback data may exist for either table
+        assert not (tmp_path / "ice_t" / "data").exists()
+        assert not (tmp_path / "ice_u" / "data").exists()
+    finally:
+        spark.conf.unset("spark.sql.catalog.ult")
+
+
 def test_lineage_rows(spark, pages, tmp_path):
     t = str(tmp_path / "lin")
     run_job(spark, pages, t, buckets=2, run_id="r_lin")

@@ -55,6 +55,46 @@ def windowed_tile_counts(
     )
 
 
+def windowed_pip_tile_counts(
+    pages: DataFrame,
+    polys=None,
+    level: int = 8,
+    index_level: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The FULL geo slice through the streaming path (round-2 verdict #8):
+    extract (geotag UDF) → native cell encode → PIP join against the admin
+    layer (the SAME ops/pip.py stage the batch pipeline uses — broadcast
+    compacted index + native HOF refine, stream-side stateless) →
+    watermarked tumbling-window per-(tile, polygon) counts.
+
+    Works identically on a batch DataFrame (F.window is batch-legal), which
+    is what the streaming-equals-batch test asserts."""
+    from ult_spark.extract.text import geotag_udf
+    from ult_spark.ops.pip import pip_join
+
+    if polys is None:
+        from ult_spark.geom.polyio import default_layer
+
+        polys = list(default_layer())
+    geo = geotag_udf()
+    pts = (
+        pages.withColumn("_g", geo(F.col("html")))
+        .select("url", "warc_ts", F.col("_g.lat").alias("lat"), F.col("_g.lon").alias("lon"))
+        .where(F.col("lat").isNotNull())
+    )
+    joined = pip_join(pts, list(polys), index_level=index_level).withColumn(
+        "cell", UF.latlon_to_cell("lat", "lon", level)
+    )
+    return (
+        joined.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "cell", "poly_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "cell", "poly_id", "cnt")
+    )
+
+
 def dedup_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """T6: streaming dedup by url within the watermark."""
     return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
