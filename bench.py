@@ -56,8 +56,10 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     "embedding_near_dup",
     "multimodal_features",
+    "poly_intersect_area",
 ]
 
 
@@ -126,16 +128,30 @@ def main() -> None:
     spark = _session(CPUS)
     qs = E.queries()
     qtimes: dict[str, float] = {}
+    qrows: dict[str, int] = {}
+    qbytes: dict[str, int | None] = {}
     for name in BENCH_QUERIES:
         walls = []
+        out_n = 0
         for _ in range(2):  # min-of-2, plan rebuilt per run (CLAUDE.md:
             # re-collecting the same DF reuses shuffle stages); the first
             # run carries codegen-compile + worker-spawn noise that made
             # round-over-round deltas meaningless at these data sizes
             t0 = time.time()
-            qs[name](spark, SF_DIR).count()
+            out_n = qs[name](spark, SF_DIR).count()
             walls.append(time.time() - t0)
         qtimes[name] = round(min(walls), 3)
+        # per-query input/output volume (round-2 verdict #10): lets a
+        # round-over-round delta distinguish plan changes from data or
+        # methodology changes without reading BASELINE.md prose
+        qrows[name] = int(out_n)
+        try:
+            files = qs[name](spark, SF_DIR).inputFiles()
+            qbytes[name] = sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        except Exception:
+            qbytes[name] = None
     spark.stop()
 
     # round-over-round diff: compare against the newest BENCH_r*.json so a
@@ -173,6 +189,8 @@ def main() -> None:
                 "scaling_efficiency_to_full_box": round(eff_full, 3),
                 "prev_bench": prev_name,
                 "query_deltas_sec": deltas,
+                "query_out_rows": qrows,
+                "query_input_bytes": qbytes,
             }
         )
     )

@@ -551,7 +551,12 @@ def knn_events_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qpts = spark.createDataFrame(KNN_QPTS, "qid long, qlat double, qlon double")
     pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
-    return knn_join(qpts, pts, k=5, did="event_id").select(
+    # explicit start_radius (round-2 ADVICE #3): the None default runs an
+    # eager density count() at plan-construction time; results are exact
+    # under ANY radius, so hot-path queries pin one (1 = the density-derived
+    # value at the bench scale sf0.1; exactness holds at any sf, stragglers
+    # fall to the outer disk or the brute fallback)
+    return knn_join(qpts, pts, k=5, did="event_id", start_radius=1).select(
         "qid", "event_id", "sq_dist", "rk"
     )
 
@@ -583,7 +588,7 @@ def knn_events_k5_m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qpts = spark.createDataFrame(KNN_QPTS, "qid long, qlat double, qlon double")
     pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
-    res = knn_join(qpts, pts, k=5, did="event_id", metric="haversine_m")
+    res = knn_join(qpts, pts, k=5, did="event_id", metric="haversine_m", start_radius=1)
     return res.select(
         "qid",
         "event_id",
@@ -618,7 +623,7 @@ def knn_events_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qpts = spark.createDataFrame(KNN_WRAP_QPTS, "qid long, qlat double, qlon double")
     pts = events_points(spark, sf_dir).select("event_id", "lat", "lon")
-    return knn_join(qpts, pts, k=5, did="event_id", metric="sq_deg_wrap").select(
+    return knn_join(qpts, pts, k=5, did="event_id", metric="sq_deg_wrap", start_radius=1).select(
         "qid", "event_id", "sq_dist", "rk"
     )
 
