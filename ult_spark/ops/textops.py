@@ -337,8 +337,12 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     reuse that exchange; the md5 double-hash stays in a codegen'd groupBy
     aggregate where CSE shares the md5 across the 16 min expressions."""
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    groups = collapse_exact(df.repartition(n_part))
-    reps = groups.select("doc_id", "text")
+    groups = collapse_exact(df)
+    # explicit repartition AFTER the collapse: the agg output is tiny in
+    # BYTES so AQE coalesces it onto ~1 partition, which would serialize
+    # the CPU-bound shingle/minhash md5 stage (CLAUDE.md r2 lesson;
+    # measured +4.4s at sf0.1 when the exchange sat before the collapse)
+    reps = groups.select("doc_id", "text").repartition(n_part)
     sh = shingles(reps)
     cand = lsh_candidates(minhash_signature(sh))
     docsets = sh.groupBy("doc_id").agg(
@@ -467,7 +471,9 @@ def simhash_near_dup(
     if max_hamming > 3:
         raise ValueError("4x8-bit banding is exact only for max_hamming <= 3")
     groups = collapse_exact(df, id_col=id_col, text=text)
-    sig = simhash(groups, id_col="doc_id", text="text")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    # same post-collapse repartition rationale as minhash_lsh_dedup
+    sig = simhash(groups.repartition(n_part), id_col="doc_id", text="text")
     chunks = F.explode(
         F.array(
             *[
