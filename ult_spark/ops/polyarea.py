@@ -6,10 +6,12 @@ DuckDB oracle):
 
 By Green's theorem, ``area(A ∩ B) = ∮_{∂(A∩B)} x dy``, and the boundary of
 the intersection is (portions of ∂A inside B) ∪ (portions of ∂B inside A).
-Each edge is split at its PROPER crossings with the other polygon's edges
-(the same strict orientation sign tests as ops/polyjoin.py); each
-sub-segment is entirely inside or outside, decided by the pinned even-odd
-ray-cast of its midpoint (geom/pip.py rule). A sub-segment [t0, t1] of the
+Each edge is split at every CLOSED-RANGE segment intersection with the
+other polygon's edges — proper crossings AND endpoint/vertex touches, so
+the weight classification below is piecewise-constant per sub-segment
+(zero-width extra splits integrate to exactly 0); each sub-segment is
+then classified by the pinned even-odd ray-cast of its midpoint
+(geom/pip.py rule). A sub-segment [t0, t1] of the
 edge (x1,y1)→(x2,y2) contributes ``dy·(x1·(t1−t0) + dx·(t1²−t0²)/2)``,
 weighted 1 strictly inside, ½ when its midpoint lies exactly ON the clip
 boundary (the classic half-weight rule: coincident boundary segments are
@@ -125,21 +127,31 @@ def _clipped_area_e6(src: str, clip: str) -> Column:
     cidx = F.sequence(F.lit(0), F.size(f"{clip}x1") - 1)
 
     def cross_t(i, j):
-        """Crossing parameter along src edge i for clip edge j, else NULL.
-        Same strict proper-crossing predicate as ops/polyjoin.py."""
+        """Split parameter along src edge i for clip edge j, else NULL.
+
+        CLOSED-range line-segment intersection (t ∈ [0,1] AND u ∈ [0,1]),
+        NOT just proper crossings: endpoint/vertex touches must also split
+        the source edge, because the sub-segment WEIGHT (inside / ½
+        on-boundary / outside) is only piecewise-constant between such
+        points — a long edge collinear with a short clip edge would
+        otherwise half-credit its WHOLE length to that boundary (the
+        zonal-pixel bug). Extra splits are exact no-ops (zero-width
+        segments integrate to 0; refinement never changes a correctly
+        classified integral). Parallel/collinear pairs give ±inf/NaN t or
+        u, which both engines order outside [0, 1]."""
         ax1, ay1, ax2, ay2 = sx1(i), sy1(i), sx2(i), sy2(i)
         bx1 = F.element_at(f"{clip}x1", j + 1)
         by1 = F.element_at(f"{clip}y1", j + 1)
         bx2 = F.element_at(f"{clip}x2", j + 1)
         by2 = F.element_at(f"{clip}y2", j + 1)
-        d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-        d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-        d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-        d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-        crosses = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
         denom = (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)
-        t = ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / denom
-        return F.when(crosses, t)
+        # try_divide: ANSI mode errors on /0 even for doubles; NULL here
+        # means "parallel, no split" — DuckDB's inf/NaN lands outside [0,1]
+        # for the same outcome
+        t = F.try_divide((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1), denom)
+        u = F.try_divide((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1), denom)
+        hits = (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        return F.when(hits, t)
 
     def inside_clip(mx, my):
         """Even-odd parity of midpoint vs the clip polygon (pinned rule)."""
@@ -274,21 +286,23 @@ def _direction_ctes(tag: str, sid: str, cid: str, sal: str, cal: str,
     (unnest a per-row series first, extract scalars next)."""
     cx1, cy1 = f"{cpre}x1[j]", f"{cpre}y1[j]"
     cx2, cy2 = f"{cpre}x2[j]", f"{cpre}y2[j]"
-    crosses = (
-        f"(({cx2} - {cx1}) * (ey1 - {cy1}) - ({cy2} - {cy1}) * (ex1 - {cx1}) > 0) "
-        f"!= (({cx2} - {cx1}) * (ey2 - {cy1}) - ({cy2} - {cy1}) * (ex2 - {cx1}) > 0) "
-        f"AND ((ex2 - ex1) * ({cy1} - ey1) - (ey2 - ey1) * ({cx1} - ex1) > 0) "
-        f"!= ((ex2 - ex1) * ({cy2} - ey1) - (ey2 - ey1) * ({cx2} - ex1) > 0)"
-    )
+    # closed-range segment intersection incl. endpoint touches — see the
+    # Python cross_t docstring; NaN/±inf from parallel pairs order outside
+    # [0, 1] in both engines
     t = (
         f"(({cx1} - ex1) * ({cy2} - {cy1}) - ({cy1} - ey1) * ({cx2} - {cx1})) / "
         f"((ex2 - ex1) * ({cy2} - {cy1}) - (ey2 - ey1) * ({cx2} - {cx1}))"
     )
-    # crossing parameters as a row-local lambda program over the clip arrays
+    u = (
+        f"(({cx1} - ex1) * (ey2 - ey1) - ({cy1} - ey1) * (ex2 - ex1)) / "
+        f"((ex2 - ex1) * ({cy2} - {cy1}) - (ey2 - ey1) * ({cx2} - {cx1}))"
+    )
+    hits = f"({t}) >= 0 AND ({t}) <= 1 AND ({u}) >= 0 AND ({u}) <= 1"
+    # split parameters as a row-local lambda program over the clip arrays
     # (a lateral-unnest formulation trips a DuckDB binder bug when filtered)
     ts = (
         f"list_filter(list_transform(generate_series(1, len({cpre}x1)), "
-        f"j -> CASE WHEN {crosses} THEN {t} ELSE NULL END), x -> x IS NOT NULL)"
+        f"j -> CASE WHEN {hits} THEN {t} ELSE NULL END), x -> x IS NOT NULL)"
     )
     # parity of the midpoint (mx, my) vs the clip arrays — single-level
     # comprehension over the clip polygon's packed edge arrays

@@ -62,3 +62,173 @@ def rasterize(
         UF.cell_y(cell, level).alias("y"),
         F.col(value).alias("value"),
     )
+
+
+def zonal_weighted(
+    raster: DataFrame,
+    polys: list[PackedPolygon],
+    ref: GeoRef = PINNED_GEOREF,
+    value: str = "value",
+) -> DataFrame:
+    """AREA-WEIGHTED zonal statistics (the overlay follow-up to
+    :func:`zonal_stats`, which assigns each pixel whole to the polygon
+    containing its center): every pixel contributes to every polygon in
+    proportion to the EXACT intersection area of its 1-pixel rectangle
+    with the polygon — boundary pixels are split instead of misassigned.
+
+    Mechanism: pixel rectangles become 4-edge packed arrays built NATIVELY
+    from (row, col); polygons arrive as the same oriented-edge arrays the
+    intersection-area operator uses; candidates are a bbox-overlap
+    broadcast theta join (16 small polygons × pruned pixels); the per-pair
+    area is ops/polyarea.py's Green's-theorem clipped-edge Column — fully
+    row-local, no UDF, no extra shuffle before the final groupBy.
+
+    Outputs per polygon (exact integers, order-free):
+      area_e6  = Σ area(pixel ∩ poly) × 1e6   (the polygon's raster-covered area)
+      wsum_e10 = Σ floor(value·1e4) × area_e6  (area-weighted value sum;
+                 divide by 1e10·cell_deg² for the mean-weighted value)
+
+    Boundary-only kernel (the scale plan): a pixel whose rect's closed
+    bbox overlaps NO polygon edge bbox is entirely inside or outside, so
+    the expensive clipping kernel runs only for boundary pixels — far
+    pixels take a center-parity test and, when inside, the bit-identical
+    closed form of the kernel's interior value (the rect's own Green
+    integral: floor(dy·x1·1e6) per vertical edge; horizontal edges are
+    exact zeros). Degenerate coincidences always land in the kernel branch
+    because bbox-overlap is a superset of intersects/touches. Measured
+    ~4× fewer kernel pairs on the pinned layer.
+    """
+    from ult_spark.ops.polyarea import _arrays_df, _clipped_area_e6
+
+    spark = raster.sparkSession
+    cell = float(ref.cell_deg)
+    x0 = F.lit(ref.origin_lon) + F.col("col").cast("double") * F.lit(cell)
+    x1 = x0 + F.lit(cell)
+    y0 = F.lit(ref.origin_lat) + F.col("row").cast("double") * F.lit(cell)
+    y1 = y0 + F.lit(cell)
+    px = raster.select(
+        (F.col("row").cast("long") * ref.ncols + F.col("col")).alias("b_id"),
+        F.floor(F.col(value) * 10000).cast("long").alias("_v_e4"),
+        x0.alias("_x0"), x1.alias("_x1"), y0.alias("_y0"), y1.alias("_y1"),
+        # CCW rectangle edges as packed arrays (orientation weight 1.0)
+        F.array(x0, x1, x1, x0).alias("bx1"),
+        F.array(y0, y0, y1, y1).alias("by1"),
+        F.array(x1, x1, x0, x0).alias("bx2"),
+        F.array(y0, y1, y1, y0).alias("by2"),
+        F.array(*[F.lit(1.0)] * 4).alias("bo"),
+    )
+    ea = _arrays_df(spark, polys, "a_id", "a")
+    bbox = spark.createDataFrame(
+        [(p.poly_id, *p.bbox()) for p in polys],
+        "a_id long, ymin double, ymax double, xmin double, xmax double",
+    )
+    pa = ea.join(bbox, "a_id")
+    overlap = (
+        (F.col("_x0") < F.col("xmax")) & (F.col("_x1") > F.col("xmin"))
+        & (F.col("_y0") < F.col("ymax")) & (F.col("_y1") > F.col("ymin"))
+    )
+    kernel_area = _clipped_area_e6("a", "b") + _clipped_area_e6("b", "a")
+    aidx = F.sequence(F.lit(0), F.size("ax1") - 1)
+    touch = F.exists(
+        aidx,
+        lambda j: (
+            (F.greatest(F.element_at("ax1", j + 1), F.element_at("ax2", j + 1)) >= F.col("_x0"))
+            & (F.least(F.element_at("ax1", j + 1), F.element_at("ax2", j + 1)) <= F.col("_x1"))
+            & (F.greatest(F.element_at("ay1", j + 1), F.element_at("ay2", j + 1)) >= F.col("_y0"))
+            & (F.least(F.element_at("ay1", j + 1), F.element_at("ay2", j + 1)) <= F.col("_y1"))
+        ),
+    )
+    cx = (F.col("_x0") + F.col("_x1")) / 2
+    cy = (F.col("_y0") + F.col("_y1")) / 2
+
+    def _hit(j):
+        bx1 = F.element_at("ax1", j + 1)
+        by1 = F.element_at("ay1", j + 1)
+        bx2 = F.element_at("ax2", j + 1)
+        by2 = F.element_at("ay2", j + 1)
+        straddle = (by1 > cy) != (by2 > cy)
+        xint = (bx2 - bx1) * (cy - by1) / (by2 - by1) + bx1
+        return straddle & (cx < xint)
+
+    center_in = F.size(F.filter(aidx, _hit)) % 2 == 1
+    # bit-identical interior value: the kernel folds from 0.0 and the
+    # horizontal edges contribute exact ±0.0, so interior area reduces to
+    # the two vertical rect edges' floors
+    interior = (
+        F.floor((F.col("_y1") - F.col("_y0")) * F.col("_x1") * F.lit(1_000_000)).cast("long")
+        + F.floor((F.col("_y0") - F.col("_y1")) * F.col("_x0") * F.lit(1_000_000)).cast("long")
+    )
+    area = (
+        F.when(touch, kernel_area)
+        .when(center_in, interior)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        px.join(F.broadcast(pa), overlap, "inner")
+        .withColumn("_area_e6", area)
+        .groupBy(F.col("a_id").alias("poly_id"))
+        .agg(
+            F.sum("_area_e6").alias("area_e6"),
+            F.sum(F.col("_v_e4") * F.col("_area_e6")).alias("wsum_e10"),
+        )
+    )
+
+
+def zonal_weighted_sql(
+    polys: list[PackedPolygon], ref: GeoRef = PINNED_GEOREF
+) -> str:
+    """DuckDB mirror of :func:`zonal_weighted` on the pinned raster —
+    reuses the intersection-area direction CTEs with the pixel layer
+    GENERATED instead of inlined."""
+    from ult_spark.geom.raster import raster_sql
+    from ult_spark.ops.polyarea import _arrays_values, _direction_ctes
+
+    cell = float(ref.cell_deg)
+    ea = _arrays_values(polys, "eav", "a_id", "a")
+    bbox_rows = ",".join(
+        f"({p.poly_id},{p.bbox()[0]!r},{p.bbox()[1]!r},{p.bbox()[2]!r},{p.bbox()[3]!r})"
+        for p in polys
+    )
+    return (
+        f"WITH ea AS (SELECT * FROM {ea}), "
+        f"px0 AS ({raster_sql(ref)}), "
+        "px AS (SELECT CAST(row AS BIGINT) * "
+        f"{ref.ncols} + col AS b_id, CAST(floor(value * 10000) AS BIGINT) AS v_e4, "
+        f"CAST({ref.origin_lon} AS DOUBLE) + CAST(col AS DOUBLE) * CAST({cell} AS DOUBLE) AS x0, "
+        f"CAST({ref.origin_lat} AS DOUBLE) + CAST(row AS DOUBLE) * CAST({cell} AS DOUBLE) AS y0 "
+        "FROM px0), "
+        f"pxr AS (SELECT b_id, v_e4, x0, y0, x0 + CAST({cell} AS DOUBLE) AS x1, "
+        f"y0 + CAST({cell} AS DOUBLE) AS y1 FROM px), "
+        "eb AS (SELECT b_id, [x0, x1, x1, x0]::DOUBLE[] AS bx1, "
+        "[y0, y0, y1, y1]::DOUBLE[] AS by1, [x1, x1, x0, x0]::DOUBLE[] AS bx2, "
+        "[y0, y1, y1, y0]::DOUBLE[] AS by2, [1.0, 1.0, 1.0, 1.0]::DOUBLE[] AS bo FROM pxr), "
+        f"bbox(a_id, ymin, ymax, xmin, xmax) AS (VALUES {bbox_rows}), "
+        "cand0 AS (SELECT a_id, b_id, x0, x1, y0, y1 FROM pxr JOIN bbox ON "
+        "x0 < xmax AND x1 > xmin AND y0 < ymax AND y1 > ymin), "
+        # mirror of the Spark boundary-only branch: kernel pairs = any poly
+        # edge bbox overlapping the closed pixel rect; far pairs take the
+        # center-parity + closed-form interior value
+        "candt AS (SELECT c.*, len([j for j in generate_series(1, len(ax1)) "
+        "if greatest(ax1[j], ax2[j]) >= x0 AND least(ax1[j], ax2[j]) <= x1 "
+        "AND greatest(ay1[j], ay2[j]) >= y0 AND least(ay1[j], ay2[j]) <= y1]) > 0 AS touch "
+        "FROM cand0 c JOIN ea USING (a_id)), "
+        "cand AS (SELECT a_id, b_id FROM candt WHERE touch), "
+        "far AS (SELECT c.a_id, c.b_id, CASE WHEN "
+        "len([j for j in generate_series(1, len(ax1)) "
+        "if ((ay1[j] > (y0 + y1) / 2) != (ay2[j] > (y0 + y1) / 2)) "
+        "AND (x0 + x1) / 2 < (ax2[j] - ax1[j]) * ((y0 + y1) / 2 - ay1[j]) / (ay2[j] - ay1[j]) + ax1[j]"
+        "]) % 2 = 1 THEN "
+        "CAST(floor((y1 - y0) * x1 * 1000000) AS BIGINT) + CAST(floor((y0 - y1) * x0 * 1000000) AS BIGINT) "
+        "ELSE 0 END AS area_e6 "
+        "FROM candt c JOIN ea USING (a_id) WHERE NOT touch), "
+        + _direction_ctes("a", "a_id", "b_id", "ea", "eb", "a", "b")
+        + ", "
+        + _direction_ctes("b", "b_id", "a_id", "eb", "ea", "b", "a")
+        + " SELECT a_id AS poly_id, CAST(sum(area_e6) AS BIGINT) AS area_e6, "
+        "CAST(sum(v_e4 * area_e6) AS BIGINT) AS wsum_e10 FROM ("
+        "SELECT c.a_id, c.b_id, coalesce(sa, 0) + coalesce(sb, 0) AS area_e6 "
+        "FROM cand c LEFT JOIN apair USING (a_id, b_id) "
+        "LEFT JOIN bpair USING (a_id, b_id) "
+        "UNION ALL SELECT a_id, b_id, area_e6 FROM far) "
+        "JOIN pxr USING (b_id) GROUP BY 1"
+    )

@@ -723,6 +723,29 @@ def zonal_stats_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(synth_raster(spark), list(default_layer()))
 
 
+@q("zonal_weighted_pop", None)
+def zonal_weighted_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AREA-WEIGHTED zonal stats (r3 overlay follow-up): each pixel
+    contributes in proportion to the exact area of its rectangle clipped
+    to the polygon — boundary pixels split instead of whole-assigned
+    (ops/zonal.py zonal_weighted, built on the polyarea clipping kernel)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.geom.raster import synth_raster
+    from ult_spark.ops.zonal import zonal_weighted
+
+    return zonal_weighted(synth_raster(spark), list(default_layer()))
+
+
+def _attach_zonal_weighted_oracle() -> None:
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.zonal import zonal_weighted_sql
+
+    ORACLES["zonal_weighted_pop"] = zonal_weighted_sql(list(default_layer()))
+
+
+_attach_zonal_weighted_oracle()
+
+
 @q(
     "rasterize_tiles_l6",
     "SELECT x, y, count(*) AS value FROM (SELECT "
