@@ -1,0 +1,81 @@
+"""Near-dup connected components (ops/textops.py dup_clusters): cluster
+assignment vs a pure-Python union-find reference, chain convergence within
+the pointer-jumping round bound, and exact-dup cluster handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ult_spark.ops.textops import dup_clusters, minhash_lsh_dedup
+
+
+def _uf_reference(n, pairs):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    return {i: find(i) for i in range(n)}
+
+
+def test_clusters_match_union_find(spark):
+    """Mixed corpus: a 6-doc near-dup chain, a 4-copy exact cluster, and
+    singletons — Spark components must equal union-find over the SAME pair
+    graph minhash_lsh_dedup emits."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = []
+    words = base.split()
+    # chain: doc i and i+1 differ by one word → adjacent pairs only
+    for i in range(6):
+        w = list(words)
+        for j in range(i):
+            w[3 * j] = f"mut{j}"
+        texts.append(" ".join(w))
+    texts += ["exact copy of this one two three four five six seven"] * 4
+    # genuinely disjoint shingle sets (no shared prefix — a common prefix of
+    # 3+ words puts short docs over jaccard 0.2)
+    texts += [" ".join(f"w{i}_{j}" for j in range(12)) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    pairs = [
+        (r.a, r.b) for r in minhash_lsh_dedup(df, threshold=0.2).collect()
+    ]
+    exp = _uf_reference(len(texts), pairs)
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(df, threshold=0.2).collect()}
+    assert got == exp
+    # the exact-copy block collapsed into one cluster under its min id
+    assert {got[i] for i in range(6, 10)} == {6}
+    # singletons keep their own ids
+    assert all(got[i] == i for i in range(10, 15))
+
+
+def test_chain_converges_within_round_bound(spark):
+    """A 12-link chain (diameter 12 > rounds=4) must still converge thanks
+    to pointer jumping (log-diameter rounds)."""
+    base = "one two three four five six seven eight nine ten eleven twelve " * 2
+    words = base.split()
+    texts = []
+    for i in range(13):
+        w = list(words)
+        for j in range(i):
+            w[2 * j] = f"mut{j}"
+        texts.append(" ".join(w))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    pairs = [(r.a, r.b) for r in minhash_lsh_dedup(df, threshold=0.2).collect()]
+    exp = _uf_reference(len(texts), pairs)
+    # only meaningful if the planted chain is actually connected end-to-end
+    assert len({v for v in exp.values()}) < len(texts)
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(df, threshold=0.2, rounds=4).collect()}
+    assert got == exp

@@ -368,6 +368,80 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     return cross.unionByName(within)
 
 
+def dup_clusters(
+    df: DataFrame, threshold: float = 0.2, rounds: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components of the near-dup pair graph — the step a dedup
+    pipeline runs after :func:`minhash_lsh_dedup` to keep ONE document per
+    duplicate cluster. Output (doc_id, cluster_id) with cluster_id = the
+    component's smallest doc id; documents with no near-dup pair are
+    singletons under their own id.
+
+    Algorithm: ``rounds`` iterations of min-label edge propagation PLUS
+    pointer jumping (label := label-of-label). The jump step shortcuts
+    label chains, so convergence needs O(log diameter) rounds, not
+    diameter: rounds=6 covers any component a real corpus produces
+    (diameter ≳ 2^6 would need a 64-hop near-dup chain). The DuckDB oracle
+    computes the TRUE fixpoint via WITH RECURSIVE, so the driver check
+    also validates the round bound at test scale.
+
+    Plan-shape note (this operator is the documented EXCEPTION to the kNN
+    one-lazy-plan lesson): each round SELF-JOINS labels, so chaining embeds
+    ~3 copies of the previous round's logical plan per round — the
+    analyzer's cost grows exponentially even with persist() (cache
+    substitution happens after analysis). Each round therefore
+    localCheckpoint()s: one materializing job per round that TRUNCATES the
+    lineage, the same per-iteration checkpoint discipline every
+    distributed connected-components implementation uses (GraphFrames
+    included). rounds is small and fixed, so the driver-loop cost is
+    bounded and independent of data size.
+
+    Labels only ever decrease and every label is a live doc id, so the
+    jump join is an inner equi-join on the label — all shuffles are keyed
+    by doc id / label; nothing quadratic in cluster size (the pair input
+    is already collapse-expanded by minhash_lsh_dedup)."""
+    pairs = minhash_lsh_dedup(df, threshold).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("label"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            # least() ignores NULLs: no-neighbor rows keep their label
+            .select("doc_id", F.least("label", "_nl").alias("label"))
+        )
+        # pointer jump: label := label's own label (labels only decrease,
+        # so this shortcuts chains and buys log-diameter convergence)
+        jump = labels.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_jl")
+        )
+        labels = labels.join(jump, "label").select(
+            "doc_id", F.col("_jl").alias("label")
+        )
+        labels = labels.localCheckpoint()  # truncate lineage (see docstring)
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters_sql(threshold: float = 0.2) -> str:
+    """DuckDB fixpoint mirror: true connected components via WITH RECURSIVE
+    over the same pair graph."""
+    return (
+        f"WITH RECURSIVE pairs AS (SELECT a, b FROM ({minhash_lsh_sql(threshold)})), "
+        "e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs), "
+        "comp(doc_id, label) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.a, c.label FROM e JOIN comp c ON c.doc_id = e.b) "
+        "SELECT doc_id, min(label) AS cluster_id FROM comp GROUP BY 1"
+    )
+
+
 def minhash_lsh_sql(threshold: float = 0.2) -> str:
     """DuckDB mirror of :func:`minhash_lsh_dedup` (same hashes, bands, verify)."""
     r = N_MINHASH // N_BANDS

@@ -392,6 +392,27 @@ def poly_intersect_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly_intersect_area(spark, a, shifted_layer(a, 2.0, 3.0))
 
 
+@q("buffer_cells_l6", None)
+def buffer_cells_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid buffer (r3 overlay family): each pinned polygon's L6 cover
+    dilated by a 2-cell Chebyshev disk (ops/buffer.py — morphological
+    dilation, the cell-native buffer)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.buffer import buffer_cells
+
+    return buffer_cells(spark, list(default_layer()), level=6, k=2)
+
+
+def _attach_buffer_oracle() -> None:
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.buffer import buffer_cells_sql
+
+    ORACLES["buffer_cells_l6"] = buffer_cells_sql(list(default_layer()), level=6, k=2)
+
+
+_attach_buffer_oracle()
+
+
 def _attach_poly_area_oracle() -> None:
     from ult_spark.geom.polyio import default_layer, shifted_layer
     from ult_spark.ops.polyarea import poly_intersect_area_sql
@@ -816,8 +837,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(load(spark, sf_dir, "documents")), None, threshold=0.1)
 
 
+@q("dup_clusters", None)
+def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (r3): connected components of the minhash pair
+    graph via min-label propagation + pointer jumping in one lazy plan;
+    oracle = the true WITH RECURSIVE fixpoint (ops/textops.py
+    dup_clusters)."""
+    from ult_spark.ops.textops import dup_clusters
+
+    return dup_clusters(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
 def _attach_text_oracles() -> None:
     from ult_spark.ops.textops import (
+        dup_clusters_sql,
         jaccard_pairs_sql,
         minhash_lsh_sql,
         simhash_near_dup_sql,
@@ -826,6 +859,7 @@ def _attach_text_oracles() -> None:
     ORACLES["minhash_lsh_pairs"] = minhash_lsh_sql(0.2)
     ORACLES["ngram_jaccard_pairs"] = jaccard_pairs_sql(0.1)
     ORACLES["simhash_near_dup"] = simhash_near_dup_sql(3)
+    ORACLES["dup_clusters"] = dup_clusters_sql(0.2)
 
 
 _attach_text_oracles()
