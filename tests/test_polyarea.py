@@ -84,6 +84,31 @@ def test_concave_clip(spark):
     assert abs(got[(0, 10)] - 3 * AREA_Q) <= 12
 
 
+def test_union_area_known_values(spark):
+    from ult_spark.ops.polyarea import union_area
+
+    sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
+
+    def one(layers):
+        return union_area(spark, layers).collect()[0].area_e6
+
+    # disjoint squares: sum of areas
+    b = _poly(1, [[(x + 10, y) for x, y in sq]])
+    assert abs(one([_poly(0, [sq]), b]) - 32 * AREA_Q) <= 32
+    # 2-overlap: 16 + 16 - 4
+    c = _poly(1, [[(x + 2, y + 2) for x, y in sq]])
+    assert abs(one([_poly(0, [sq]), c]) - 28 * AREA_Q) <= 32
+    # nested: union = outer
+    inner = _poly(1, [[(1, 1), (2, 1), (2, 2), (1, 2)]])
+    assert abs(one([_poly(0, [sq]), inner]) - 16 * AREA_Q) <= 32
+    # adjacent squares sharing an edge: 16 + 16 (shared boundary cancels)
+    d = _poly(1, [[(x + 4, y) for x, y in sq]])
+    assert abs(one([_poly(0, [sq]), d]) - 32 * AREA_Q) <= 32
+    # duplicate polygons: union = one copy
+    e = _poly(1, [list(sq)])
+    assert abs(one([_poly(0, [sq]), e]) - 16 * AREA_Q) <= 32
+
+
 def test_pinned_layer_pairs_match_grid_reference(spark):
     """Every intersecting pair of the query's two layers within 1% of an
     even-odd Monte-Carlo-grid reference (sanity beyond oracle parity)."""

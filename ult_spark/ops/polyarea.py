@@ -375,3 +375,216 @@ def poly_intersect_area_sql(
         "FROM cand LEFT JOIN apair USING (a_id, b_id) LEFT JOIN bpair USING (a_id, b_id) "
         "WHERE coalesce(sa, 0) + coalesce(sb, 0) > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# Union (dissolve) area of a whole layer — the depth-aware generalization:
+# the boundary of ∪A_i is the set of edge portions lying inside NO OTHER
+# polygon, so Area(∪A_i) = Σ over all sub-segments of w·∮x dy with
+# w = 0 if the midpoint is strictly inside any other polygon,
+# w = ½ if it lies ON another boundary (shared segments: opposite-side
+#       neighbours cancel, duplicate polygons sum to full weight),
+# w = 1 otherwise.
+# Sub-segments come from splitting every edge at its closed-range
+# intersections with ALL candidate (cover-sharing) polygons' edges, so w is
+# piecewise-constant. Quantization here is PER SUB-SEGMENT (the splits of
+# one edge live on different rows after the explode), floor(1e6·w·c·o) —
+# then one order-free integer sum.
+
+
+def _edges_rows(polys: list[PackedPolygon]) -> list[tuple]:
+    rows = []
+    for p in polys:
+        x1s, y1s, x2s, y2s, os_ = oriented_edges(p)
+        rows.extend(
+            (p.poly_id, i, x1s[i], y1s[i], x2s[i], y2s[i], os_[i])
+            for i in range(len(x1s))
+        )
+    return rows
+
+
+def _scalar_edge_ts(clip: str) -> Column:
+    """Closed-range split parameters of the scalar edge (ex1, ey1, ex2, ey2
+    columns) against the packed ``clip``-prefixed arrays — the scalar-source
+    twin of cross_t inside :func:`_clipped_area_e6`."""
+    cidx = F.sequence(F.lit(0), F.size(f"{clip}x1") - 1)
+    ax1, ay1 = F.col("ex1"), F.col("ey1")
+    ax2, ay2 = F.col("ex2"), F.col("ey2")
+
+    def tj(j):
+        bx1 = F.element_at(f"{clip}x1", j + 1)
+        by1 = F.element_at(f"{clip}y1", j + 1)
+        bx2 = F.element_at(f"{clip}x2", j + 1)
+        by2 = F.element_at(f"{clip}y2", j + 1)
+        denom = (ax2 - ax1) * (by2 - by1) - (ay2 - ay1) * (bx2 - bx1)
+        t = F.try_divide((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1), denom)
+        u = F.try_divide((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1), denom)
+        return F.when((t >= 0) & (t <= 1) & (u >= 0) & (u <= 1), t)
+
+    return F.filter(F.transform(cidx, tj), lambda t: t.isNotNull())
+
+
+def union_area(
+    spark: SparkSession,
+    polys: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """One row (area_e6): exact area of the layer's union under the pinned
+    per-sub-segment quantization. Relational end-to-end: cover-cell
+    candidate pairs, per-(edge, other-poly) split lists (row-local HOFs),
+    one groupBy to merge splits, one groupBy to classify midpoints, one
+    integer sum."""
+    edges = spark.createDataFrame(
+        _edges_rows(polys),
+        "pid long, ei int, ex1 double, ey1 double, ex2 double, ey2 double, eo double",
+    )
+    cov = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(polys, index_level)],
+        "cell long, pid long",
+    )
+    cand = (
+        cov.join(cov.select(F.col("cell"), F.col("pid").alias("qid")), "cell")
+        .where(F.col("pid") != F.col("qid"))
+        .select("pid", "qid")
+        .distinct()
+    )
+    qarr = _arrays_df(spark, polys, "qid", "q")
+    eq = edges.join(cand, "pid").join(F.broadcast(qarr), "qid")
+    ets = (
+        eq.select("pid", "ei", _scalar_edge_ts("q").alias("_ts"))
+        .groupBy("pid", "ei")
+        .agg(F.flatten(F.collect_list("_ts")).alias("_all"))
+    )
+    ebo = edges.join(ets, ["pid", "ei"], "left").withColumn(
+        "bo",
+        F.array_sort(
+            F.concat(
+                F.array(F.lit(0.0), F.lit(1.0)),
+                F.coalesce(F.col("_all"), F.array().cast("array<double>")),
+            )
+        ),
+    )
+    segs = (
+        ebo.select(
+            "pid", "ei", "eo", "ex1", "ey1", "ex2", "ey2", "bo",
+            F.explode(F.sequence(F.lit(1), F.size("bo") - 1)).alias("k"),
+        )
+        .withColumn("t0", F.element_at("bo", F.col("k")))
+        .withColumn("t1", F.element_at("bo", F.col("k") + 1))
+        .withColumn("mx", F.col("ex1") + ((F.col("t0") + F.col("t1")) / 2) * (F.col("ex2") - F.col("ex1")))
+        .withColumn("my", F.col("ey1") + ((F.col("t0") + F.col("t1")) / 2) * (F.col("ey2") - F.col("ey1")))
+        .drop("bo")
+    )
+    # classify each midpoint against every candidate OTHER polygon
+    mq = segs.select("pid", "ei", "k", "mx", "my").join(cand, "pid").join(
+        F.broadcast(qarr), "qid"
+    )
+    qidx = F.sequence(F.lit(0), F.size("qx1") - 1)
+
+    def _hit(j):
+        bx1 = F.element_at("qx1", j + 1)
+        by1 = F.element_at("qy1", j + 1)
+        bx2 = F.element_at("qx2", j + 1)
+        by2 = F.element_at("qy2", j + 1)
+        straddle = (by1 > F.col("my")) != (by2 > F.col("my"))
+        xint = (bx2 - bx1) * (F.col("my") - by1) / (by2 - by1) + bx1
+        return straddle & (F.col("mx") < xint)
+
+    def _on(j):
+        bx1 = F.element_at("qx1", j + 1)
+        by1 = F.element_at("qy1", j + 1)
+        bx2 = F.element_at("qx2", j + 1)
+        by2 = F.element_at("qy2", j + 1)
+        coll = (bx2 - bx1) * (F.col("my") - by1) - (by2 - by1) * (F.col("mx") - bx1) == 0.0
+        inx = (F.least(bx1, bx2) <= F.col("mx")) & (F.col("mx") <= F.greatest(bx1, bx2))
+        iny = (F.least(by1, by2) <= F.col("my")) & (F.col("my") <= F.greatest(by1, by2))
+        return coll & inx & iny
+
+    cls = (
+        mq.select(
+            "pid", "ei", "k",
+            (F.size(F.filter(qidx, _hit)) % 2 == 1).alias("_in"),
+            (F.size(F.filter(qidx, _on)) > 0).alias("_on"),
+        )
+        # a midpoint ON ∂q has ARBITRARY parity vs q — mask it, exactly as
+        # the pairwise kernel checks on-boundary before inside
+        .groupBy("pid", "ei", "k")
+        .agg(
+            F.max(F.col("_in") & ~F.col("_on")).alias("any_in"),
+            F.max("_on").alias("any_on"),
+        )
+    )
+    c = (F.col("ey2") - F.col("ey1")) * (
+        F.col("ex1") * (F.col("t1") - F.col("t0"))
+        + (F.col("ex2") - F.col("ex1")) * (F.col("t1") * F.col("t1") - F.col("t0") * F.col("t0")) / 2
+    )
+    w = (
+        F.when(F.coalesce(F.col("any_in"), F.lit(False)), F.lit(0.0))
+        .when(F.coalesce(F.col("any_on"), F.lit(False)), F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    v = F.floor(((w * c) * F.col("eo")) * F.lit(AREA_Q)).cast("long")
+    return (
+        segs.join(cls, ["pid", "ei", "k"], "left")
+        .select(v.alias("_v"))
+        .agg(F.sum("_v").alias("area_e6"))
+    )
+
+
+def union_area_sql(
+    polys: list[PackedPolygon], index_level: int = DEFAULT_INDEX_LEVEL
+) -> str:
+    """DuckDB mirror of :func:`union_area`, CTE for CTE."""
+    erows = ",".join(
+        f"({pid},{ei},{x1!r},{y1!r},{x2!r},{y2!r},{o!r})"
+        for pid, ei, x1, y1, x2, y2, o in _edges_rows(polys)
+    )
+    cov = ",".join(f"({int(c)},{int(p)})" for c, p in _index_rows(polys, index_level))
+    qa = _arrays_values(polys, "qav", "qid", "q")
+    tnum = "((qx1[j] - ex1) * (qy2[j] - qy1[j]) - (qy1[j] - ey1) * (qx2[j] - qx1[j]))"
+    unum = "((qx1[j] - ex1) * (ey2 - ey1) - (qy1[j] - ey1) * (ex2 - ex1))"
+    den = "((ex2 - ex1) * (qy2[j] - qy1[j]) - (ey2 - ey1) * (qx2[j] - qx1[j]))"
+    hits = f"({tnum} / {den}) >= 0 AND ({tnum} / {den}) <= 1 AND ({unum} / {den}) >= 0 AND ({unum} / {den}) <= 1"
+    ts = (
+        "list_filter(list_transform(generate_series(1, len(qx1)), "
+        f"j -> CASE WHEN {hits} THEN {tnum} / {den} ELSE NULL END), x -> x IS NOT NULL)"
+    )
+    par = (
+        "len([j for j in generate_series(1, len(qx1)) "
+        "if ((qy1[j] > my) != (qy2[j] > my)) "
+        "AND mx < (qx2[j] - qx1[j]) * (my - qy1[j]) / (qy2[j] - qy1[j]) + qx1[j]]) % 2 = 1"
+    )
+    onb = (
+        "len([j for j in generate_series(1, len(qx1)) "
+        "if (qx2[j] - qx1[j]) * (my - qy1[j]) - (qy2[j] - qy1[j]) * (mx - qx1[j]) = 0.0::DOUBLE "
+        "AND least(qx1[j], qx2[j]) <= mx AND mx <= greatest(qx1[j], qx2[j]) "
+        "AND least(qy1[j], qy2[j]) <= my AND my <= greatest(qy1[j], qy2[j])]) > 0"
+    )
+    c = "(ey2 - ey1) * (ex1 * (t1 - t0) + (ex2 - ex1) * (t1 * t1 - t0 * t0) / 2)"
+    return (
+        f"WITH eg0(pid, ei, x1, y1, x2, y2, o) AS (VALUES {erows}), "
+        # ::DOUBLE is load-bearing: bare decimal VALUES type as DECIMAL and
+        # DuckDB then does exact-decimal math (and errors on /0)
+        "eg AS (SELECT pid, ei, x1::DOUBLE AS ex1, y1::DOUBLE AS ey1, "
+        "x2::DOUBLE AS ex2, y2::DOUBLE AS ey2, o::DOUBLE AS eo FROM eg0), "
+        f"cov(cell, pid) AS (VALUES {cov}), "
+        f"qa AS (SELECT * FROM {qa}), "
+        "cand AS (SELECT DISTINCT a.pid, b.pid AS qid FROM cov a JOIN cov b USING (cell) "
+        "WHERE a.pid != b.pid), "
+        f"eqts AS (SELECT e.pid, e.ei, {ts} AS ts FROM eg e JOIN cand USING (pid) "
+        "JOIN qa USING (qid)), "
+        "ets AS (SELECT pid, ei, flatten(list(ts)) AS allts FROM eqts GROUP BY 1, 2), "
+        "ebo AS (SELECT e.*, list_sort(list_concat([0.0, 1.0]::DOUBLE[], "
+        "coalesce(allts, []))) AS bo FROM eg e LEFT JOIN ets USING (pid, ei)), "
+        "esk AS (SELECT *, unnest(generate_series(1, len(bo) - 1)) AS k FROM ebo), "
+        "eseg AS (SELECT pid, ei, k, eo, ex1, ey1, ex2, ey2, bo[k] AS t0, bo[k + 1] AS t1 FROM esk), "
+        "emid AS (SELECT *, ex1 + ((t0 + t1) / 2) * (ex2 - ex1) AS mx, "
+        "ey1 + ((t0 + t1) / 2) * (ey2 - ey1) AS my FROM eseg), "
+        f"ecls AS (SELECT m.pid, m.ei, m.k, bool_or(({par}) AND NOT ({onb})) AS any_in, "
+        f"bool_or({onb}) AS any_on "
+        "FROM emid m JOIN cand USING (pid) JOIN qa USING (qid) GROUP BY 1, 2, 3) "
+        "SELECT CAST(sum(CAST(floor((((CASE WHEN coalesce(any_in, FALSE) THEN 0.0::DOUBLE "
+        f"WHEN coalesce(any_on, FALSE) THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END * ({c})) * eo) "
+        f"* {AREA_Q})) AS BIGINT)) AS BIGINT) AS area_e6 "
+        "FROM emid m LEFT JOIN ecls USING (pid, ei, k)"
+    )

@@ -413,12 +413,24 @@ def _attach_buffer_oracle() -> None:
 _attach_buffer_oracle()
 
 
+@q("union_area_layer", None)
+def union_area_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union (dissolve) area of the whole pinned layer (r3): depth-aware
+    Green's boundary integral — only edge portions inside NO other polygon
+    count, half-weight on shared boundaries (ops/polyarea.py union_area)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.polyarea import union_area
+
+    return union_area(spark, list(default_layer()))
+
+
 def _attach_poly_area_oracle() -> None:
     from ult_spark.geom.polyio import default_layer, shifted_layer
-    from ult_spark.ops.polyarea import poly_intersect_area_sql
+    from ult_spark.ops.polyarea import poly_intersect_area_sql, union_area_sql
 
     a = list(default_layer())
     ORACLES["poly_intersect_area"] = poly_intersect_area_sql(a, shifted_layer(a, 2.0, 3.0))
+    ORACLES["union_area_layer"] = union_area_sql(a)
 
 
 _attach_poly_area_oracle()
