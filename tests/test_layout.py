@@ -79,6 +79,31 @@ def test_round2_native_ops_have_no_python_eval(spark, sf_smoke):
         assert "FlatMapGroupsInPandas" not in plan, name
 
 
+def test_round3_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Round-3 operators stay native: overlay area/union/buffer, weighted
+    zonal, trained IVF, tf-idf, dup clusters, the capped near-dup plans —
+    no Python eval node in any executed plan. (dup_clusters materializes
+    per-round via localCheckpoint, so its FINAL plan is checked after the
+    checkpoint cascade — still no Python anywhere.)"""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "poly_intersect_area",
+        "union_area_layer",
+        "buffer_cells_l6",
+        "zonal_weighted_pop",
+        "ann_ivf_trained",
+        "tfidf_top_terms",
+        "dup_clusters",
+        "near_dup_oversized",
+        "embedding_near_dup",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+
+
 def test_distributed_compact_matches_numpy(spark, sf_smoke):
     from ult_spark.grid import cells as C, compact as CZ
     from ult_spark.ops.compact_df import compact_cells

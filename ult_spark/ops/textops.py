@@ -21,7 +21,7 @@ LSH path, not the scale path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 P_FP = 1_000_000_007  # fingerprint modulus (pinned)
@@ -480,6 +480,61 @@ def jaccard_pairs_sql(threshold: float = 0.3) -> str:
         "SELECT i.a, i.b, i.inter, CAST(floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) AS BIGINT) AS jacc_e4 "
         "FROM inters i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b "
         f"WHERE floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) >= {int(threshold * 10000)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (training-data curation: per-document salient terms)
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf (ties → term ascending).
+
+    Pinned integer math so both engines agree bit-for-bit: per-doc term
+    counts (tf) and document frequencies (dfreq) are exact integers;
+    idf = ln((N + 1) / (dfreq + 1)) evaluated as the SAME double expression
+    in both engines; score_e6 = floor(tf · idf · 1e6).
+
+    Shuffle budget: one explode+groupBy for term counts (keyed (doc, tok)),
+    one groupBy for document frequencies (keyed tok — partial aggs make the
+    hot-token skew a non-issue), one broadcast-able join tok→dfreq, one
+    per-doc window for the top-k. N is computed inside the plan via a
+    window-free scalar: count over the dfreq table would need an action, so
+    the caller-visible plan uses a cross-joined 1-row count aggregate
+    (broadcast, no driver scalar)."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("dfreq") + F.lit(1)).cast("double"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score_e6", F.floor(F.col("tf") * idf * F.lit(1_000_000)).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "tok", "score_e6", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+        "x -> x != '')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), "
+        "dfreq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY 1), "
+        "nd AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT doc_id, tok, CAST(floor(tf * ln("
+        "CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS score_e6 "
+        "FROM tf JOIN dfreq USING (tok), nd) "
+        "SELECT doc_id, tok, score_e6, rk FROM ("
+        "SELECT doc_id, tok, score_e6, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score_e6 DESC, tok ASC) AS BIGINT) AS rk "
+        f"FROM scored) WHERE rk <= {k}"
     )
 
 

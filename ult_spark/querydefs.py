@@ -849,6 +849,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(load(spark, sf_dir, "documents")), None, threshold=0.1)
 
 
+@q("tfidf_top_terms", None)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms by tf-idf (r3 curation op): exact integer
+    tf/dfreq, pinned ln idf, floored e6 scores, deterministic ties
+    (ops/textops.py tfidf_top_terms)."""
+    from ult_spark.ops.textops import tfidf_top_terms
+
+    return tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
 @q("dup_clusters", None)
 def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (r3): connected components of the minhash pair
@@ -872,6 +882,9 @@ def _attach_text_oracles() -> None:
     ORACLES["ngram_jaccard_pairs"] = jaccard_pairs_sql(0.1)
     ORACLES["simhash_near_dup"] = simhash_near_dup_sql(3)
     ORACLES["dup_clusters"] = dup_clusters_sql(0.2)
+    from ult_spark.ops.textops import tfidf_top_terms_sql
+
+    ORACLES["tfidf_top_terms"] = tfidf_top_terms_sql(3)
 
 
 _attach_text_oracles()
