@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "multimodal_features",
     "poly_intersect_area",
+    "buffer_cells_l6",
+    "tfidf_top_terms",
 ]
 
 

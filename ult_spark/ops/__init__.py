@@ -13,6 +13,10 @@ __all__ = [
     "lang_id", "quality_score", "token_count", "fingerprint",
     "cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ivf_assign", "lsh_bands", "prune_buckets", "oversized_buckets",
     "synth_assets", "extract_features", "frame_sample",
+    # round 3
+    "poly_intersect_area", "union_area", "buffer_cells", "dilate_cells",
+    "zonal_weighted", "ivf_train", "dup_clusters", "tfidf_top_terms",
+    "collapse_exact",
 ]
 
 
@@ -37,6 +41,11 @@ def __getattr__(name):
         "prune_buckets": "ann", "oversized_buckets": "ann",
         "ann_ivf_topk": "ann", "ivf_assign": "ann",
         "synth_assets": "multimodal", "extract_features": "multimodal", "frame_sample": "multimodal",
+        "poly_intersect_area": "polyarea", "union_area": "polyarea",
+        "buffer_cells": "buffer", "dilate_cells": "buffer",
+        "zonal_weighted": "zonal", "ivf_train": "ann",
+        "dup_clusters": "textops", "tfidf_top_terms": "textops",
+        "collapse_exact": "textops",
     }
     if name in homes:
         return getattr(import_module(f"ult_spark.ops.{homes[name]}"), name)

@@ -94,7 +94,7 @@ def oriented_edges(p: PackedPolygon) -> tuple[list, list, list, list, list]:
     return x1s, y1s, x2s, y2s, os_
 
 
-def _packed_rows(polys: list[PackedPolygon], idc: str) -> list[tuple]:
+def _packed_rows(polys: list[PackedPolygon]) -> list[tuple]:
     return [(p.poly_id, *oriented_edges(p)) for p in polys]
 
 
@@ -103,7 +103,7 @@ def _arrays_df(spark: SparkSession, polys, idc: str, pre: str) -> DataFrame:
         f"{idc} long, {pre}x1 array<double>, {pre}y1 array<double>, "
         f"{pre}x2 array<double>, {pre}y2 array<double>, {pre}o array<double>"
     )
-    return spark.createDataFrame(_packed_rows(polys, idc), schema)
+    return spark.createDataFrame(_packed_rows(polys), schema)
 
 
 def _clipped_area_e6(src: str, clip: str) -> Column:
