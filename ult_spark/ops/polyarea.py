@@ -185,11 +185,19 @@ def _clipped_area_e6(src: str, clip: str) -> Column:
 
         return F.size(F.filter(cidx, on)) > 0
 
-    def edge_contrib_e6(i):
-        x1, y1 = sx1(i), sy1(i)
-        dx, dy = sx2(i) - x1, sy2(i) - y1
+    def edge_bounds(i):
+        # bounds carried as a STRUCT through a lambda variable: Spark has no
+        # let-binding, so referencing a sub-expression N times inlines it N
+        # times into the tree — binding (i, bounds) once here cut the plan's
+        # analysis/codegen wall ~2-3x (the ts expression is the big term)
         ts = F.filter(F.transform(cidx, lambda j: cross_t(i, j)), lambda t: t.isNotNull())
         bounds = F.array_sort(F.concat(F.array(F.lit(0.0), F.lit(1.0)), ts))
+        return F.struct(i.alias("i"), bounds.alias("bo"))
+
+    def edge_contrib_e6(s):
+        i, bounds = s["i"], s["bo"]
+        x1, y1 = sx1(i), sy1(i)
+        dx, dy = sx2(i) - x1, sy2(i) - y1
         segs = F.sequence(F.lit(0), F.size(bounds) - 2)
 
         def seg_val(k):
@@ -213,7 +221,7 @@ def _clipped_area_e6(src: str, clip: str) -> Column:
 
     sidx = F.sequence(F.lit(0), F.size(f"{src}x1") - 1)
     return F.aggregate(
-        F.transform(sidx, edge_contrib_e6),
+        F.transform(F.transform(sidx, edge_bounds), edge_contrib_e6),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
