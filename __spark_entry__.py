@@ -33,8 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 3
     "poly_intersect_area", "zonal_weighted_pop", "union_area_layer",
-    "buffer_cells_l6", "dup_clusters", "tfidf_top_terms",
-    "ann_ivf_trained", "near_dup_oversized",
+    "buffer_cells_l6", "coverage_boundary_l6", "dup_clusters",
+    "tfidf_top_terms", "ann_ivf_trained", "near_dup_oversized",
     # never driver-checked through r2
     "compact_event_cells", "range_partitioned_tiles", "props_json_agg",
     "haversine_to_origin", "embedding_near_dup", "spacetime_rollup",

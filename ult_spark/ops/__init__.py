@@ -16,6 +16,7 @@ __all__ = [
     # round 3
     "poly_intersect_area", "union_area", "buffer_cells", "dilate_cells",
     "zonal_weighted", "ivf_train", "dup_clusters", "tfidf_top_terms",
+    "coverage_boundary",
     "collapse_exact",
 ]
 
@@ -43,6 +44,7 @@ def __getattr__(name):
         "synth_assets": "multimodal", "extract_features": "multimodal", "frame_sample": "multimodal",
         "poly_intersect_area": "polyarea", "union_area": "polyarea",
         "buffer_cells": "buffer", "dilate_cells": "buffer",
+        "coverage_boundary": "buffer",
         "zonal_weighted": "zonal", "ivf_train": "ann",
         "dup_clusters": "textops", "tfidf_top_terms": "textops",
         "collapse_exact": "textops",

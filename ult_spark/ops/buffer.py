@@ -78,6 +78,84 @@ def buffer_cells(
     return dilate_cells(base, level, k)
 
 
+SIDES = (("N", 0, 1), ("E", 1, 0), ("S", 0, -1), ("W", -1, 0))
+
+
+def coverage_boundary(
+    cells: DataFrame, level: int, cell: str = "cell",
+    keys: tuple[str, ...] = ("poly_id",),
+) -> DataFrame:
+    """Boundary sides of a cell coverage — the vectorize-inverse of
+    polyfill: one row per (keys, cell, side) whose 4-neighbour in that
+    direction is NOT in the same coverage (x wraps across the antimeridian;
+    the grid's top/bottom rows count their poleward side as boundary).
+
+    The morphological erosion complement: interior cells emit nothing, so
+    the output is O(perimeter), ready for rendering or boundary-length
+    stats. Fully native — explode 4 literal sides + one left_anti
+    self-join keyed (keys, neighbour cell); no geometry code at all."""
+    n = 1 << level
+    sides = F.array(
+        *[
+            F.struct(F.lit(s).alias("side"), F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for s, dx, dy in SIDES
+        ]
+    )
+    cand = (
+        cells
+        .withColumn("_x", UF.cell_x(cell, level))
+        .withColumn("_y", UF.cell_y(cell, level))
+        .withColumn("_s", F.explode(sides))
+        .withColumn("_ny", F.col("_y") + F.col("_s.dy"))
+        .withColumn(
+            "_ncell",
+            F.when(
+                (F.col("_ny") >= 0) & (F.col("_ny") < n),
+                UF.xy_to_cell(
+                    F.pmod(F.col("_x") + F.col("_s.dx"), F.lit(n)), F.col("_ny"), level
+                ),
+            ),  # NULL neighbour = off-grid → always boundary
+        )
+        .select(*keys, F.col(cell), F.col("_s.side").alias("side"), "_ncell")
+    )
+    member = cells.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys], F.col(cell).alias("_ncell")
+    )
+    on = [cand["_ncell"] == member["_ncell"]] + [
+        cand[k] == member[f"_k_{k}"] for k in keys
+    ]
+    joined = cand.join(member, on, "left_anti")
+    return joined.select(*keys, cell, "side")
+
+
+def coverage_boundary_sql(
+    polys: list[PackedPolygon], level: int = DEFAULT_INDEX_LEVEL
+) -> str:
+    """DuckDB mirror over the same inlined covers: identical neighbour
+    arithmetic + NOT EXISTS membership."""
+    import numpy as np
+
+    from ult_spark.grid.cells import cell_to_xy
+    from ult_spark import functions as _UF
+
+    n = 1 << level
+    rows = []
+    for c, p in _index_rows(polys, level):
+        x, y, _ = cell_to_xy(np.asarray([c], dtype=np.int64))
+        rows.append(f"({p},{int(c)},{int(x[0])},{int(y[0])})")
+    sides = ",".join(f"('{s}',{dx},{dy})" for s, dx, dy in SIDES)
+    ncell = _UF.xy_cell_sql(f"(x + dx + {n}) % {n}", "y + dy", level)
+    return (
+        f"WITH base(poly_id, cell, x, y) AS (VALUES {','.join(rows)}), "
+        f"s(side, dx, dy) AS (VALUES {sides}), "
+        "cand AS (SELECT poly_id, cell, side, "
+        f"CASE WHEN y + dy >= 0 AND y + dy < {n} THEN CAST({ncell} AS BIGINT) END AS ncell "
+        "FROM base, s) "
+        "SELECT poly_id, cell, side FROM cand c WHERE ncell IS NULL OR NOT EXISTS ("
+        "SELECT 1 FROM base b WHERE b.poly_id = c.poly_id AND b.cell = c.ncell)"
+    )
+
+
 def buffer_cells_sql(
     polys: list[PackedPolygon], level: int = DEFAULT_INDEX_LEVEL, k: int = 1
 ) -> str:

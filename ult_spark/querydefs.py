@@ -403,11 +403,27 @@ def buffer_cells_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buffer_cells(spark, list(default_layer()), level=6, k=2)
 
 
+@q("coverage_boundary_l6", None)
+def coverage_boundary_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary sides of each polygon's L6 cover (r3 vectorize-inverse:
+    O(perimeter) output via one explode + one left_anti self-join,
+    ops/buffer.py coverage_boundary)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.buffer import coverage_boundary
+    from ult_spark.ops.pip import build_cell_index
+
+    base = build_cell_index(spark, list(default_layer()), 6).select(
+        "poly_id", F.col("icell").alias("cell")
+    )
+    return coverage_boundary(base, level=6)
+
+
 def _attach_buffer_oracle() -> None:
     from ult_spark.geom.polyio import default_layer
-    from ult_spark.ops.buffer import buffer_cells_sql
+    from ult_spark.ops.buffer import buffer_cells_sql, coverage_boundary_sql
 
     ORACLES["buffer_cells_l6"] = buffer_cells_sql(list(default_layer()), level=6, k=2)
+    ORACLES["coverage_boundary_l6"] = coverage_boundary_sql(list(default_layer()), level=6)
 
 
 _attach_buffer_oracle()
