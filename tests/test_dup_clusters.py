@@ -6,8 +6,14 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
-from ult_spark.ops.textops import dup_clusters, minhash_lsh_dedup
+from ult_spark.ops.textops import (
+    ConvergenceError,
+    connected_components,
+    dup_clusters,
+    minhash_lsh_dedup,
+)
 
 
 def _uf_reference(n, pairs):
@@ -79,3 +85,37 @@ def test_chain_converges_within_round_bound(spark):
     assert len({v for v in exp.values()}) < len(texts)
     got = {r.doc_id: r.cluster_id for r in dup_clusters(df, threshold=0.2, rounds=4).collect()}
     assert got == exp
+
+
+def _path_graph(spark, n):
+    verts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": np.arange(n - 1, dtype=np.int64),
+                "b": np.arange(1, n, dtype=np.int64),
+            }
+        )
+    )
+    return verts, pairs
+
+
+def test_unconverged_chain_raises_not_silent(spark):
+    """Round-3 verdict #4: a chain LONGER than the ~2^rounds coverage must
+    be DETECTED — connected_components raises ConvergenceError instead of
+    returning silently wrong cluster ids. A 40-node path at rounds=2
+    (coverage ~2^2 hops) cannot converge."""
+    verts, pairs = _path_graph(spark, 40)
+    with pytest.raises(ConvergenceError, match="still changing"):
+        connected_components(verts, pairs, rounds=2)
+
+
+def test_long_chain_converges_at_default_rounds(spark):
+    """The same detection machinery stays SILENT when the bound holds: a
+    60-hop path (diameter 60 < 2^6) converges at the default rounds=6 and
+    every node labels to 0."""
+    verts, pairs = _path_graph(spark, 61)
+    got = {r.doc_id: r.cluster_id for r in connected_components(verts, pairs).collect()}
+    assert got == {i: 0 for i in range(61)}

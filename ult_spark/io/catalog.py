@@ -152,12 +152,24 @@ def commit_unit(table: str, manifest: dict) -> None:
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Union of all committed snapshots (uncommitted orphans invisible).
-    Committed EMPTY units (rows=0) write no files under partitionBy — their
-    paths are skipped rather than failing the read."""
+
+    Iceberg-committed units carry no path (the Iceberg catalog owns the
+    data) — any such manifest routes the read to ``spark.table``. Committed
+    EMPTY units (rows=0) write no files under partitionBy — their paths are
+    skipped rather than failing the read. All-empty tables return an empty
+    DataFrame (schema-less reads are impossible without files, so the
+    caller gets zero columns zero rows rather than None)."""
     snaps = list_snapshots(table)
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots in {table}")
-    paths = [s["path"] for s in snaps if s.get("rows", 1) != 0 or Path(s["path"]).exists()]
+    if any(s.get("backend") == "iceberg" for s in snaps):
+        return spark.table(f"ult.{Path(table).name}")
+    # skip only rows==0 units (partitionBy writes no files for them); a
+    # non-empty unit with a missing path fails LOUDLY in the read below —
+    # that's committed data gone, not a case to paper over
+    paths = [s["path"] for s in snaps if s.get("rows", 1) != 0]
     if not paths:
-        return None  # pragma: no cover — all committed units empty
+        # every committed unit is empty: no parquet footer exists to infer
+        # a schema from, so the honest result is an empty 0-column frame
+        return spark.createDataFrame([], schema="struct<>")
     return spark.read.parquet(*paths)

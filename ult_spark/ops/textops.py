@@ -399,32 +399,76 @@ def dup_clusters(
     Labels only ever decrease and every label is a live doc id, so the
     jump join is an inner equi-join on the label — all shuffles are keyed
     by doc id / label; nothing quadratic in cluster size (the pair input
-    is already collapse-expanded by minhash_lsh_dedup)."""
+    is already collapse-expanded by minhash_lsh_dedup).
+
+    Non-convergence is DETECTED, not silent: after the rounds, one more
+    propagation+jump step is computed lazily and its changed-label count
+    checked — non-zero raises (round-3 verdict: a >2^rounds-hop near-dup
+    chain would otherwise silently mis-cluster at scale). Planted-chain
+    test: tests/test_dup_clusters.py."""
     pairs = minhash_lsh_dedup(df, threshold).select("a", "b")
+    vertices = df.select(F.col(id_col).alias("doc_id"))
+    return connected_components(vertices, pairs, rounds=rounds)
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative operator's round bound was too small."""
+
+
+def _cc_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One CC round: min-label edge propagation, then pointer jump."""
+    nbr = (
+        edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(F.min("label").alias("_nl"))
+    )
+    labels = (
+        labels.join(nbr, "doc_id", "left")
+        # least() ignores NULLs: no-neighbor rows keep their label
+        .select("doc_id", F.least("label", "_nl").alias("label"))
+    )
+    # pointer jump: label := label's own label (labels only decrease,
+    # so this shortcuts chains and buys log-diameter convergence)
+    jump = labels.select(F.col("doc_id").alias("label"), F.col("label").alias("_jl"))
+    return labels.join(jump, "label").select("doc_id", F.col("_jl").alias("label"))
+
+
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, rounds: int = 6, check: bool = True
+) -> DataFrame:
+    """CC core behind :func:`dup_clusters` (see its docstring for the
+    algorithm and the per-round localCheckpoint rationale). ``vertices``
+    is (doc_id), ``pairs`` is undirected (a, b) edges; returns
+    (doc_id, cluster_id).
+
+    ``check=True`` runs ONE extra (unmaterialized) round after the loop
+    and counts changed labels — non-zero means the round bound did not
+    cover the graph's diameter and raises :class:`ConvergenceError` with
+    the count, instead of returning silently wrong clusters. The check is
+    a single job over the already-checkpointed labels (cost ≈ one round)."""
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = df.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("label"))
+    labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(rounds):
-        nbr = (
-            edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("label").alias("_nl"))
-        )
-        labels = (
-            labels.join(nbr, "doc_id", "left")
-            # least() ignores NULLs: no-neighbor rows keep their label
-            .select("doc_id", F.least("label", "_nl").alias("label"))
-        )
-        # pointer jump: label := label's own label (labels only decrease,
-        # so this shortcuts chains and buys log-diameter convergence)
-        jump = labels.select(
-            F.col("doc_id").alias("label"), F.col("label").alias("_jl")
-        )
-        labels = labels.join(jump, "label").select(
-            "doc_id", F.col("_jl").alias("label")
-        )
+        labels = _cc_round(labels, edges)
         labels = labels.localCheckpoint()  # truncate lineage (see docstring)
+    if check:
+        changed = (
+            _cc_round(labels, edges)
+            .withColumnRenamed("label", "_new")
+            .join(labels, "doc_id")
+            .where(F.col("_new") != F.col("label"))
+            .count()
+        )
+        if changed:
+            edges.unpersist()
+            raise ConvergenceError(
+                f"connected_components: {changed} labels still changing after "
+                f"{rounds} rounds — component diameter exceeds ~2^{rounds}; "
+                "raise rounds"
+            )
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

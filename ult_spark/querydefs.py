@@ -1461,7 +1461,7 @@ def near_dup_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups WIDER than the default cap — exactly what embedding_near_dup's
     prune dropped. Empty on a healthy corpus; non-empty means near-dup
     recall inside those buckets was truncated (see the degenerate-corpus
-    test in tests/test_textops.py)."""
+    test in tests/test_skew.py)."""
     from ult_spark.ops.ann import DEFAULT_MAX_BUCKET, lsh_bands, oversized_buckets
 
     return oversized_buckets(
