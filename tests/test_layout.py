@@ -104,6 +104,21 @@ def test_round3_native_ops_have_no_python_eval(spark, sf_smoke):
         assert "FlatMapGroupsInPandas" not in plan, name
 
 
+def test_zonal_weighted_candidates_are_hash_join(spark, sf_smoke):
+    """Round-3 verdict #3: zonal_weighted's pixel→polygon candidates must be
+    a cell-cover HASH equi-join, not a broadcast nested-loop bbox theta
+    join — O(pixels × zones) does not survive a large zone layer."""
+    from ult_spark.querydefs import QUERIES
+
+    plan = (
+        QUERIES["zonal_weighted_pop"](spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_distributed_compact_matches_numpy(spark, sf_smoke):
     from ult_spark.grid import cells as C, compact as CZ
     from ult_spark.ops.compact_df import compact_cells

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ult_spark import functions as UF
 from ult_spark.geom.polyio import PackedPolygon
 from ult_spark.geom.raster import GeoRef, PINNED_GEOREF, pixel_center_cols
-from ult_spark.ops.pip import pip_join
+from ult_spark.ops.pip import DEFAULT_INDEX_LEVEL, pip_join
 
 
 def zonal_stats(
@@ -78,10 +78,20 @@ def zonal_weighted(
 
     Mechanism: pixel rectangles become 4-edge packed arrays built NATIVELY
     from (row, col); polygons arrive as the same oriented-edge arrays the
-    intersection-area operator uses; candidates are a bbox-overlap
-    broadcast theta join (16 small polygons × pruned pixels); the per-pair
-    area is ops/polyarea.py's Green's-theorem clipped-edge Column — fully
-    row-local, no UDF, no extra shuffle before the final groupBy.
+    intersection-area operator uses; candidates come from a CELL-COVER
+    HASH equi-join (round-3 verdict #3 — the bbox broadcast theta join
+    evaluated every pixel against every polygon, O(pixels × zones)): each
+    pixel keys on its center's grid cell, each polygon on its polyfill
+    cover DILATED by one cell (ops/buffer.dilate_cells). Validity: with
+    pixel size ≤ the index cell height, a pixel rect that (closed-)touches
+    a polygon has its center at most half a cell from a cover cell, so the
+    k=1 dilation is a superset of every bbox-overlapping pair; the ORIGINAL
+    open bbox predicate then runs as a row-local residual filter on the
+    candidates, so the final pair set — and the DuckDB oracle, which keeps
+    the bbox candidate formulation — is unchanged bit-for-bit. The
+    per-pair area is ops/polyarea.py's Green's-theorem clipped-edge
+    Column — fully row-local, no UDF, no extra shuffle before the final
+    groupBy.
 
     Outputs per polygon (exact integers, order-free):
       area_e6  = Σ area(pixel ∩ poly) × 1e6   (the polygon's raster-covered area)
@@ -98,10 +108,16 @@ def zonal_weighted(
     because bbox-overlap is a superset of intersects/touches. Measured
     ~4× fewer kernel pairs on the pinned layer.
     """
+    import math
+
+    from ult_spark.ops.buffer import buffer_cells
     from ult_spark.ops.polyarea import _arrays_df, _clipped_area_e6
 
     spark = raster.sparkSession
     cell = float(ref.cell_deg)
+    # finest level whose cell HEIGHT (180/2^L, the binding dimension) still
+    # covers one pixel — the k=1 dilation argument above needs pixel ≤ cell
+    index_level = min(DEFAULT_INDEX_LEVEL, int(math.floor(math.log2(180.0 / cell))))
     x0 = F.lit(ref.origin_lon) + F.col("col").cast("double") * F.lit(cell)
     x1 = x0 + F.lit(cell)
     y0 = F.lit(ref.origin_lat) + F.col("row").cast("double") * F.lit(cell)
@@ -109,6 +125,9 @@ def zonal_weighted(
     px = raster.select(
         (F.col("row").cast("long") * ref.ncols + F.col("col")).alias("b_id"),
         F.floor(F.col(value) * 10000).cast("long").alias("_v_e4"),
+        UF.latlon_to_cell(
+            y0 + F.lit(cell / 2.0), x0 + F.lit(cell / 2.0), index_level
+        ).alias("_ccell"),
         x0.alias("_x0"), x1.alias("_x1"), y0.alias("_y0"), y1.alias("_y1"),
         # CCW rectangle edges as packed arrays (orientation weight 1.0)
         F.array(x0, x1, x1, x0).alias("bx1"),
@@ -118,11 +137,21 @@ def zonal_weighted(
         F.array(*[F.lit(1.0)] * 4).alias("bo"),
     )
     ea = _arrays_df(spark, polys, "a_id", "a")
+    cover = buffer_cells(spark, polys, level=index_level, k=1).select(
+        F.col("cell").alias("_ccell"), F.col("poly_id").alias("a_id")
+    )
     bbox = spark.createDataFrame(
         [(p.poly_id, *p.bbox()) for p in polys],
         "a_id long, ymin double, ymax double, xmin double, xmax double",
     )
-    pa = ea.join(bbox, "a_id")
+    # distinct (cell, poly) cover rows × one center cell per pixel ⇒ each
+    # (pixel, polygon) candidate pair appears exactly once
+    pa = cover.join(ea, "a_id").join(bbox, "a_id")
+    # residual OPEN bbox-overlap filter — now row-local on candidate rows
+    # only, but SEMANTICALLY load-bearing: exactly-TOUCHING pairs have
+    # zero-area intersections whose half-weight terms quantize to −1 per
+    # edge (floor(x) + floor(−x) = −1); the open predicate excludes them,
+    # exactly as the oracle's candidate CTE does
     overlap = (
         (F.col("_x0") < F.col("xmax")) & (F.col("_x1") > F.col("xmin"))
         & (F.col("_y0") < F.col("ymax")) & (F.col("_y1") > F.col("ymin"))
@@ -164,7 +193,8 @@ def zonal_weighted(
         .otherwise(F.lit(0).cast("long"))
     )
     return (
-        px.join(F.broadcast(pa), overlap, "inner")
+        px.join(F.broadcast(pa), "_ccell", "inner")
+        .where(overlap)
         .withColumn("_area_e6", area)
         .groupBy(F.col("a_id").alias("poly_id"))
         .agg(
