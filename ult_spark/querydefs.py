@@ -392,6 +392,31 @@ def poly_intersect_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly_intersect_area(spark, a, shifted_layer(a, 2.0, 3.0))
 
 
+@q("poly_intersect_area_dist", None)
+def poly_intersect_area_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer twin (r4, ops/polyarea.py poly_intersect_area_df):
+    covers + oriented arrays built cluster-side, shuffle joins only — same
+    oracle as poly_intersect_area because results are bit-identical."""
+    from ult_spark.geom.polyio import default_layer, shifted_layer, to_dataframe
+    from ult_spark.ops.polyarea import poly_intersect_area_df
+
+    a = list(default_layer())
+    return poly_intersect_area_df(
+        to_dataframe(spark, a), to_dataframe(spark, list(shifted_layer(a, 2.0, 3.0)))
+    )
+
+
+@q("union_area_dist", None)
+def union_area_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer union (dissolve) area (r4, union_area_df): the
+    same depth-aware boundary integral with the layer delivered as a
+    DataFrame and nothing broadcast."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.ops.polyarea import union_area_df
+
+    return union_area_df(to_dataframe(spark, list(default_layer())))
+
+
 @q("buffer_cells_l6", None)
 def buffer_cells_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid buffer (r3 overlay family): each pinned polygon's L6 cover
@@ -447,6 +472,9 @@ def _attach_poly_area_oracle() -> None:
     a = list(default_layer())
     ORACLES["poly_intersect_area"] = poly_intersect_area_sql(a, shifted_layer(a, 2.0, 3.0))
     ORACLES["union_area_layer"] = union_area_sql(a)
+    # the distributed twins are bit-identical by construction — same oracles
+    ORACLES["poly_intersect_area_dist"] = ORACLES["poly_intersect_area"]
+    ORACLES["union_area_dist"] = ORACLES["union_area_layer"]
 
 
 _attach_poly_area_oracle()
