@@ -48,6 +48,46 @@ def test_nested_square_full_containment(spark):
     assert abs(got[(0, 10)] - 4 * AREA_Q) <= 8
 
 
+def test_m2_twin_matches_analytic_band_area(spark):
+    """Geodesic sanity: a 10°-wide lon band between lat 40° and 50° has
+    exact spherical area R²·Δλ_rad·(sin50° − sin40°) — the closed-form
+    kernel must hit it to quantization error, and a same-shape equator
+    band must come out bigger by the exact sin-difference ratio."""
+    import math
+
+    from ult_spark.ops.polyarea import EARTH_R_M, poly_intersect_area_m2
+
+    def band(pid, lat0, lat1):
+        return _poly(pid, [[(0, lat0), (10, lat0), (10, lat1), (0, lat1)]])
+
+    got = {
+        (r.a_id, r.b_id): r.area_m2
+        for r in poly_intersect_area_m2(
+            spark, [band(0, 40, 50), band(1, -5, 5)], [band(10, 40, 50), band(11, -5, 5)]
+        ).collect()
+    }
+    rad = math.pi / 180.0
+    exact_hi = EARTH_R_M**2 * (10 * rad) * (math.sin(50 * rad) - math.sin(40 * rad))
+    exact_eq = EARTH_R_M**2 * (10 * rad) * (math.sin(5 * rad) - math.sin(-5 * rad))
+    assert got[(0, 10)] == pytest.approx(exact_hi, rel=1e-9)
+    assert got[(1, 11)] == pytest.approx(exact_eq, rel=1e-9)
+    assert got[(1, 11)] > got[(0, 10)]  # equator band is physically larger
+
+
+def test_union_area_m2_single_square(spark):
+    """union_area_m2 on one square = the pairwise kernel's value for the
+    square against itself (same line integral, weight 1 everywhere)."""
+    import math
+
+    from ult_spark.ops.polyarea import EARTH_R_M, union_area_m2
+
+    sq = [_poly(0, [[(0, 40), (10, 40), (10, 50), (0, 50)]])]
+    got = union_area_m2(spark, sq).collect()[0].area_m2
+    rad = math.pi / 180.0
+    exact = EARTH_R_M**2 * (10 * rad) * (math.sin(50 * rad) - math.sin(40 * rad))
+    assert got == pytest.approx(exact, rel=1e-9)
+
+
 def test_hole_subtracts(spark):
     # A = 10x10 square with a 2x2 hole; B covers A entirely → area 96
     a = [_poly(0, [

@@ -43,6 +43,8 @@ construction.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +53,62 @@ from ult_spark.geom.polyio import PackedPolygon
 from ult_spark.ops.pip import DEFAULT_INDEX_LEVEL, _index_rows
 
 AREA_Q = 1_000_000  # per-edge contribution quantization (pinned)
+
+# Geodesic (m²) twin constants (pinned): the physical area of a lat/lon
+# region is R² ∬ cos(φ) dλ dφ (radians) = (R·π/180)² · S where
+# S = ∬ cos(DEG·φ°) dλ° dφ° — so the m² kernel computes S by the SAME
+# Green's split/classify machinery with a cos-weighted line integral, and
+# (R·DEG)² doubles as the quantization multiplier: floor once per edge,
+# integer square metres out.
+DEG = math.pi / 180.0
+EARTH_R_M = 6_371_000.0
+M2_Q = (EARTH_R_M * DEG) ** 2
+
+
+def _seg_green_deg2(x1, y1, dx, dy, t0, t1) -> Column:
+    """Plate-carrée Green contribution of sub-segment [t0, t1]:
+    ∫ λ dφ = dy·(x1·(t1−t0) + dx·(t1²−t0²)/2)."""
+    return dy * (x1 * (t1 - t0) + dx * (t1 * t1 - t0 * t0) / 2)
+
+
+def _seg_green_m2(x1, y1, dx, dy, t0, t1) -> Column:
+    """cos(lat)-weighted Green contribution (the m² twin):
+    ∫ λ(t)·cos(DEG·φ(t))·φ'(t) dt over [t0, t1], closed form via
+    d/dt[(x1/c)·sin(A+Bt) + (dx/(cB))·cos(A+Bt) + (dx/c)·t·sin(A+Bt)]
+    = dy·λ(t)·cos(c·φ(t)) with c = DEG, A = c·y1, B = c·dy. Horizontal
+    segments (dy = 0) contribute exactly 0 — the guard doubles as the
+    ANSI-safe division shield (CaseWhen short-circuits the /B term).
+    Mirrored term-for-term in SQL by :func:`_seg_green_m2_sql`."""
+    c = F.lit(DEG)
+    A = c * y1
+    B = c * dy
+    val = (
+        (x1 / c) * (F.sin(A + B * t1) - F.sin(A + B * t0))
+        + (dx / (c * B)) * (F.cos(A + B * t1) - F.cos(A + B * t0))
+        + (dx / c) * (t1 * F.sin(A + B * t1) - t0 * F.sin(A + B * t0))
+    )
+    return F.when(dy == F.lit(0.0), F.lit(0.0)).otherwise(val)
+
+
+# the deg² SQL contribution string (scalar edge columns ex/ey, bounds t0/t1)
+_SEG_DEG2_SQL = (
+    "(ey2 - ey1) * (ex1 * (t1 - t0) + (ex2 - ex1) * (t1 * t1 - t0 * t0) / 2)"
+)
+
+
+def _seg_green_m2_sql() -> str:
+    """DuckDB mirror of :func:`_seg_green_m2` — identical operation tree so
+    the IEEE doubles agree (the trig calls land on the same libm-quality
+    results; per-edge floors keep any residual last-ulp noise from ever
+    crossing rows)."""
+    d = repr(DEG)
+    a_b = lambda t: f"({d} * ey1 + ({d} * (ey2 - ey1)) * {t})"  # noqa: E731
+    return (
+        f"CASE WHEN (ey2 - ey1) = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE "
+        f"(ex1 / {d}) * (sin({a_b('t1')}) - sin({a_b('t0')})) "
+        f"+ ((ex2 - ex1) / ({d} * ({d} * (ey2 - ey1)))) * (cos({a_b('t1')}) - cos({a_b('t0')})) "
+        f"+ ((ex2 - ex1) / {d}) * (t1 * sin({a_b('t1')}) - t0 * sin({a_b('t0')})) END"
+    )
 
 
 def _ring_sign(xs: np.ndarray, ys: np.ndarray) -> int:
@@ -106,11 +164,13 @@ def _arrays_df(spark: SparkSession, polys, idc: str, pre: str) -> DataFrame:
     return spark.createDataFrame(_packed_rows(polys), schema)
 
 
-def _clipped_area_e6(src: str, clip: str) -> Column:
-    """Σ over ``src`` edges of floor(1e6 × clipped Green contribution inside
+def _clipped_area_e6(src: str, clip: str, seg=_seg_green_deg2, q: float = AREA_Q) -> Column:
+    """Σ over ``src`` edges of floor(q × clipped Green contribution inside
     the ``clip`` polygon) — one nested-HOF Column over the packed arrays.
 
-    ``src``/``clip`` are the column prefixes (e.g. 'a', 'b')."""
+    ``src``/``clip`` are the column prefixes (e.g. 'a', 'b'); ``seg`` is the
+    sub-segment line-integral (deg² default, :func:`_seg_green_m2` for the
+    geodesic twin) and ``q`` the per-edge quantization multiplier."""
 
     def sx1(i):
         return F.element_at(f"{src}x1", i + 1)
@@ -205,7 +265,7 @@ def _clipped_area_e6(src: str, clip: str) -> Column:
             t1 = F.element_at(bounds, k + 2)
             tm = (t0 + t1) / 2
             mx, my = x1 + tm * dx, y1 + tm * dy
-            c = dy * (x1 * (t1 - t0) + dx * (t1 * t1 - t0 * t0) / 2)
+            c = seg(x1, y1, dx, dy, t0, t1)
             w = (
                 F.when(on_clip_boundary(mx, my), F.lit(0.5))
                 .when(inside_clip(mx, my), F.lit(1.0))
@@ -217,13 +277,43 @@ def _clipped_area_e6(src: str, clip: str) -> Column:
         total = F.aggregate(
             F.transform(segs, seg_val), F.lit(0.0), lambda acc, v: acc + v
         )
-        return F.floor(total * F.element_at(f"{src}o", i + 1) * AREA_Q).cast("long")
+        return F.floor(total * F.element_at(f"{src}o", i + 1) * q).cast("long")
 
     sidx = F.sequence(F.lit(0), F.size(f"{src}x1") - 1)
     return F.aggregate(
         F.transform(F.transform(sidx, edge_bounds), edge_contrib_e6),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def _pairwise_area(
+    spark: SparkSession,
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int,
+    seg,
+    q: float,
+    out: str,
+) -> DataFrame:
+    ca = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)],
+        "cell long, a_id long",
+    )
+    cb = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)],
+        "cell long, b_id long",
+    )
+    cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
+    ea = _arrays_df(spark, layer_a, "a_id", "a")
+    eb = _arrays_df(spark, layer_b, "b_id", "b")
+    area = _clipped_area_e6("a", "b", seg, q) + _clipped_area_e6("b", "a", seg, q)
+    return (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .withColumn(out, area)
+        .where(F.col(out) > 0)
+        .select("a_id", "b_id", out)
     )
 
 
@@ -236,24 +326,25 @@ def poly_intersect_area(
     """(a_id, b_id, area_e6) for every pair with positive intersection area
     (pairs touching only at boundary measure-zero sets quantize to ≤ 0 and
     are dropped — pinned)."""
-    ca = spark.createDataFrame(
-        [(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)],
-        "cell long, a_id long",
+    return _pairwise_area(
+        spark, layer_a, layer_b, index_level, _seg_green_deg2, AREA_Q, "area_e6"
     )
-    cb = spark.createDataFrame(
-        [(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)],
-        "cell long, b_id long",
-    )
-    cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
-    ea = _arrays_df(spark, layer_a, "a_id", "a")
-    eb = _arrays_df(spark, layer_b, "b_id", "b")
-    area = _clipped_area_e6("a", "b") + _clipped_area_e6("b", "a")
-    return (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
-        .withColumn("area_e6", area)
-        .where(F.col("area_e6") > 0)
-        .select("a_id", "b_id", "area_e6")
+
+
+def poly_intersect_area_m2(
+    spark: SparkSession,
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Geodesic twin (round-3 verdict, missing #2): (a_id, b_id, area_m2)
+    with area in integer SQUARE METRES — the cos(lat)-weighted Green
+    integral (:func:`_seg_green_m2`), same split/classify machinery, same
+    per-edge quantize-before-integer-sum determinism. deg² areas are not
+    physically comparable across latitudes; this is, matching the `_m`
+    twins every distance operator already has."""
+    return _pairwise_area(
+        spark, layer_a, layer_b, index_level, _seg_green_m2, M2_Q, "area_m2"
     )
 
 
@@ -362,7 +453,8 @@ def _arrays_values(polys: list[PackedPolygon], alias: str, idc: str, pre: str) -
 
 
 def _direction_ctes(tag: str, sid: str, cid: str, sal: str, cal: str,
-                    spre: str, cpre: str) -> str:
+                    spre: str, cpre: str, c_expr: str = _SEG_DEG2_SQL,
+                    q: float = AREA_Q) -> str:
     """CTE chain for one clip direction: ``sal`` (source layer VALUES alias,
     prefix ``spre``) clipped against ``cal`` (prefix ``cpre``). Emits
     ``{tag}pair(a_id, b_id, s{tag})``. Arithmetic mirrors
@@ -408,9 +500,11 @@ def _direction_ctes(tag: str, sid: str, cid: str, sal: str, cal: str,
         f"AND least({bx1}, {bx2}) <= mx AND mx <= greatest({bx1}, {bx2}) "
         f"AND least({by1}, {by2}) <= my AND my <= greatest({by1}, {by2})]) > 0"
     )
-    c = (
-        "(ey2 - ey1) * (ex1 * (t1 - t0) + (ex2 - ex1) * (t1 * t1 - t0 * t0) / 2)"
-    )
+    c = c_expr
+    # int q (the deg² default) stays a bare integer literal (DOUBLE×INT is
+    # DOUBLE); float q must be ::DOUBLE — DuckDB types bare decimals as
+    # DECIMAL and exact-decimal math diverges from Spark's IEEE in the ulp
+    q = str(q) if isinstance(q, int) else f"{q!r}::DOUBLE"
     return (
         # one row per (pair, source edge)
         f"{tag}bi AS (SELECT c.a_id, c.b_id, s.{spre}x1, s.{spre}y1, s.{spre}x2, "
@@ -434,16 +528,19 @@ def _direction_ctes(tag: str, sid: str, cid: str, sal: str, cal: str,
         # LEFT FOLD over k order, floor per edge, integer sum per pair
         f"{tag}edge AS (SELECT a_id, b_id, i, CAST(floor(list_reduce("
         "list_prepend(0.0::DOUBLE, list(v ORDER BY k)), (acc, vv) -> acc + vv) "
-        f"* any_value(eo) * {AREA_Q}) AS BIGINT) AS e6 FROM {tag}val GROUP BY 1, 2, 3), "
+        f"* any_value(eo) * {q}) AS BIGINT) AS e6 FROM {tag}val GROUP BY 1, 2, 3), "
         f"{tag}pair AS (SELECT a_id, b_id, CAST(sum(e6) AS BIGINT) AS s{tag} "
         f"FROM {tag}edge GROUP BY 1, 2)"
     )
 
 
-def poly_intersect_area_sql(
+def _pairwise_area_sql(
     layer_a: list[PackedPolygon],
     layer_b: list[PackedPolygon],
-    index_level: int = DEFAULT_INDEX_LEVEL,
+    index_level: int,
+    c_expr: str,
+    q: float,
+    out: str,
 ) -> str:
     def _vals(rows, alias, cols):
         body = ",".join("(" + ",".join(repr(v) for v in r) + ")" for r in rows)
@@ -456,12 +553,32 @@ def poly_intersect_area_sql(
     return (
         f"WITH cand AS (SELECT DISTINCT a_id, b_id FROM {ca} JOIN {cb} USING (cell)), "
         f"ea AS (SELECT * FROM {ea}), eb AS (SELECT * FROM {eb}), "
-        + _direction_ctes("a", "a_id", "b_id", "ea", "eb", "a", "b")
+        + _direction_ctes("a", "a_id", "b_id", "ea", "eb", "a", "b", c_expr, q)
         + ", "
-        + _direction_ctes("b", "b_id", "a_id", "eb", "ea", "b", "a")
-        + " SELECT a_id, b_id, CAST(coalesce(sa, 0) + coalesce(sb, 0) AS BIGINT) AS area_e6 "
+        + _direction_ctes("b", "b_id", "a_id", "eb", "ea", "b", "a", c_expr, q)
+        + f" SELECT a_id, b_id, CAST(coalesce(sa, 0) + coalesce(sb, 0) AS BIGINT) AS {out} "
         "FROM cand LEFT JOIN apair USING (a_id, b_id) LEFT JOIN bpair USING (a_id, b_id) "
         "WHERE coalesce(sa, 0) + coalesce(sb, 0) > 0"
+    )
+
+
+def poly_intersect_area_sql(
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> str:
+    return _pairwise_area_sql(
+        layer_a, layer_b, index_level, _SEG_DEG2_SQL, AREA_Q, "area_e6"
+    )
+
+
+def poly_intersect_area_m2_sql(
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> str:
+    return _pairwise_area_sql(
+        layer_a, layer_b, index_level, _seg_green_m2_sql(), M2_Q, "area_m2"
     )
 
 
@@ -540,6 +657,35 @@ def union_area(
     return _union_area_core(edges, cand, qarr, bcast=True)
 
 
+def union_area_m2(
+    spark: SparkSession,
+    polys: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Geodesic twin of :func:`union_area`: one row (area_m2), the layer's
+    dissolve area in integer square metres via the cos(lat)-weighted line
+    integral (:func:`_seg_green_m2`) — same splits, same depth-aware
+    weights, same per-sub-segment quantize-before-integer-sum."""
+    edges = spark.createDataFrame(
+        _edges_rows(polys),
+        "pid long, ei int, ex1 double, ey1 double, ex2 double, ey2 double, eo double",
+    )
+    cov = spark.createDataFrame(
+        [(int(c), int(p)) for c, p in _index_rows(polys, index_level)],
+        "cell long, pid long",
+    )
+    cand = (
+        cov.join(cov.select(F.col("cell"), F.col("pid").alias("qid")), "cell")
+        .where(F.col("pid") != F.col("qid"))
+        .select("pid", "qid")
+        .distinct()
+    )
+    qarr = _arrays_df(spark, polys, "qid", "q")
+    return _union_area_core(
+        edges, cand, qarr, bcast=True, seg=_seg_green_m2, q=M2_Q, out="area_m2"
+    )
+
+
 def union_area_df(
     layer_df: DataFrame, index_level: int = DEFAULT_INDEX_LEVEL
 ) -> DataFrame:
@@ -575,12 +721,14 @@ def union_area_df(
 
 
 def _union_area_core(
-    edges: DataFrame, cand: DataFrame, qarr: DataFrame, bcast: bool
+    edges: DataFrame, cand: DataFrame, qarr: DataFrame, bcast: bool,
+    seg=_seg_green_deg2, q: float = AREA_Q, out: str = "area_e6",
 ) -> DataFrame:
     """Shared relational body of :func:`union_area` / :func:`union_area_df`
     (see union_area's docstring for the algorithm). ``bcast`` controls
     whether the clip-arrays side is broadcast (driver-scale layer) or
-    shuffle-joined (parcel-scale layer)."""
+    shuffle-joined (parcel-scale layer); ``seg``/``q``/``out`` select the
+    deg² or geodesic-m² line integral."""
     maybe_b = F.broadcast if bcast else (lambda df: df)
     eq = edges.join(cand, "pid").join(maybe_b(qarr), "qid")
     ets = (
@@ -647,27 +795,31 @@ def _union_area_core(
             F.max("_on").alias("any_on"),
         )
     )
-    c = (F.col("ey2") - F.col("ey1")) * (
-        F.col("ex1") * (F.col("t1") - F.col("t0"))
-        + (F.col("ex2") - F.col("ex1")) * (F.col("t1") * F.col("t1") - F.col("t0") * F.col("t0")) / 2
+    c = seg(
+        F.col("ex1"), F.col("ey1"),
+        F.col("ex2") - F.col("ex1"), F.col("ey2") - F.col("ey1"),
+        F.col("t0"), F.col("t1"),
     )
     w = (
         F.when(F.coalesce(F.col("any_in"), F.lit(False)), F.lit(0.0))
         .when(F.coalesce(F.col("any_on"), F.lit(False)), F.lit(0.5))
         .otherwise(F.lit(1.0))
     )
-    v = F.floor(((w * c) * F.col("eo")) * F.lit(AREA_Q)).cast("long")
+    v = F.floor(((w * c) * F.col("eo")) * F.lit(q)).cast("long")
     return (
         segs.join(cls, ["pid", "ei", "k"], "left")
         .select(v.alias("_v"))
-        .agg(F.sum("_v").alias("area_e6"))
+        .agg(F.sum("_v").alias(out))
     )
 
 
 def union_area_sql(
-    polys: list[PackedPolygon], index_level: int = DEFAULT_INDEX_LEVEL
+    polys: list[PackedPolygon], index_level: int = DEFAULT_INDEX_LEVEL,
+    c_expr: str = _SEG_DEG2_SQL, q: float = AREA_Q, out: str = "area_e6",
 ) -> str:
-    """DuckDB mirror of :func:`union_area`, CTE for CTE."""
+    """DuckDB mirror of :func:`union_area`, CTE for CTE (``c_expr``/``q``/
+    ``out`` swap in the geodesic-m² line integral — see
+    :func:`union_area_m2_sql`)."""
     erows = ",".join(
         f"({pid},{ei},{x1!r},{y1!r},{x2!r},{y2!r},{o!r})"
         for pid, ei, x1, y1, x2, y2, o in _edges_rows(polys)
@@ -693,7 +845,8 @@ def union_area_sql(
         "AND least(qx1[j], qx2[j]) <= mx AND mx <= greatest(qx1[j], qx2[j]) "
         "AND least(qy1[j], qy2[j]) <= my AND my <= greatest(qy1[j], qy2[j])]) > 0"
     )
-    c = "(ey2 - ey1) * (ex1 * (t1 - t0) + (ex2 - ex1) * (t1 * t1 - t0 * t0) / 2)"
+    c = c_expr
+    q = str(q) if isinstance(q, int) else f"{q!r}::DOUBLE"
     return (
         f"WITH eg0(pid, ei, x1, y1, x2, y2, o) AS (VALUES {erows}), "
         # ::DOUBLE is load-bearing: bare decimal VALUES type as DECIMAL and
@@ -718,6 +871,15 @@ def union_area_sql(
         "FROM emid m JOIN cand USING (pid) JOIN qa USING (qid) GROUP BY 1, 2, 3) "
         "SELECT CAST(sum(CAST(floor((((CASE WHEN coalesce(any_in, FALSE) THEN 0.0::DOUBLE "
         f"WHEN coalesce(any_on, FALSE) THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END * ({c})) * eo) "
-        f"* {AREA_Q})) AS BIGINT)) AS BIGINT) AS area_e6 "
+        f"* {q})) AS BIGINT)) AS BIGINT) AS {out} "
         "FROM emid m LEFT JOIN ecls USING (pid, ei, k)"
+    )
+
+
+def union_area_m2_sql(
+    polys: list[PackedPolygon], index_level: int = DEFAULT_INDEX_LEVEL
+) -> str:
+    """DuckDB mirror of :func:`union_area_m2`."""
+    return union_area_sql(
+        polys, index_level, _seg_green_m2_sql(), M2_Q, "area_m2"
     )

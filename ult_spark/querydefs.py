@@ -392,6 +392,28 @@ def poly_intersect_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly_intersect_area(spark, a, shifted_layer(a, 2.0, 3.0))
 
 
+@q("poly_area_m2", None)
+def poly_area_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic intersection areas (r4): integer SQUARE METRES via the
+    cos(lat)-weighted Green integral (ops/polyarea.py _seg_green_m2) — the
+    area twin of the `_m` distance operators."""
+    from ult_spark.geom.polyio import default_layer, shifted_layer
+    from ult_spark.ops.polyarea import poly_intersect_area_m2
+
+    a = list(default_layer())
+    return poly_intersect_area_m2(spark, a, shifted_layer(a, 2.0, 3.0))
+
+
+@q("union_area_m2", None)
+def union_area_m2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic union (dissolve) area of the pinned layer in square metres
+    (r4, ops/polyarea.py union_area_m2)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.polyarea import union_area_m2
+
+    return union_area_m2(spark, list(default_layer()))
+
+
 @q("poly_intersect_area_dist", None)
 def poly_intersect_area_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed-layer twin (r4, ops/polyarea.py poly_intersect_area_df):
@@ -475,6 +497,13 @@ def _attach_poly_area_oracle() -> None:
     # the distributed twins are bit-identical by construction — same oracles
     ORACLES["poly_intersect_area_dist"] = ORACLES["poly_intersect_area"]
     ORACLES["union_area_dist"] = ORACLES["union_area_layer"]
+    from ult_spark.ops.polyarea import (
+        poly_intersect_area_m2_sql,
+        union_area_m2_sql,
+    )
+
+    ORACLES["poly_area_m2"] = poly_intersect_area_m2_sql(a, shifted_layer(a, 2.0, 3.0))
+    ORACLES["union_area_m2"] = union_area_m2_sql(a)
 
 
 _attach_poly_area_oracle()
