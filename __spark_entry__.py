@@ -26,30 +26,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks the FIRST 50 of queries() per round (round-2 verdict
-# #3): order the registry so queries with the fewest driver-green rows come
-# first — new round-3 queries, then never-driver-checked, then the two
-# once-checked cohorts (r1-only / r2-only); twice-green names fill the rest
-# in registration order. Pure reordering — zero change to the queries.
+# #3): order the registry stalest-green-first so every query keeps
+# accumulating driver rows at the current code state. Round-4 cohorts
+# (computed from CORRECTNESS_r01/02/03): 4 new queries, then the 30 whose
+# newest green row is round 2 (none are r1-stale — r3's window caught all
+# of those); the remaining 16 slots fill with r3-green names in
+# registration order. Pure reordering — zero change to the queries.
 _PRIORITY = [
-    # new in round 3
-    "poly_intersect_area", "zonal_weighted_pop", "union_area_layer",
-    "buffer_cells_l6", "coverage_boundary_l6", "dup_clusters",
-    "tfidf_top_terms", "ann_ivf_trained", "near_dup_oversized",
-    # never driver-checked through r2
-    "compact_event_cells", "range_partitioned_tiles", "props_json_agg",
-    "haversine_to_origin", "embedding_near_dup", "spacetime_rollup",
-    "cube_type_bucket", "grouping_sets_type_bucket",
-    "approx_users_per_tile_l6", "distinct_users_per_tile_l6",
-    # checked in r1 only
-    "cell_centroids_l8", "distinct_user_type", "event_gaps",
-    "multimodal_features", "multimodal_meta_agg", "rolling_hour_counts",
-    "sessionize_users", "tile_rank_ntile", "tiles_intersect",
-    "url_host_extract", "video_frame_plan",
-    # checked in r2 only
-    "ann_ivf_topk", "bbox_cover_l7", "bpe_token_count",
-    "distance_join_errors_m", "focal_counts_l6", "knn_events_k5_m",
-    "knn_events_wrap", "pip_join_events_dist", "poly_intersect",
-    "simhash_near_dup", "winnowing_fp",
+    # new in round 4
+    "poly_area_m2", "union_area_m2",
+    "poly_intersect_area_dist", "union_area_dist",
+    # last driver-green in round 2 (stalest; pre-r3-refactor rows)
+    "cust_nation_region", "top_customers", "tiles_except",
+    "pip_join_events", "pip_agg_by_poly", "pip_anti_count",
+    "pip_tiles_by_poly_l8", "salted_tile_agg_l8", "pyramid_op",
+    "knn_events_k5", "distance_join_errors", "zonal_stats_pop",
+    "rasterize_tiles_l6", "dedup_exact", "token_count",
+    "doc_fingerprint", "quality_score", "simhash32", "lang_id",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_cosine_topk",
+    "ann_lsh_topk", "docs_by_lang_source", "cell_range_join",
+    "asof_orders_version", "interval_join_buckets", "percentiles_by_type",
+    "tile_samples_l4", "udaf_tile_lat_sum",
 ]
 
 
