@@ -104,12 +104,25 @@ def _path_graph(spark, n):
 
 def test_unconverged_chain_raises_not_silent(spark):
     """Round-3 verdict #4: a chain LONGER than the ~2^rounds coverage must
-    be DETECTED — connected_components raises ConvergenceError instead of
-    returning silently wrong cluster ids. A 40-node path at rounds=2
-    (coverage ~2^2 hops) cannot converge."""
+    be DETECTED — with extension forbidden (max_rounds == rounds),
+    connected_components raises ConvergenceError instead of returning
+    silently wrong cluster ids. A 40-node path at rounds=2 (coverage ~2^2
+    hops) cannot converge."""
     verts, pairs = _path_graph(spark, 40)
     with pytest.raises(ConvergenceError, match="still changing"):
-        connected_components(verts, pairs, rounds=2)
+        connected_components(verts, pairs, rounds=2, max_rounds=2)
+
+
+def test_unconverged_chain_auto_extends(spark):
+    """The default path AUTO-EXTENDS instead of raising: the same 40-node
+    path started at rounds=2 converges by extension and still labels every
+    node to 0."""
+    verts, pairs = _path_graph(spark, 40)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(verts, pairs, rounds=2).collect()
+    }
+    assert got == {i: 0 for i in range(40)}
 
 
 def test_long_chain_converges_at_default_rounds(spark):

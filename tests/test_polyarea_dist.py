@@ -36,6 +36,43 @@ def test_union_area_df_matches_driver_variant(spark):
     assert got == drv
 
 
+def test_zonal_weighted_df_matches_driver_variant(spark):
+    """The last overlay op without a layer-DataFrame twin: same pinned
+    raster, layer as a packed-ring DataFrame, bit-identical sums."""
+    from ult_spark.geom.raster import synth_raster
+    from ult_spark.ops.zonal import zonal_weighted, zonal_weighted_df
+
+    polys = list(default_layer())
+    raster = synth_raster(spark)
+    drv = {
+        r.poly_id: (r.area_e6, r.wsum_e10)
+        for r in zonal_weighted(raster, polys).collect()
+    }
+    got = {
+        r.poly_id: (r.area_e6, r.wsum_e10)
+        for r in zonal_weighted_df(raster, to_dataframe(spark, polys)).collect()
+    }
+    assert got == drv and len(got) == len(polys)
+    plan = (
+        zonal_weighted_df(raster, to_dataframe(spark, polys))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_buffer_cells_df_matches_driver_variant(spark):
+    from ult_spark.ops.buffer import buffer_cells, buffer_cells_df
+
+    polys = list(default_layer())
+    drv = {(r.poly_id, r.cell) for r in buffer_cells(spark, polys, level=6, k=2).collect()}
+    got = {
+        (r.poly_id, r.cell)
+        for r in buffer_cells_df(to_dataframe(spark, polys), level=6, k=2).collect()
+    }
+    assert got == drv and len(got) > 1000
+
+
 def test_df_twin_plans_are_shuffle_joins(spark):
     """The twins must not broadcast-nested-loop anything and must build the
     layer artifacts cluster-side (MapInPandas nodes present — the polyfill

@@ -78,6 +78,21 @@ def buffer_cells(
     return dilate_cells(base, level, k)
 
 
+def buffer_cells_df(
+    layer_df: DataFrame, level: int = DEFAULT_INDEX_LEVEL, k: int = 1
+) -> DataFrame:
+    """Distributed-layer twin of :func:`buffer_cells` (the module docstring's
+    promised parcel-scale swap): cover from cluster-side polyfill
+    (ops/pip.build_cell_index_df), then the IDENTICAL dilation stage —
+    bit-identical results, nothing driver-side, nothing broadcast."""
+    from ult_spark.ops.pip import build_cell_index_df
+
+    base = build_cell_index_df(layer_df, level).select(
+        "poly_id", F.col("icell").alias("cell")
+    )
+    return dilate_cells(base, level, k)
+
+
 SIDES = (("N", 0, 1), ("E", 1, 0), ("S", 0, -1), ("W", -1, 0))
 
 

@@ -108,21 +108,80 @@ def zonal_weighted(
     because bbox-overlap is a superset of intersects/touches. Measured
     ~4× fewer kernel pairs on the pinned layer.
     """
-    import math
-
     from ult_spark.ops.buffer import buffer_cells
-    from ult_spark.ops.polyarea import _arrays_df, _clipped_area_e6
+    from ult_spark.ops.polyarea import _arrays_df
 
     spark = raster.sparkSession
+    index_level = _zonal_index_level(ref)
+    px = _pixel_rects(raster, ref, value, index_level)
+    ea = _arrays_df(spark, polys, "a_id", "a")
+    cover = buffer_cells(spark, polys, level=index_level, k=1).select(
+        F.col("cell").alias("_ccell"), F.col("poly_id").alias("a_id")
+    )
+    bbox = spark.createDataFrame(
+        [(p.poly_id, *p.bbox()) for p in polys],
+        "a_id long, ymin double, ymax double, xmin double, xmax double",
+    )
+    # distinct (cell, poly) cover rows × one center cell per pixel ⇒ each
+    # (pixel, polygon) candidate pair appears exactly once
+    pa = cover.join(ea, "a_id").join(bbox, "a_id")
+    return _zonal_weighted_core(px, pa, bcast=True)
+
+
+def zonal_weighted_df(
+    raster: DataFrame,
+    layer_df: DataFrame,
+    ref: GeoRef = PINNED_GEOREF,
+    value: str = "value",
+) -> DataFrame:
+    """Distributed-layer twin of :func:`zonal_weighted` (the last overlay op
+    without one): the zone layer arrives as a packed-ring DataFrame; the
+    cover comes from cluster-side polyfill (ops/pip.build_cell_index_df)
+    dilated by the SAME ops/buffer.dilate_cells stage, oriented arrays from
+    ops/polyarea.build_oriented_arrays_df, bboxes natively from the ring
+    arrays (array_min/array_max) — and the candidate join is a SHUFFLE hash
+    join on the cell key, so both the raster AND the zone layer scale with
+    the cluster. Kernel and residual filter are shared ⇒ results are
+    bit-identical to the driver-layer variant (tests assert it)."""
+    from ult_spark.ops.buffer import dilate_cells
+    from ult_spark.ops.pip import build_cell_index_df
+    from ult_spark.ops.polyarea import build_oriented_arrays_df
+
+    index_level = _zonal_index_level(ref)
+    px = _pixel_rects(raster, ref, value, index_level)
+    base = build_cell_index_df(layer_df, index_level).select(
+        "poly_id", F.col("icell").alias("cell")
+    )
+    cover = dilate_cells(base, index_level, 1).select(
+        F.col("cell").alias("_ccell"), F.col("poly_id").alias("a_id")
+    )
+    ea = build_oriented_arrays_df(layer_df, "a_id", "a")
+    bbox = layer_df.select(
+        F.col("poly_id").alias("a_id"),
+        F.array_min("ys").alias("ymin"), F.array_max("ys").alias("ymax"),
+        F.array_min("xs").alias("xmin"), F.array_max("xs").alias("xmax"),
+    )
+    pa = cover.join(ea, "a_id").join(bbox, "a_id")
+    return _zonal_weighted_core(px, pa, bcast=False)
+
+
+def _zonal_index_level(ref: GeoRef) -> int:
+    """Finest level whose cell HEIGHT (180/2^L, the binding dimension)
+    still covers one pixel — the k=1 dilation argument needs pixel ≤ cell."""
+    import math
+
+    return min(DEFAULT_INDEX_LEVEL, int(math.floor(math.log2(180.0 / float(ref.cell_deg)))))
+
+
+def _pixel_rects(raster: DataFrame, ref: GeoRef, value: str, index_level: int) -> DataFrame:
+    """Pixel rows with value, center-cell candidate key, scalar bounds, and
+    the CCW 4-edge packed rectangle arrays — all native from (row, col)."""
     cell = float(ref.cell_deg)
-    # finest level whose cell HEIGHT (180/2^L, the binding dimension) still
-    # covers one pixel — the k=1 dilation argument above needs pixel ≤ cell
-    index_level = min(DEFAULT_INDEX_LEVEL, int(math.floor(math.log2(180.0 / cell))))
     x0 = F.lit(ref.origin_lon) + F.col("col").cast("double") * F.lit(cell)
     x1 = x0 + F.lit(cell)
     y0 = F.lit(ref.origin_lat) + F.col("row").cast("double") * F.lit(cell)
     y1 = y0 + F.lit(cell)
-    px = raster.select(
+    return raster.select(
         (F.col("row").cast("long") * ref.ncols + F.col("col")).alias("b_id"),
         F.floor(F.col(value) * 10000).cast("long").alias("_v_e4"),
         UF.latlon_to_cell(
@@ -136,18 +195,15 @@ def zonal_weighted(
         F.array(y0, y1, y1, y0).alias("by2"),
         F.array(*[F.lit(1.0)] * 4).alias("bo"),
     )
-    ea = _arrays_df(spark, polys, "a_id", "a")
-    cover = buffer_cells(spark, polys, level=index_level, k=1).select(
-        F.col("cell").alias("_ccell"), F.col("poly_id").alias("a_id")
-    )
-    bbox = spark.createDataFrame(
-        [(p.poly_id, *p.bbox()) for p in polys],
-        "a_id long, ymin double, ymax double, xmin double, xmax double",
-    )
-    # distinct (cell, poly) cover rows × one center cell per pixel ⇒ each
-    # (pixel, polygon) candidate pair appears exactly once
-    pa = cover.join(ea, "a_id").join(bbox, "a_id")
-    # residual OPEN bbox-overlap filter — now row-local on candidate rows
+
+
+def _zonal_weighted_core(px: DataFrame, pa: DataFrame, bcast: bool) -> DataFrame:
+    """Shared candidate-join + kernel body (see zonal_weighted's docstring).
+    ``bcast`` broadcasts the polygon side for driver-scale layers; the
+    distributed twin shuffle-joins on the cell key instead."""
+    from ult_spark.ops.polyarea import _clipped_area_e6
+
+    # residual OPEN bbox-overlap filter — row-local on candidate rows
     # only, but SEMANTICALLY load-bearing: exactly-TOUCHING pairs have
     # zero-area intersections whose half-weight terms quantize to −1 per
     # edge (floor(x) + floor(−x) = −1); the open predicate excludes them,
@@ -193,7 +249,7 @@ def zonal_weighted(
         .otherwise(F.lit(0).cast("long"))
     )
     return (
-        px.join(F.broadcast(pa), "_ccell", "inner")
+        px.join(F.broadcast(pa) if bcast else pa, "_ccell", "inner")
         .where(overlap)
         .withColumn("_area_e6", area)
         .groupBy(F.col("a_id").alias("poly_id"))

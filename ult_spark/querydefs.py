@@ -842,11 +842,39 @@ def zonal_weighted_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_weighted(synth_raster(spark), list(default_layer()))
 
 
+@q("zonal_weighted_dist", None)
+def zonal_weighted_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer twin of zonal_weighted_pop (r4): zone layer as a
+    packed-ring DataFrame, cluster-side cover + oriented arrays + native
+    array bboxes, shuffle hash join on the cell key — same oracle because
+    results are bit-identical (ops/zonal.py zonal_weighted_df)."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.geom.raster import synth_raster
+    from ult_spark.ops.zonal import zonal_weighted_df
+
+    return zonal_weighted_df(
+        synth_raster(spark), to_dataframe(spark, list(default_layer()))
+    )
+
+
+@q("buffer_cells_dist", None)
+def buffer_cells_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer grid buffer (r4, ops/buffer.py buffer_cells_df):
+    cluster-side polyfill cover + the identical dilation stage — same
+    oracle as buffer_cells_l6."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.ops.buffer import buffer_cells_df
+
+    return buffer_cells_df(to_dataframe(spark, list(default_layer())), level=6, k=2)
+
+
 def _attach_zonal_weighted_oracle() -> None:
     from ult_spark.geom.polyio import default_layer
     from ult_spark.ops.zonal import zonal_weighted_sql
 
     ORACLES["zonal_weighted_pop"] = zonal_weighted_sql(list(default_layer()))
+    ORACLES["zonal_weighted_dist"] = ORACLES["zonal_weighted_pop"]
+    ORACLES["buffer_cells_dist"] = ORACLES["buffer_cells_l6"]
 
 
 _attach_zonal_weighted_oracle()
