@@ -126,9 +126,9 @@ def test_unconverged_chain_auto_extends(spark):
 
 
 def test_long_chain_converges_at_default_rounds(spark):
-    """The same detection machinery stays SILENT when the bound holds: a
-    60-hop path (diameter 60 < 2^6) converges at the default rounds=6 and
-    every node labels to 0."""
+    """A 60-hop path converges under the DEFAULT low-rounds + auto-extend
+    policy (rounds=2 then fixpoint-checked extensions) and every node
+    labels to 0."""
     verts, pairs = _path_graph(spark, 61)
     got = {r.doc_id: r.cluster_id for r in connected_components(verts, pairs).collect()}
     assert got == {i: 0 for i in range(61)}
