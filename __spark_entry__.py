@@ -36,7 +36,7 @@ _PRIORITY = [
     # new in round 4
     "poly_area_m2", "union_area_m2",
     "poly_intersect_area_dist", "union_area_dist",
-    "zonal_weighted_dist", "buffer_cells_dist",
+    "zonal_weighted_dist", "buffer_cells_dist", "poly_props",
     # last driver-green in round 2 (stalest; pre-r3-refactor rows)
     "cust_nation_region", "top_customers", "tiles_except",
     "pip_join_events", "pip_agg_by_poly", "pip_anti_count",

@@ -88,6 +88,33 @@ def test_union_area_m2_single_square(spark):
     assert got == pytest.approx(exact, rel=1e-9)
 
 
+def test_poly_props_known_square(spark):
+    """ST_Area/Centroid/Perimeter/Envelope surface on a known square (with
+    a hole): area subtracts the hole, centroid stays at the symmetric
+    center, perimeter adds the hole ring, bbox is the outer ring."""
+    import math
+
+    from ult_spark.ops.polyarea import EARTH_R_M, poly_props
+
+    sq = _poly(7, [
+        [(10, 40), (20, 40), (20, 50), (10, 50)],
+        [(14, 44), (16, 44), (16, 46), (14, 46)],  # 2x2 hole
+    ])
+    r = poly_props(spark, [sq]).collect()[0]
+    assert abs(r.area_e6 - 96 * AREA_Q) <= 16
+    # symmetric hole → centroid at (15, 45); e6 floors can shave 1 unit
+    assert abs(r.cx_e6 - 15 * AREA_Q) <= 2 and abs(r.cy_e6 - 45 * AREA_Q) <= 2
+    assert abs(r.perim_e6 - (40 + 8) * AREA_Q) <= 16
+    assert (r.ymin_e6, r.ymax_e6, r.xmin_e6, r.xmax_e6) == (
+        40 * AREA_Q, 50 * AREA_Q, 10 * AREA_Q, 20 * AREA_Q
+    )
+    # m² area: spherical band formula minus the hole's band
+    rad = math.pi / 180.0
+    outer = EARTH_R_M**2 * (10 * rad) * (math.sin(50 * rad) - math.sin(40 * rad))
+    hole = EARTH_R_M**2 * (2 * rad) * (math.sin(46 * rad) - math.sin(44 * rad))
+    assert r.area_m2 == pytest.approx(outer - hole, rel=1e-9)
+
+
 def test_hole_subtracts(spark):
     # A = 10x10 square with a 2x2 hole; B covers A entirely → area 96
     a = [_poly(0, [

@@ -349,6 +349,133 @@ def poly_intersect_area_m2(
 
 
 # ---------------------------------------------------------------------------
+# Per-polygon properties — the ST_Area / ST_Centroid / ST_Perimeter /
+# ST_Envelope surface over the same oriented packed arrays. Green's theorem
+# over FULL edges ([t0,t1] = [0,1]): A = Σ o·dy·(x1 + dx/2),
+# ∮x²dy = Σ o·dy·(x1² + x1·dx + dx²/3) = 2·A·Cx,
+# ∮y²dx = Σ o·dx·(y1² + y1·dy + dy²/3) = −2·A·Cy. Every per-edge float is
+# floored to 1e6 integers BEFORE the sum (the module's pinned determinism
+# rule); centroids then divide the two INTEGER sums — one identical
+# double-division in both engines.
+
+
+def poly_props(spark: SparkSession, polys: list[PackedPolygon]) -> DataFrame:
+    """(poly_id, area_e6, area_m2, cx_e6, cy_e6, perim_e6, ymin_e6,
+    ymax_e6, xmin_e6, xmax_e6) — one row per polygon, all native HOF folds
+    over the packed arrays; holes subtract from area (orientation weights)
+    and add to perimeter (unweighted |edge|, the standard convention).
+    Zero-area degenerate polygons get NULL centroids (try_divide)."""
+    ea = _arrays_df(spark, polys, "poly_id", "a")
+    idx = F.sequence(F.lit(0), F.size("ax1") - 1)
+
+    def parts(i):
+        x1 = F.element_at("ax1", i + 1)
+        y1 = F.element_at("ay1", i + 1)
+        dx = F.element_at("ax2", i + 1) - x1
+        dy = F.element_at("ay2", i + 1) - y1
+        o = F.element_at("ao", i + 1)
+        return x1, y1, dx, dy, o
+
+    def isum(per_edge) -> Column:
+        return F.aggregate(
+            F.transform(idx, per_edge), F.lit(0).cast("long"), lambda a, v: a + v
+        )
+
+    def area_t(i):
+        x1, y1, dx, dy, o = parts(i)
+        return F.floor(dy * (x1 + dx / 2) * o * AREA_Q).cast("long")
+
+    def m2_t(i):
+        x1, y1, dx, dy, o = parts(i)
+        c = F.lit(DEG)
+        A, B = c * y1, c * dy
+        # full-span closed form of _seg_green_m2 (t0=0, t1=1 simplified —
+        # exact identities: B·1.0 ≡ B, A+0.0 ≡ A, 0·sin ≡ 0)
+        val = (
+            (x1 / c) * (F.sin(A + B) - F.sin(A))
+            + (dx / (c * B)) * (F.cos(A + B) - F.cos(A))
+            + (dx / c) * F.sin(A + B)
+        )
+        return F.floor(
+            F.when(dy == F.lit(0.0), F.lit(0.0)).otherwise(val) * o * F.lit(M2_Q)
+        ).cast("long")
+
+    def nx_t(i):
+        x1, y1, dx, dy, o = parts(i)
+        return F.floor(dy * (x1 * x1 + x1 * dx + dx * dx / 3) * o * AREA_Q).cast("long")
+
+    def ny_t(i):
+        x1, y1, dx, dy, o = parts(i)
+        return F.floor(dx * (y1 * y1 + y1 * dy + dy * dy / 3) * o * AREA_Q).cast("long")
+
+    def perim_t(i):
+        x1, y1, dx, dy, o = parts(i)
+        return F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(AREA_Q)).cast("long")
+
+    area = isum(area_t)
+    withs = (
+        ea.withColumn("area_e6", area)
+        .withColumn("area_m2", isum(m2_t))
+        .withColumn("_nx", isum(nx_t))
+        .withColumn("_ny", isum(ny_t))
+        .withColumn("perim_e6", isum(perim_t))
+    )
+    cx = F.floor(F.try_divide(F.col("_nx"), 2 * F.col("area_e6")) * AREA_Q).cast("long")
+    cy = F.floor(F.try_divide(-F.col("_ny"), 2 * F.col("area_e6")) * AREA_Q).cast("long")
+    return withs.select(
+        "poly_id", "area_e6", "area_m2",
+        cx.alias("cx_e6"), cy.alias("cy_e6"), "perim_e6",
+        F.floor(F.array_min("ay1") * AREA_Q).cast("long").alias("ymin_e6"),
+        F.floor(F.array_max("ay1") * AREA_Q).cast("long").alias("ymax_e6"),
+        F.floor(F.array_min("ax1") * AREA_Q).cast("long").alias("xmin_e6"),
+        F.floor(F.array_max("ax1") * AREA_Q).cast("long").alias("xmax_e6"),
+    )
+
+
+def poly_props_sql(polys: list[PackedPolygon]) -> str:
+    """DuckDB mirror of :func:`poly_props` — identical per-edge terms over
+    the same inlined arrays, integer sums, the same two integer→double
+    divisions for the centroid."""
+    ea = _arrays_values(polys, "ea", "poly_id", "a")
+    d = repr(DEG)
+    gs = "generate_series(1, len(ax1))"
+    x1, y1 = "ax1[i]", "ay1[i]"
+    dx, dy = "(ax2[i] - ax1[i])", "(ay2[i] - ay1[i])"
+    o = "ao[i]"
+    A, B = f"({d} * {y1})", f"({d} * {dy})"
+    m2val = (
+        f"CASE WHEN {dy} = 0.0::DOUBLE THEN 0.0::DOUBLE ELSE "
+        f"({x1} / {d}) * (sin({A} + {B}) - sin({A})) "
+        f"+ ({dx} / ({d} * {B})) * (cos({A} + {B}) - cos({A})) "
+        f"+ ({dx} / {d}) * sin({A} + {B}) END"
+    )
+
+    def tsum(term: str) -> str:
+        return (
+            f"CAST(list_sum([CAST(floor({term}) AS BIGINT) for i in {gs}]) AS BIGINT)"
+        )
+
+    area = tsum(f"{dy} * ({x1} + {dx} / 2) * {o} * {AREA_Q}")
+    m2 = tsum(f"({m2val}) * {o} * {M2_Q!r}::DOUBLE")
+    nx = tsum(f"{dy} * ({x1} * {x1} + {x1} * {dx} + {dx} * {dx} / 3) * {o} * {AREA_Q}")
+    ny = tsum(f"{dx} * ({y1} * {y1} + {y1} * {dy} + {dy} * {dy} / 3) * {o} * {AREA_Q}")
+    perim = tsum(f"sqrt({dx} * {dx} + {dy} * {dy}) * {AREA_Q}")
+    return (
+        f"WITH ea AS (SELECT * FROM {ea}), "
+        f"s AS (SELECT poly_id, {area} AS area_e6, {m2} AS area_m2, "
+        f"{nx} AS nx, {ny} AS ny, {perim} AS perim_e6, "
+        f"CAST(floor(list_min(ay1) * {AREA_Q}) AS BIGINT) AS ymin_e6, "
+        f"CAST(floor(list_max(ay1) * {AREA_Q}) AS BIGINT) AS ymax_e6, "
+        f"CAST(floor(list_min(ax1) * {AREA_Q}) AS BIGINT) AS xmin_e6, "
+        f"CAST(floor(list_max(ax1) * {AREA_Q}) AS BIGINT) AS xmax_e6 FROM ea) "
+        "SELECT poly_id, area_e6, area_m2, "
+        f"CAST(floor(nx / (2 * area_e6) * {AREA_Q}) AS BIGINT) AS cx_e6, "
+        f"CAST(floor(-ny / (2 * area_e6) * {AREA_Q}) AS BIGINT) AS cy_e6, "
+        "perim_e6, ymin_e6, ymax_e6, xmin_e6, xmax_e6 FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed-layer twins (round-3 verdict, missing #1): the layer arrives as
 # a packed-ring DataFrame (geom/polyio.to_dataframe schema); oriented edge
 # arrays and covers are built IN the cluster (the ops/pip.py

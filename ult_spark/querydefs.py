@@ -392,6 +392,18 @@ def poly_intersect_area_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poly_intersect_area(spark, a, shifted_layer(a, 2.0, 3.0))
 
 
+@q("poly_props", None)
+def poly_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon ST_Area/ST_Centroid/ST_Perimeter/ST_Envelope surface
+    (r4, ops/polyarea.py poly_props): deg² and geodesic-m² areas,
+    Green's-theorem centroid from two integer sums, perimeter, bbox — all
+    e6-quantized per edge before any sum."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.polyarea import poly_props
+
+    return poly_props(spark, list(default_layer()))
+
+
 @q("poly_area_m2", None)
 def poly_area_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic intersection areas (r4): integer SQUARE METRES via the
@@ -504,6 +516,9 @@ def _attach_poly_area_oracle() -> None:
 
     ORACLES["poly_area_m2"] = poly_intersect_area_m2_sql(a, shifted_layer(a, 2.0, 3.0))
     ORACLES["union_area_m2"] = union_area_m2_sql(a)
+    from ult_spark.ops.polyarea import poly_props_sql
+
+    ORACLES["poly_props"] = poly_props_sql(a)
 
 
 _attach_poly_area_oracle()
