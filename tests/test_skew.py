@@ -273,3 +273,38 @@ def test_salt_bounds_stage2_fanin(spark):
     hot_cell = pts.groupBy("cell").count().orderBy(F.desc("count")).first()["cell"]
     fanout = stage1.where(F.col("cell") == hot_cell).count()
     assert fanout == 16
+
+
+def test_deterministic_sampling_and_split(spark, sf_smoke):
+    """r4 corpus-curation primitives: hash-threshold sampling returns the
+    IDENTICAL row set under different partitionings (no rand() anywhere),
+    the split is disjoint+exhaustive, and absent strata keep 0 rows."""
+    from pyspark.sql import functions as F
+
+    from ult_spark.ops.textops import split_assign, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    fr = {"en": 0.5, "zh": 0.3}
+    s1 = {r.doc_id for r in stratified_sample(docs, fr).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs.repartition(13), fr).collect()}
+    assert s1 == s2 and s1
+    kept_langs = {
+        r.lang for r in stratified_sample(docs, fr).select("lang").distinct().collect()
+    }
+    assert kept_langs <= {"en", "zh"}
+    # rough calibration: the en fraction lands near 0.5 (56-bit hash uniform)
+    n_en = docs.where(F.col("lang") == "en").count()
+    n_en_kept = len({r.doc_id for r in stratified_sample(docs, fr).where(F.col("lang") == "en").collect()})
+    assert abs(n_en_kept / n_en - 0.5) < 0.15
+
+    sp = split_assign(docs, test_e4=2000)
+    counts = dict(
+        (r.split, r.cnt) for r in sp.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    )
+    assert sum(counts.values()) == docs.count() and set(counts) == {"train", "test"}
+    # same doc never in both splits across reruns/resharding
+    sp2 = split_assign(docs.repartition(7), test_e4=2000)
+    joined = sp.select("doc_id", "split").join(
+        sp2.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.where(F.col("split") != F.col("s2")).count() == 0

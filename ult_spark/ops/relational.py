@@ -58,3 +58,57 @@ def sessionize(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
     )
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Gap-filled time-bucket rollup (the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape, r4): per (key, bucket) counts
+    with EVERY bucket in the key's [min, max] range present — missing
+    buckets get cnt 0 plus a last-observation-carried-forward column.
+
+    Relational end-to-end: one groupBy for the observed buckets, a tiny
+    per-key min/max agg, a native ``sequence`` explode to synthesize the
+    full bucket axis (rows = key × its own span — never a global cross
+    join), a left join back, and one window for the LOCF. Buckets are
+    integer hours (floor(unix/3600)) so the axis arithmetic is exact in
+    both engines. At scale the explode output is O(keys × span), dwarfed
+    by the input; the only input-sized shuffle is the first groupBy."""
+    b = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_s)).cast("long")
+    obs = df.groupBy(F.col(key).alias("k"), b.alias("bucket")).agg(
+        F.count("*").alias("_cnt")
+    )
+    span = obs.groupBy("k").agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    axis = span.select(
+        "k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket")
+    )
+    w = Window.partitionBy("k").orderBy("bucket")
+    return (
+        axis.join(obs, ["k", "bucket"], "left")
+        .select(
+            F.col("k").alias(key),
+            "bucket",
+            F.coalesce("_cnt", F.lit(0)).alias("cnt"),
+            F.last("_cnt", ignorenulls=True).over(w).alias("locf"),
+        )
+    )
+
+
+def time_bucket_gapfill_sql(key: str = "event_type", bucket_s: int = 3600) -> str:
+    """DuckDB mirror over the events view — same integer bucket axis via
+    unnest(generate_series), same LOCF window."""
+    return (
+        "WITH obs AS (SELECT "
+        f"{key} AS k, CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / {bucket_s}) AS BIGINT) AS bucket, "
+        "count(*) AS _cnt FROM events GROUP BY 1, 2), "
+        "span AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1), "
+        "axis AS (SELECT k, unnest(generate_series(lo, hi)) AS bucket FROM span) "
+        f"SELECT a.k AS {key}, a.bucket, CAST(coalesce(_cnt, 0) AS BIGINT) AS cnt, "
+        "last_value(_cnt IGNORE NULLS) OVER "
+        "(PARTITION BY a.k ORDER BY a.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf "
+        "FROM axis a LEFT JOIN obs USING (k, bucket)"
+    )

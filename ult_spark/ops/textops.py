@@ -795,3 +795,67 @@ QUALITY_SQL = (
     "len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS stop FROM ("
     "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') AS toks FROM documents))"
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting (r4) — the reproducible corpus-curation
+# primitives: NO rand() anywhere (CLAUDE.md salting rule generalized), so the
+# same rows are selected on every run, on every engine, under any
+# partitioning or retry — which is what makes a 100-TB sampled training set
+# auditable. Keep-rule: h56(id) % 10000 < frac·10000, with the md5-derived
+# 56-bit hash both engines share (see _h56).
+
+
+def stratified_sample(
+    df: DataFrame,
+    fracs: dict[str, float] | float,
+    strata: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling. ``fracs`` is either one global
+    fraction or {stratum_value: fraction} (absent strata keep 0 rows —
+    explicit-allowlist semantics, the honest default for curation)."""
+    h = _h56(F.col(id_col).cast("string")) % 10000
+    if isinstance(fracs, dict):
+        thr = F.lit(0)
+        for val, frac in sorted(fracs.items()):
+            thr = F.when(F.col(strata) == val, F.lit(int(frac * 10000))).otherwise(thr)
+    else:
+        thr = F.lit(int(fracs * 10000))
+    return df.where(h < thr)
+
+
+def split_assign(
+    df: DataFrame, test_e4: int = 1000, id_col: str = "doc_id", out: str = "split"
+) -> DataFrame:
+    """Deterministic train/test assignment by id hash: h56 % 10000 <
+    ``test_e4`` → 'test', else 'train'. Disjoint and exhaustive by
+    construction — the leakage-free split a training pipeline needs, stable
+    under reruns and resharding."""
+    h = _h56(F.col(id_col).cast("string")) % 10000
+    return df.withColumn(out, F.when(h < test_e4, F.lit("test")).otherwise(F.lit("train")))
+
+
+H56_SQL = "(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT % 10000)"
+
+
+def stratified_sample_sql(fracs: dict[str, float], strata: str = "lang") -> str:
+    """DuckDB mirror of :func:`stratified_sample` over the documents view."""
+    h = H56_SQL.format(col="doc_id")
+    cases = " ".join(
+        f"WHEN {strata} = '{v}' THEN {int(f * 10000)}"
+        for v, f in sorted(fracs.items())
+    )
+    return (
+        f"SELECT doc_id, {strata}, n_chars FROM documents "
+        f"WHERE {h} < (CASE {cases} ELSE 0 END)"
+    )
+
+
+def split_counts_sql(test_e4: int = 1000) -> str:
+    h = H56_SQL.format(col="doc_id")
+    return (
+        f"SELECT CASE WHEN {h} < {test_e4} THEN 'test' ELSE 'train' END AS split, "
+        "lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars "
+        "FROM documents GROUP BY 1, 2"
+    )

@@ -1555,6 +1555,65 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("gapfill_hourly", None)
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup per event type (r4, the TimescaleDB
+    time_bucket_gapfill+locf shape): every hour in each type's own span
+    present, missing hours as cnt 0 with last-observation-carried-forward
+    (ops/relational.py time_bucket_gapfill)."""
+    from ult_spark.ops.relational import time_bucket_gapfill
+
+    return time_bucket_gapfill(load(spark, sf_dir, "events"))
+
+
+def _attach_gapfill_oracle() -> None:
+    from ult_spark.ops.relational import time_bucket_gapfill_sql
+
+    ORACLES["gapfill_hourly"] = time_bucket_gapfill_sql()
+
+
+_attach_gapfill_oracle()
+
+
+_SAMPLE_FRACS = {"en": 0.5, "zh": 0.3, "fr": 0.1}
+
+
+@q("sample_docs_strat", None)
+def sample_docs_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sample (r4): per-language
+    hash-threshold selection, NO rand() — identical rows on every run,
+    engine, partitioning, or retry (ops/textops.py stratified_sample);
+    absent strata keep 0 rows (explicit allowlist)."""
+    from ult_spark.ops.textops import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_FRACS).select("doc_id", "lang", "n_chars")
+
+
+@q("split_counts", None)
+def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split audit (r4): hash-assigned split
+    (disjoint + exhaustive by construction — leakage-free), counted per
+    (split, lang) with char volume (ops/textops.py split_assign)."""
+    from ult_spark.ops.textops import split_assign
+
+    docs = split_assign(load(spark, sf_dir, "documents"), test_e4=1000)
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+def _attach_sampling_oracles() -> None:
+    from ult_spark.ops.textops import split_counts_sql, stratified_sample_sql
+
+    ORACLES["sample_docs_strat"] = stratified_sample_sql(_SAMPLE_FRACS)
+    ORACLES["split_counts"] = split_counts_sql(1000)
+
+
+_attach_sampling_oracles()
+
+
 @q("near_dup_oversized", None)
 def near_dup_oversized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The surfacing half of the capped near-dup plan: (band, bucket, n)
