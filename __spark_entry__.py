@@ -37,7 +37,7 @@ _PRIORITY = [
     "poly_area_m2", "union_area_m2",
     "poly_intersect_area_dist", "union_area_dist",
     "zonal_weighted_dist", "buffer_cells_dist", "poly_props",
-    "sample_docs_strat", "split_counts", "gapfill_hourly",
+    "sample_docs_strat", "split_counts", "gapfill_hourly", "quadkey_l8",
     # last driver-green in round 2 (stalest; pre-r3-refactor rows)
     "cust_nation_region", "top_customers", "tiles_except",
     "pip_join_events", "pip_agg_by_poly", "pip_anti_count",

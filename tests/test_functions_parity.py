@@ -78,3 +78,36 @@ def test_centroid_reencodes_to_same_cell(spark):
         "clon", UF.cell_centroid_lon("c", 10)
     )
     assert df.where(UF.latlon_to_cell("clat", "clon", 10) != df.c).count() == 0
+
+
+def test_quadkey_roundtrip_and_prefix(spark):
+    """Quadkey interop (r4): encode→decode is the identity at several
+    levels, and a cell's quadkey starts with its parent's quadkey (the
+    prefix-containment property tile systems rely on)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ult_spark import functions as UF
+    from ult_spark.grid import cells as C
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-89, 89, 200)
+    lon = rng.uniform(-179.9, 179.9, 200)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    for level in (1, 4, 8, 12):
+        out = (
+            df.select(UF.latlon_to_cell("lat", "lon", level).alias("cell"))
+            .withColumn("qk", UF.cell_to_quadkey("cell", level))
+            .withColumn("back", UF.quadkey_to_cell("qk", level))
+            .collect()
+        )
+        assert all(r.back == r.cell for r in out), level
+        assert all(len(r.qk) == level for r in out), level
+    pair = (
+        df.select(
+            UF.cell_to_quadkey(UF.latlon_to_cell("lat", "lon", 8), 8).alias("qk8"),
+            UF.cell_to_quadkey(UF.latlon_to_cell("lat", "lon", 6), 6).alias("qk6"),
+        ).collect()
+    )
+    assert all(r.qk8.startswith(r.qk6) for r in pair)

@@ -104,6 +104,28 @@ def test_round3_native_ops_have_no_python_eval(spark, sf_smoke):
         assert "FlatMapGroupsInPandas" not in plan, name
 
 
+def test_round4_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Round-4 operators stay native Column programs (the distributed-layer
+    twins are excluded — their cluster-side layer packing is mapInPandas by
+    design and has its own plan asserts in test_polyarea_dist.py)."""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "poly_area_m2",
+        "union_area_m2",
+        "poly_props",
+        "gapfill_hourly",
+        "sample_docs_strat",
+        "split_counts",
+        "quadkey_l8",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
 def test_zonal_weighted_candidates_are_hash_join(spark, sf_smoke):
     """Round-3 verdict #3: zonal_weighted's pixel→polygon candidates must be
     a cell-cover HASH equi-join, not a broadcast nested-loop bbox theta

@@ -199,3 +199,49 @@ def cell_sql(lat_sql: str, lon_sql: str, level: int) -> str:
     expressions; used by __spark_entry__.oracle_sql for parity checks.
     """
     return xy_cell_sql(grid_x_sql(lon_sql, level), grid_y_sql(lat_sql, level), level)
+
+
+# ---------------------------------------------------------------------------
+# Quadkey interop (r4) — Bing-maps / TMS tile-id strings. Digit i (MSB
+# first) = 2·y_bit + x_bit at depth i, so a quadkey prefix IS the parent
+# tile: prefix matching gives hierarchical containment in plain string ops,
+# the standard interop surface for map-tile systems. Level is a plan-time
+# constant, so both directions unroll into pure native bit math + concat
+# (zero per-row Python, same as the cell encode).
+
+
+def cell_to_quadkey(cell: Column | str, level: int) -> Column:
+    """Quadkey string (length ``level``) of a cell known to be at ``level``."""
+    x = cell_x(cell, level)
+    y = cell_y(cell, level)
+    digits = [
+        (
+            F.shiftright(y, level - i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(x, level - i).bitwiseAND(F.lit(1))
+        ).cast("string")
+        for i in range(1, level + 1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_to_cell(qk: Column | str, level: int) -> Column:
+    """Inverse of :func:`cell_to_quadkey` — cell id from a quadkey string."""
+    qk = F.col(qk) if isinstance(qk, str) else qk
+    x = F.lit(0).cast("long")
+    y = F.lit(0).cast("long")
+    for i in range(1, level + 1):
+        d = F.substring(qk, i, 1).cast("long")
+        x = x + (d % 2) * F.lit(1 << (level - i))
+        y = y + F.shiftright(d, 1) * F.lit(1 << (level - i))
+    return xy_to_cell(x, y, level)
+
+
+def quadkey_sql(px: str, py: str, level: int) -> str:
+    """DuckDB mirror: quadkey digits from the same grid x/y bit math."""
+    x = f"greatest(0, least(CAST(floor((({px}) + 180.0) / 360.0 * {float(1 << level)!r}) AS BIGINT), {(1 << level) - 1}))"
+    y = f"greatest(0, least(CAST(floor((({py}) + 90.0) / 180.0 * {float(1 << level)!r}) AS BIGINT), {(1 << level) - 1}))"
+    digits = ", ".join(
+        f"CAST((({y} >> {level - i}) & 1) * 2 + (({x} >> {level - i}) & 1) AS VARCHAR)"
+        for i in range(1, level + 1)
+    )
+    return f"concat({digits})"

@@ -1555,6 +1555,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "quadkey_l8",
+    f"SELECT event_id, {UF.cell_sql(UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, 8)} AS cell, "
+    f"{UF.quadkey_sql(UF.EVENT_LON_SQL, UF.EVENT_LAT_SQL, 8)} AS qk, "
+    f"{UF.cell_sql(UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, 8)} AS back FROM events",
+)
+def quadkey_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey (Bing/TMS tile-id) interop (r4): cell → quadkey string →
+    cell roundtrip in one query — the oracle recomputes the quadkey from
+    the raw bit math and expects back == cell, so a decode bug hash-fails
+    (ult_spark/functions cell_to_quadkey / quadkey_to_cell, all native)."""
+    pts = events_points(spark, sf_dir)
+    return (
+        pts.select("event_id", UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+        .withColumn("qk", UF.cell_to_quadkey("cell", 8))
+        .withColumn("back", UF.quadkey_to_cell("qk", 8))
+    )
+
+
 @q("gapfill_hourly", None)
 def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly rollup per event type (r4, the TimescaleDB
