@@ -289,6 +289,58 @@ def test_streaming_dedup_slice_equals_batch(spark, tmp_path, sf_smoke):
     assert planted and planted <= got_pairs
 
 
+def test_streaming_lsh_checkpoint_restart(spark, tmp_path, sf_smoke):
+    """The incremental LSH store across RESTARTS: run 1 sees only chunk 1;
+    chunk 2 lands later and run 2 (same checkpoint) processes only the
+    delta. The accumulated pair set equals the batch pipeline over the
+    full corpus and no pair is emitted twice."""
+    from ult_spark.ops.textops import minhash_lsh_dedup
+    from ult_spark.streaming import stream_minhash_pairs
+
+    base = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    dup = (
+        base.where(F.col("doc_id") % 2 == 0).limit(10)
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "docs_rs")
+    pairs_table = str(tmp_path / "pairs_rs")
+    store = str(tmp_path / "store_rs")
+    ckpt = str(tmp_path / "ckpt_rs")
+
+    def run_once():
+        q = stream_minhash_pairs(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pairs_table, store, ckpt,
+        )
+        q.awaitTermination()
+
+    base.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n_after_1 = len(catalog.list_snapshots(pairs_table))
+    assert n_after_1 >= 1
+    # delta lands; the SAME checkpoint resumes and processes only chunk 2
+    base.where(F.col("doc_id") % 2 == 1).unionByName(dup).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert len(catalog.list_snapshots(pairs_table)) > n_after_1
+
+    got = catalog.read_table(spark, pairs_table)
+    all_docs = spark.read.parquet(src)
+    got_pairs = {(r.a, r.b, r.inter, r.jacc_e4) for r in got.collect()}
+    exp_pairs = {
+        (r.a, r.b, r.inter, r.jacc_e4) for r in minhash_lsh_dedup(all_docs).collect()
+    }
+    assert got_pairs == exp_pairs
+    # exactly-once: no pair emitted by two different batches
+    assert got.count() == got.select("a", "b").distinct().count()
+    # the cross-restart planted dups surfaced
+    planted = {p for p in exp_pairs if p[1] >= 200000 and p[3] == 10000}
+    assert planted and planted <= got_pairs
+
+
 def test_stateful_per_cell_counter(spark, tmp_path):
     """T7: applyInPandasWithState — running per-key totals across batches."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -138,3 +138,41 @@ def frame_sample(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     vids = assets.where(F.col("kind") == "video")
     offs = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
     return vids.select("asset_id", F.explode(offs).alias("frame_ms"))
+
+
+def audio_chunks(assets: DataFrame, win_ms: int = 2000, hop_ms: int = 1000) -> DataFrame:
+    """Audio chunking plan (r4 — the audio twin of :func:`frame_sample`):
+    metadata-only overlapping windows of ``win_ms`` every ``hop_ms``, one
+    row per chunk with its exact sample count from the asset's rate. The
+    decode of each chunk stays behind the import-gated stub; the plan is
+    the Spark-side work a real torchaudio pipeline would fan out.
+
+    Exactness note: n_samples = (ms·rate − (ms·rate) % 1000) / 1000 — the
+    dividend is forced to a multiple of 1000 first, so the double division
+    is exact and both engines CAST the identical integer."""
+    aud = assets.where(F.col("kind") == "audio")
+    starts = F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+    df = aud.select(
+        "asset_id", "sample_rate", "duration_ms", F.explode(starts).alias("start_ms")
+    )
+    end = F.least(F.col("start_ms") + F.lit(win_ms), F.col("duration_ms"))
+    raw = (end - F.col("start_ms")) * F.col("sample_rate")
+    return df.select(
+        "asset_id",
+        F.col("start_ms").cast("long").alias("start_ms"),
+        end.cast("long").alias("end_ms"),
+        ((raw - raw % 1000) / 1000).cast("long").alias("n_samples"),
+    )
+
+
+def audio_chunks_sql(win_ms: int = 2000, hop_ms: int = 1000) -> str:
+    return (
+        f"WITH a AS ({ASSETS_SQL}), "
+        "c AS (SELECT asset_id, sample_rate, duration_ms, "
+        f"unnest(generate_series(0, duration_ms - 1, {hop_ms})) AS start_ms "
+        "FROM a WHERE kind = 'audio') "
+        f"SELECT asset_id, start_ms, least(start_ms + {win_ms}, duration_ms) AS end_ms, "
+        f"CAST(((least(start_ms + {win_ms}, duration_ms) - start_ms) * sample_rate "
+        f"- ((least(start_ms + {win_ms}, duration_ms) - start_ms) * sample_rate) % 1000) / 1000 AS BIGINT) "
+        "AS n_samples FROM c"
+    )

@@ -1418,8 +1418,20 @@ def video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synth_assets(spark, sf_dir), every_ms=60000)
 
 
+@q("audio_chunk_plan", None)
+def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan (r4 — the audio twin of video_frame_plan):
+    overlapping metadata-only windows with exact per-chunk sample counts
+    (ops/multimodal.py audio_chunks); decode stays the import-gated stub."""
+    from ult_spark.ops.multimodal import audio_chunks, synth_assets
+
+    return audio_chunks(synth_assets(spark, sf_dir), win_ms=60000, hop_ms=30000)
+
+
 def _attach_multimodal_oracles() -> None:
-    from ult_spark.ops.multimodal import ASSETS_SQL, features_sql
+    from ult_spark.ops.multimodal import ASSETS_SQL, audio_chunks_sql, features_sql
+
+    ORACLES["audio_chunk_plan"] = audio_chunks_sql(win_ms=60000, hop_ms=30000)
 
     ORACLES["multimodal_meta_agg"] = (
         f"SELECT kind, count(*) AS cnt, CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes, "
