@@ -210,3 +210,25 @@ def test_pip_split_layout_matches_inline(spark, monkeypatch):
     monkeypatch.setattr(P, "INLINE_EDGE_BUDGET_BYTES", 0)
     split = {(r.pid, r.poly_id) for r in P.pip_join(pts, POLYS).collect()}
     assert inline == split
+
+
+def test_boundary_depth_known_square(spark):
+    """ST_Distance-to-boundary (r4): inside a 10x10 square the depth is
+    the distance to the nearest side, exact to the e6 floor."""
+    import numpy as np
+    import pandas as pd
+
+    from ult_spark.geom.polyio import PackedPolygon
+    from ult_spark.ops.pip import pip_depth_join
+
+    sq = PackedPolygon(
+        poly_id=1, name="sq", level=0,
+        ring_offsets=np.asarray([0, 4], dtype=np.int32),
+        xs=np.asarray([0.0, 10.0, 10.0, 0.0]),
+        ys=np.asarray([0.0, 0.0, 10.0, 10.0]),
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1, 2], "lat": [5.0, 1.0, 9.5], "lon": [5.0, 7.0, 2.0]})
+    )
+    got = {r.pid: r.depth_e6 for r in pip_depth_join(pts, [sq]).collect()}
+    assert got == {0: 5_000_000, 1: 1_000_000, 2: 500_000}

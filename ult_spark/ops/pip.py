@@ -248,6 +248,60 @@ def _native_inside(lat, lon) -> F.Column:
     return F.size(F.filter(idx, crossing)) % 2 == 1
 
 
+def boundary_depth_e6(lat, lon) -> F.Column:
+    """floor(1e6 × min point-to-segment distance) over the row's packed
+    edge arrays — the ST_Distance-to-boundary kernel (r4). Standard
+    clamped-projection point-segment distance per edge, native array_min
+    over the transform; sqrt and min are IEEE-exact, so the DuckDB mirror
+    (same expression text) agrees bit-for-bit. Degenerate zero-length
+    edges fall back to the distance to their start vertex (t = 0) in both
+    engines."""
+    idx = F.sequence(F.lit(0), F.size("ex1") - 1)
+
+    def d(i):
+        x1 = F.element_at("ex1", i + 1)
+        y1 = F.element_at("ey1", i + 1)
+        x2 = F.element_at("ex2", i + 1)
+        y2 = F.element_at("ey2", i + 1)
+        vx = x2 - x1
+        vy = y2 - y1
+        denom = vx * vx + vy * vy
+        traw = F.try_divide((lon - x1) * vx + (lat - y1) * vy, denom)
+        t = F.when(denom == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.least(F.greatest(traw, F.lit(0.0)), F.lit(1.0))
+        )
+        ddx = lon - (x1 + t * vx)
+        ddy = lat - (y1 + t * vy)
+        return F.sqrt(ddx * ddx + ddy * ddy)
+
+    return F.floor(F.array_min(F.transform(idx, d)) * F.lit(1_000_000)).cast("long")
+
+
+def pip_depth_join(
+    points: DataFrame,
+    polys: list[PackedPolygon],
+    lat: str = "lat",
+    lon: str = "lon",
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Inner PIP join + ``depth_e6``: the distance from each matched point
+    to its polygon's BOUNDARY (how deep inside it sits) — useful for
+    border-proximity analytics. Same split two-broadcast layout as
+    pip_join's large path, one extra row-local HOF column; inherits the
+    scan-local one-shuffle-free plan."""
+    spark = points.sparkSession
+    index_df = build_cell_index(spark, polys, index_level)
+    edges_df = build_edge_index(spark, polys)
+    cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
+    return (
+        cand.join(F.broadcast(index_df), cand["_icell"] == index_df["icell"], "inner")
+        .join(F.broadcast(edges_df), "poly_id")
+        .where(_native_inside(F.col(lat), F.col(lon)))
+        .withColumn("depth_e6", boundary_depth_e6(F.col(lat), F.col(lon)))
+        .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+    )
+
+
 def _refine_udf(polys: list[PackedPolygon]):
     """Arrow engine: scalar pandas UDF ray-cast, vectorized per polygon group
     within each batch. SELF-CONTAINED closure (plain NumPy captures, no

@@ -333,6 +333,45 @@ def pip_join_events_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pip_depth_oracle() -> str:
+    from ult_spark.geom.polyio import default_layer, edges_values_sql
+
+    edges = edges_values_sql(list(default_layer()))
+    vx, vy = "(e2.ex2 - e2.ex1)", "(e2.ey2 - e2.ey1)"
+    denom = f"({vx} * {vx} + {vy} * {vy})"
+    traw = f"(((p.px - e2.ex1) * {vx} + (p.py - e2.ey1) * {vy}) / {denom})"
+    t = (
+        f"(CASE WHEN {denom} = 0.0 THEN 0.0::DOUBLE "
+        f"ELSE least(greatest({traw}, 0.0::DOUBLE), 1.0::DOUBLE) END)"
+    )
+    d = (
+        f"sqrt((p.px - (e2.ex1 + {t} * {vx})) * (p.px - (e2.ex1 + {t} * {vx})) "
+        f"+ (p.py - (e2.ey1 + {t} * {vy})) * (p.py - (e2.ey1 + {t} * {vy})))"
+    )
+    return _pip_oracle_cte() + (
+        f"SELECT h.event_id, h.poly_id, CAST(floor(min({d}) * 1000000) AS BIGINT) AS depth_e6 "
+        f"FROM hits h JOIN pts p ON p.event_id = h.event_id "
+        f"JOIN (SELECT * FROM {edges}) e2 ON e2.poly_id = h.poly_id GROUP BY 1, 2"
+    )
+
+
+@q("pip_depth_events", None)
+def pip_depth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join + distance-to-boundary (r4, ops/pip.py pip_depth_join):
+    per matched event, how deep inside its polygon it sits — floor(1e6 ×
+    min point-segment distance over the polygon's edges), computed as one
+    extra row-local HOF column on the standard two-broadcast PIP plan."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_depth_join
+
+    return pip_depth_join(events_points(spark, sf_dir), list(default_layer())).select(
+        "event_id", "poly_id", "depth_e6"
+    )
+
+
+ORACLES["pip_depth_events"] = _pip_depth_oracle()
+
+
 @q(
     "pip_agg_by_poly",
     _pip_oracle_cte()
