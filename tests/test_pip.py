@@ -232,3 +232,35 @@ def test_boundary_depth_known_square(spark):
     )
     got = {r.pid: r.depth_e6 for r in pip_depth_join(pts, [sq]).collect()}
     assert got == {0: 5_000_000, 1: 1_000_000, 2: 500_000}
+
+
+def test_poly_distance_join_known_square(spark):
+    """ST_DWithin (r4): inside → 0; outside → exact min segment distance;
+    beyond the radius → excluded. Plan stays a hash join (no BNLJ)."""
+    import numpy as np
+    import pandas as pd
+
+    from ult_spark.geom.polyio import PackedPolygon
+    from ult_spark.ops.pip import poly_distance_join
+
+    sq = PackedPolygon(
+        poly_id=1, name="sq", level=0,
+        ring_offsets=np.asarray([0, 4], dtype=np.int32),
+        xs=np.asarray([0.0, 10.0, 10.0, 0.0]),
+        ys=np.asarray([0.0, 0.0, 10.0, 10.0]),
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [0, 1, 2, 3],
+                "lat": [5.0, 5.0, 12.0, 5.0],      # inside / east / NE corner / far
+                "lon": [5.0, 12.0, 12.0, 40.0],
+            }
+        )
+    )
+    df = poly_distance_join(pts, [sq], radius=4.0)
+    got = {r.pid: r.dist_e6 for r in df.collect()}
+    # NE corner point is sqrt(8) deg from (10, 10)
+    assert got == {0: 0, 1: 2_000_000, 2: int(np.floor(np.sqrt(8.0) * 1e6))}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -248,9 +248,9 @@ def _native_inside(lat, lon) -> F.Column:
     return F.size(F.filter(idx, crossing)) % 2 == 1
 
 
-def boundary_depth_e6(lat, lon) -> F.Column:
-    """floor(1e6 × min point-to-segment distance) over the row's packed
-    edge arrays — the ST_Distance-to-boundary kernel (r4). Standard
+def min_edge_distance(lat, lon) -> F.Column:
+    """Min point-to-segment distance (double, degrees) over the row's
+    packed edge arrays — the ST_Distance kernel (r4). Standard
     clamped-projection point-segment distance per edge, native array_min
     over the transform; sqrt and min are IEEE-exact, so the DuckDB mirror
     (same expression text) agrees bit-for-bit. Degenerate zero-length
@@ -274,7 +274,13 @@ def boundary_depth_e6(lat, lon) -> F.Column:
         ddy = lat - (y1 + t * vy)
         return F.sqrt(ddx * ddx + ddy * ddy)
 
-    return F.floor(F.array_min(F.transform(idx, d)) * F.lit(1_000_000)).cast("long")
+    return F.array_min(F.transform(idx, d))
+
+
+def boundary_depth_e6(lat, lon) -> F.Column:
+    """floor(1e6 × :func:`min_edge_distance`) — the depth column for
+    points known to be inside."""
+    return F.floor(min_edge_distance(lat, lon) * F.lit(1_000_000)).cast("long")
 
 
 def pip_depth_join(
@@ -299,6 +305,49 @@ def pip_depth_join(
         .where(_native_inside(F.col(lat), F.col(lon)))
         .withColumn("depth_e6", boundary_depth_e6(F.col(lat), F.col(lon)))
         .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+    )
+
+
+def poly_distance_join(
+    points: DataFrame,
+    polys: list[PackedPolygon],
+    radius: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """All (point, polygon) pairs with ST_Distance(point, polygon) ≤
+    ``radius`` degrees — distance 0 for points inside, else the min
+    point-segment distance to the boundary (r4).
+
+    Scale shape: candidates are a HASH equi-join of the point's cell
+    against the polygon cover DILATED by ``k = ceil(radius/cell_h) + 1``
+    cells (ops/buffer.buffer_cells — a conservative superset: any point
+    within ``radius`` of a polygon sits within k cells of its cover; the
+    exact refine then drops the slack, so the result is exact for ANY
+    valid k). No nested loop, no cross join; the same plan a road-buffer
+    or coastline-proximity query needs at parcel scale."""
+    import math
+
+    from ult_spark.ops.buffer import buffer_cells
+
+    spark = points.sparkSession
+    cell_h = 180.0 / (1 << index_level)
+    k = int(math.ceil(radius / cell_h)) + 1
+    cover = buffer_cells(spark, polys, level=index_level, k=k).select(
+        F.col("cell").alias("_icell"), "poly_id"
+    )
+    edges_df = build_edge_index(spark, polys)
+    cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
+    dist = F.when(
+        _native_inside(F.col(lat), F.col(lon)), F.lit(0.0)
+    ).otherwise(min_edge_distance(F.col(lat), F.col(lon)))
+    return (
+        cand.join(F.broadcast(cover), "_icell", "inner")
+        .join(F.broadcast(edges_df), "poly_id")
+        .withColumn("dist_e6", F.floor(dist * F.lit(1_000_000)).cast("long"))
+        .where(F.col("dist_e6") <= int(radius * 1_000_000))
+        .drop("_icell", "ex1", "ey1", "ex2", "ey2")
     )
 
 

@@ -372,6 +372,53 @@ def pip_depth_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["pip_depth_events"] = _pip_depth_oracle()
 
 
+def _poly_distance_oracle(radius: float) -> str:
+    from ult_spark.geom.polyio import default_layer, edges_values_sql
+
+    edges = edges_values_sql(list(default_layer()))
+    vx, vy = "(ex2 - ex1)", "(ey2 - ey1)"
+    denom = f"({vx} * {vx} + {vy} * {vy})"
+    traw = f"(((p.px - ex1) * {vx} + (p.py - ey1) * {vy}) / {denom})"
+    t = (
+        f"(CASE WHEN {denom} = 0.0 THEN 0.0::DOUBLE "
+        f"ELSE least(greatest({traw}, 0.0::DOUBLE), 1.0::DOUBLE) END)"
+    )
+    d = (
+        f"sqrt((p.px - (ex1 + {t} * {vx})) * (p.px - (ex1 + {t} * {vx})) "
+        f"+ (p.py - (ey1 + {t} * {vy})) * (p.py - (ey1 + {t} * {vy})))"
+    )
+    return (
+        f"WITH pts AS (SELECT event_id, {UF.EVENT_LAT_SQL} AS py, "
+        f"{UF.EVENT_LON_SQL} AS px FROM events), "
+        f"pe AS (SELECT p.event_id, poly_id, "
+        "sum(CASE WHEN (ey1 > p.py) != (ey2 > p.py) "
+        "AND p.px < (ex2 - ex1) * (p.py - ey1) / (ey2 - ey1) + ex1 "
+        "THEN 1 ELSE 0 END) % 2 = 1 AS inside, "
+        f"min({d}) AS mind FROM pts p, {edges} GROUP BY 1, 2) "
+        "SELECT event_id, poly_id, CAST(floor((CASE WHEN inside THEN 0.0::DOUBLE "
+        "ELSE mind END) * 1000000) AS BIGINT) AS dist_e6 "
+        f"FROM pe WHERE CAST(floor((CASE WHEN inside THEN 0.0::DOUBLE "
+        f"ELSE mind END) * 1000000) AS BIGINT) <= {int(radius * 1_000_000)}"
+    )
+
+
+@q("poly_distance_events", None)
+def poly_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin against the polygon layer (r4, ops/pip.py
+    poly_distance_join): every (event, polygon) pair within 3° — 0 inside,
+    else min point-segment boundary distance; candidates from the
+    radius-dilated cover (hash join), exact refine drops the slack."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import poly_distance_join
+
+    return poly_distance_join(
+        events_points(spark, sf_dir), list(default_layer()), radius=3.0
+    ).select("event_id", "poly_id", "dist_e6")
+
+
+ORACLES["poly_distance_events"] = _poly_distance_oracle(3.0)
+
+
 @q(
     "pip_agg_by_poly",
     _pip_oracle_cte()
