@@ -68,7 +68,12 @@ def write_snapshot(
     spark = df.sparkSession
     if iceberg_enabled(spark):  # mocked-boundary tested (tests/test_resume.py)
         df.writeTo(f"ult.{Path(table).name}").append()
-        return {"unit": unit, "run_id": run_id, "backend": "iceberg"}
+        # commit like the parquet branch does — without this, callers that
+        # rely on write_snapshot's own commit (the streaming exactly-once
+        # sink) would re-append the batch on every replay under Iceberg
+        manifest = {"unit": unit, "run_id": run_id, "backend": "iceberg"}
+        commit_unit(table, manifest)
+        return manifest
     data_path = str(Path(table) / "data" / f"unit={unit}" / run_id)
     # row count via observe(): piggybacks on the write job itself — the old
     # spark.read.parquet(...).count() re-scanned every written unit purely
