@@ -224,22 +224,32 @@ def main() -> None:
         "scaling_efficiency_to_full_box": round(eff_full, 3),
         "prev_bench": prev_name,
     }
-    # Full per-query detail goes to a sidecar file: the driver captures only
-    # the last ~2,000 bytes of stdout, and round 3's line (headline + three
-    # per-query dicts) overflowed that window — BENCH_r03.json recorded
-    # parsed:null. The stdout line stays under ~1.9 KB by construction.
     detail = dict(headline)
     detail["query_deltas_sec"] = deltas
     detail["query_out_rows"] = qrows
     detail["query_input_bytes"] = qbytes
-    sidecar = REPO / "BENCH" / "last_run.json"
-    sidecar.write_text(json.dumps(detail, indent=1))
+    print(emit(headline, detail))
 
+
+def emit(headline: dict, detail: dict, sidecar: Path | None = None) -> str:
+    """Render the ONE stdout JSON line + write the full-detail sidecar.
+
+    The driver captures only the last ~2,000 bytes of stdout; round 3's
+    line (headline + three per-query dicts) overflowed that window and
+    BENCH_r03.json recorded parsed:null — the round's official number was
+    lost. The line therefore stays under 1,900 bytes BY CONSTRUCTION:
+    detail goes to BENCH/last_run.json, and if the headline itself ever
+    outgrows the cap the queries dict is swapped for a pointer
+    (tests/test_bench_contract.py pins this)."""
+    sidecar = sidecar or REPO / "BENCH" / "last_run.json"
+    sidecar.parent.mkdir(parents=True, exist_ok=True)
+    sidecar.write_text(json.dumps(detail, indent=1))
     line = json.dumps(headline)
     if len(line) > 1900:  # last-resort guard: never overflow the capture
+        headline = dict(headline)
         headline["queries"] = f"see {sidecar}"
         line = json.dumps(headline)
-    print(line)
+    return line
 
 
 if __name__ == "__main__":
