@@ -264,3 +264,41 @@ def test_poly_distance_join_known_square(spark):
     assert got == {0: 0, 1: 2_000_000, 2: int(np.floor(np.sqrt(8.0) * 1e6))}
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_depth_and_distance_df_twins_match(spark, sf_smoke):
+    """The distributed-layer twins of pip_depth_join / poly_distance_join
+    are bit-identical to the broadcast variants on the pinned layer, with
+    shuffle-join plans (no BNLJ, no cartesian)."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.ops.pip import (
+        pip_depth_join,
+        pip_depth_join_df,
+        poly_distance_join,
+        poly_distance_join_df,
+    )
+    from ult_spark.querydefs import events_points
+
+    pts = events_points(spark, sf_smoke)
+    polys = list(default_layer())
+    layer_df = to_dataframe(spark, polys)
+
+    drv = {
+        (r.event_id, r.poly_id): r.depth_e6
+        for r in pip_depth_join(pts, polys).collect()
+    }
+    got = {
+        (r.event_id, r.poly_id): r.depth_e6
+        for r in pip_depth_join_df(pts, layer_df).collect()
+    }
+    assert got == drv and got
+
+    drv2 = {
+        (r.event_id, r.poly_id): r.dist_e6
+        for r in poly_distance_join(pts, polys, radius=3.0).collect()
+    }
+    got2_df = poly_distance_join_df(pts, layer_df, radius=3.0)
+    got2 = {(r.event_id, r.poly_id): r.dist_e6 for r in got2_df.collect()}
+    assert got2 == drv2 and len(got2) > len(got)  # within-3deg ⊋ inside
+    plan = got2_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

@@ -351,6 +351,67 @@ def poly_distance_join(
     )
 
 
+def pip_depth_join_df(
+    points: DataFrame,
+    layer_df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Distributed-layer twin of :func:`pip_depth_join`: cover and edge
+    arrays built cluster-side, shuffle joins only — bit-identical depth
+    (the kernel is shared)."""
+    index_df = build_cell_index_df(layer_df, index_level)
+    edges_df = build_edge_index_df(layer_df)
+    cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
+    return (
+        cand.join(index_df, cand["_icell"] == index_df["icell"], "inner")
+        .join(edges_df, "poly_id")
+        .where(_native_inside(F.col(lat), F.col(lon)))
+        .withColumn("depth_e6", boundary_depth_e6(F.col(lat), F.col(lon)))
+        .drop("_icell", "icell", "ex1", "ey1", "ex2", "ey2")
+    )
+
+
+def poly_distance_join_df(
+    points: DataFrame,
+    layer_df: DataFrame,
+    radius: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Distributed-layer twin of :func:`poly_distance_join`: the
+    radius-dilated cover comes from cluster-side polyfill
+    (build_cell_index_df) run through the SAME ops/buffer.dilate_cells
+    stage, edges from build_edge_index_df, every join a shuffle hash join
+    — the parcel-scale ST_DWithin plan."""
+    import math
+
+    from ult_spark.ops.buffer import dilate_cells
+
+    cell_h = 180.0 / (1 << index_level)
+    k = int(math.ceil(radius / cell_h)) + 1
+    base = build_cell_index_df(layer_df, index_level).select(
+        "poly_id", F.col("icell").alias("cell")
+    )
+    cover = dilate_cells(base, index_level, k).select(
+        F.col("cell").alias("_icell"), "poly_id"
+    )
+    edges_df = build_edge_index_df(layer_df)
+    cand = points.withColumn("_icell", UF.latlon_to_cell(lat, lon, index_level))
+    dist = F.when(
+        _native_inside(F.col(lat), F.col(lon)), F.lit(0.0)
+    ).otherwise(min_edge_distance(F.col(lat), F.col(lon)))
+    return (
+        cand.join(cover, "_icell", "inner")
+        .join(edges_df, "poly_id")
+        .withColumn("dist_e6", F.floor(dist * F.lit(1_000_000)).cast("long"))
+        .where(F.col("dist_e6") <= int(radius * 1_000_000))
+        .drop("_icell", "ex1", "ey1", "ex2", "ey2")
+    )
+
+
 def _refine_udf(polys: list[PackedPolygon]):
     """Arrow engine: scalar pandas UDF ray-cast, vectorized per polygon group
     within each batch. SELF-CONTAINED closure (plain NumPy captures, no

@@ -416,7 +416,23 @@ def poly_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "poly_id", "dist_e6")
 
 
+@q("poly_distance_dist", None)
+def poly_distance_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-layer ST_DWithin twin (r4, ops/pip.py
+    poly_distance_join_df): cluster-side dilated cover, shuffle joins,
+    nothing broadcast — same oracle, bit-identical results."""
+    from ult_spark.geom.polyio import default_layer, to_dataframe
+    from ult_spark.ops.pip import poly_distance_join_df
+
+    return poly_distance_join_df(
+        events_points(spark, sf_dir),
+        to_dataframe(spark, list(default_layer())),
+        radius=3.0,
+    ).select("event_id", "poly_id", "dist_e6")
+
+
 ORACLES["poly_distance_events"] = _poly_distance_oracle(3.0)
+ORACLES["poly_distance_dist"] = ORACLES["poly_distance_events"]
 
 
 @q(
