@@ -39,7 +39,7 @@ _PRIORITY = [
     "zonal_weighted_dist", "buffer_cells_dist", "poly_props",
     "sample_docs_strat", "split_counts", "gapfill_hourly", "quadkey_l8",
     "audio_chunk_plan", "pip_depth_events", "poly_distance_events",
-    "poly_distance_dist",
+    "poly_distance_dist", "sample_k_per_lang", "url_canonical_dedup",
     # last driver-green in round 2 (stalest; pre-r3-refactor rows)
     "cust_nation_region", "top_customers", "tiles_except",
     "pip_join_events", "pip_agg_by_poly", "pip_anti_count",

@@ -117,3 +117,27 @@ def test_extract_udf_matches_driver(spark):
     exp_lat = g["lat"].to_numpy()
     assert np.array_equal(np.isnan(got_lat), np.isnan(exp_lat))
     assert np.array_equal(got_lat[~np.isnan(got_lat)], exp_lat[~np.isnan(exp_lat)])
+
+
+def test_canonical_url_rules(spark):
+    """Pinned canonicalization rules (extract/url.py): scheme/host case,
+    www, default vs non-default ports, fragment, trailing slash, root
+    path, preserved query string."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ult_spark.extract.url import canonical_url
+
+    cases = {
+        "HTTPS://WWW.Site.Example/p/1/": "https://site.example/p/1",
+        "https://site.example:443/p/1": "https://site.example/p/1",
+        "http://site.example:80/a?x=1#frag": "http://site.example/a?x=1",
+        "http://site.example:8080/a": "http://site.example:8080/a",
+        "https://site.example": "https://site.example/",
+        "https://site.example/#top": "https://site.example/",
+        "https://site.example/a/b?q=2&r=3": "https://site.example/a/b?q=2&r=3",
+        "https://wwwx.example/p": "https://wwwx.example/p",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"url": list(cases)}))
+    got = {r.url: r.canon for r in df.withColumn("canon", canonical_url("url")).collect()}
+    assert got == cases

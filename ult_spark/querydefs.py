@@ -1449,6 +1449,68 @@ def url_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.parse_url("url", F.lit("HOST")).alias("host"))
 
 
+_MESSY_URL_SQL = (
+    "concat(CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END, '://', "
+    "CASE WHEN event_id % 4 = 0 THEN 'www.' ELSE '' END, "
+    "'site', CAST(event_id % 50 AS VARCHAR), '.example', "
+    "CASE WHEN event_id % 8 = 0 THEN ':443' ELSE '' END, "
+    "'/p/', CAST(event_id % 100 AS VARCHAR), "
+    "CASE WHEN event_id % 16 = 0 THEN '/' ELSE '' END, "
+    "'?q=1', CASE WHEN event_id % 32 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _messy_url() -> F.Column:
+    """Deterministically MESSY url per event: scheme case, www prefix,
+    default port, trailing slash, and fragment all vary by event_id bits —
+    the canonicalizer must collapse every variant."""
+    i = F.col("event_id")
+    return F.concat(
+        F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(i % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (i % 50).cast("string"), F.lit(".example"),
+        F.when(i % 8 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), (i % 100).cast("string"),
+        F.when(i % 16 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?q=1"),
+        F.when(i % 32 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _attach_url_canonical_oracle() -> None:
+    from ult_spark.extract.url import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    ORACLES["url_canonical_dedup"] = (
+        f"WITH u AS (SELECT event_id, {_MESSY_URL_SQL} AS url FROM events) "
+        f"SELECT {canon} AS canon, count(*) AS cnt, "
+        "count(DISTINCT url) AS variants FROM u GROUP BY 1"
+    )
+
+
+@q("url_canonical_dedup", None)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as a dedup key (r4, extract/url.py): messy
+    spellings (scheme case, www, default port, trailing slash, fragment)
+    collapse to one canonical form; output proves the collapse (variants
+    per canonical form > 1)."""
+    from ult_spark.extract.url import canonical_url
+
+    u = load(spark, sf_dir, "events").select("event_id", _messy_url().alias("url"))
+    return (
+        u.withColumn("canon", canonical_url("url"))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("url").alias("variants"),
+        )
+    )
+
+
+_attach_url_canonical_oracle()
+
+
 @q(
     "cell_centroids_l8",
     f"SELECT DISTINCT cell, (y + 0.5) / 256.0 * 180.0 - 90.0 AS clat, "
@@ -1734,6 +1796,31 @@ def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("split", "lang").agg(
         F.count("*").alias("cnt"),
         F.sum("n_chars").alias("chars"),
+    )
+
+
+@q(
+    "sample_k_per_lang",
+    "SELECT doc_id, lang, rk FROM ("
+    "SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
+    "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT ASC, "
+    "doc_id ASC) AS BIGINT) AS rk FROM documents) WHERE rk <= 5",
+)
+def sample_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE deterministic sampling (r4, the complement of the
+    fractional stratified_sample): exactly k docs per language, chosen by
+    hash order — a rerun, a reshard, or another engine picks the SAME k
+    docs, unlike reservoir sampling."""
+    from ult_spark.ops.textops import _h56
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _h56(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
     )
 
 
