@@ -208,3 +208,51 @@ def test_pinned_layer_pairs_match_grid_reference(spark):
         gx, gy = np.meshgrid(np.linspace(lo_x, hi_x, 250), np.linspace(lo_y, hi_y, 250))
         approx = (inside(gx, gy, pa) & inside(gx, gy, pb)).mean() * (hi_x - lo_x) * (hi_y - lo_y)
         assert e6 / AREA_Q == pytest.approx(approx, rel=0.05, abs=0.1), (ai, bi)
+
+
+def test_poly_props_random_convex_vs_shoelace(spark):
+    """poly_props vs an independent NumPy reference on 12 random convex
+    polygons (angle-sorted points → simple by construction): area,
+    centroid, perimeter, bbox all agree within quantization."""
+    import math
+
+    from ult_spark.ops.polyarea import EARTH_R_M, poly_props
+
+    rng = np.random.default_rng(42)
+    polys, refs = [], {}
+    for pid in range(12):
+        n = int(rng.integers(4, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(2, 8, n)
+        cx0, cy0 = rng.uniform(-90, 90), rng.uniform(-50, 50)
+        xs = cx0 + r * np.cos(ang)
+        ys = cy0 + r * np.sin(ang)
+        polys.append(_poly(pid, [list(zip(xs, ys))]))
+        x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+        cross = xs * y2 - x2 * ys
+        area = 0.5 * cross.sum()
+        cx = ((xs + x2) * cross).sum() / (6 * area)
+        cy = ((ys + y2) * cross).sum() / (6 * area)
+        perim = np.sqrt((x2 - xs) ** 2 + (y2 - ys) ** 2).sum()
+        rad = math.pi / 180.0
+        # exact spherical area via the same integral, numerically:
+        # ∮ λ cos(cφ) dφ with Simpson over each edge (fine steps)
+        t = np.linspace(0, 1, 2001)
+        m2 = 0.0
+        for i in range(n):
+            lam = xs[i] + t * (x2[i] - xs[i])
+            phi = ys[i] + t * (y2[i] - ys[i])
+            f = lam * np.cos(phi * rad) * (y2[i] - ys[i])
+            m2 += float(((f[1:] + f[:-1]) / 2 * np.diff(t)).sum())
+        m2 *= (EARTH_R_M * rad) ** 2
+        refs[pid] = (area, cx, cy, perim, m2, ys.min(), ys.max(), xs.min(), xs.max())
+    out = {r.poly_id: r for r in poly_props(spark, polys).collect()}
+    for pid, (area, cx, cy, perim, m2, ymin, ymax, xmin, xmax) in refs.items():
+        r = out[pid]
+        n_e = len(polys[pid].xs)
+        assert abs(r.area_e6 - area * AREA_Q) <= 2 * n_e, pid
+        assert abs(r.cx_e6 / AREA_Q - cx) < 1e-4, pid
+        assert abs(r.cy_e6 / AREA_Q - cy) < 1e-4, pid
+        assert abs(r.perim_e6 - perim * AREA_Q) <= 2 * n_e, pid
+        assert r.area_m2 == pytest.approx(m2, rel=1e-5), pid
+        assert r.ymin_e6 == np.floor(ymin * AREA_Q) and r.xmax_e6 == np.floor(xmax * AREA_Q), pid
