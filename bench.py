@@ -38,12 +38,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 N_CORES = int(os.environ.get("SPARK_GRAFT_N", 2))
 N4_CORES = 4 * N_CORES
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_PAGES", 4_000_000))
-# The scaling PAIR runs on a 2M-row slice: the ratio only needs the SAME
-# input on both legs, and a shorter exposure window (plus interleaving,
-# see main) is what makes the ratio robust to neighbor load on this
-# shared box. The headline full-box throughput stays on the 4M input
-# (comparable with rounds 1-3).
-PAIR_ROWS = int(os.environ.get("SPARK_GRAFT_PAIR_PAGES", 2_000_000))
+# The scaling PAIR input. Default = the full 4M: a 2M slice was tried
+# (shorter exposure window) but the 4N leg's ~6 s wall then carries a
+# ~20% fixed-overhead fraction whose run-to-run variance dominated the
+# ratio (three readings stuck at 0.70-0.72 on a 0.86-0.92 engine, n4 leg
+# only). At 4M the 4N wall is ~12 s and the pre-switch readings were
+# 0.855-0.915. Interleaving (see bench_pair) carries the neighbor-load
+# robustness instead.
+PAIR_ROWS = int(os.environ.get("SPARK_GRAFT_PAIR_PAGES", PAGES_ROWS))
 CACHE = REPO / "BENCH" / f"pages_{PAGES_ROWS}.parquet"
 PAIR_CACHE = REPO / "BENCH" / f"pages_{PAIR_ROWS}.parquet"
 
@@ -133,15 +135,18 @@ def bench_pipeline(cores: int, timed_runs: int, warmup: bool = True, cache=CACHE
 
 def bench_pair() -> tuple[float, float]:
     """The (N, 4N) efficiency pair, INTERLEAVED: two rounds of
-    [local[N] run, local[4N] run] on the 2M pair input, min wall per leg.
+    [local[N] run, local[4N] run] on the pair input, min wall per leg.
     A sustained neighbor-load episode then contaminates BOTH legs of at
     least one round instead of a single leg's whole phase — the r3/r4
     driver artifacts both lost efficiency readings to exactly that
     one-sided contamination (0.77 and 0.72 on a 0.89-0.92 engine)."""
     walls_n: list[float] = []
     walls_n4: list[float] = []
-    for rnd in range(2):
-        # local[N]: ~1 s codegen compile is noise on a ~20 s wall — no
+    # 3 rounds: each leg gets three shots at an uncontended window; the
+    # min picks the best of each (the ratio only misreads when one leg
+    # NEVER runs clean while the other does)
+    for rnd in range(3):
+        # local[N]: ~1 s codegen compile is noise on a ~38 s wall — no
         # warmup; local[4N]: warm up on the first round only
         walls_n.append(bench_pipeline(N_CORES, 1, warmup=False, cache=PAIR_CACHE))
         walls_n4.append(bench_pipeline(N4_CORES, 1, warmup=(rnd == 0), cache=PAIR_CACHE))
