@@ -118,6 +118,11 @@ def test_round4_native_ops_have_no_python_eval(spark, sf_smoke):
         "sample_docs_strat",
         "split_counts",
         "quadkey_l8",
+        "sample_k_per_lang",
+        "url_canonical_dedup",
+        "audio_chunk_plan",
+        "pip_depth_events",
+        "poly_distance_events",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name
