@@ -289,6 +289,53 @@ def test_streaming_dedup_slice_equals_batch(spark, tmp_path, sf_smoke):
     assert planted and planted <= got_pairs
 
 
+def test_dedup_exact_stream_checkpoint_restart(spark, tmp_path, sf_smoke):
+    """Content-keyed streaming dedup across a RESTART: a hash first seen in
+    run 1 must still suppress copies arriving in run 2 (state lives in the
+    checkpoint), and the union of kept rows equals the batch key set."""
+    from ult_spark.ops.textops import dedup_exact
+    from ult_spark.streaming import dedup_exact_stream
+
+    base = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    dup = (
+        base.limit(15)
+        .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+    )
+    ts = F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 1000)
+    src = str(tmp_path / "dd_src")
+    kept = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            dedup_exact_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: kept.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "dd_ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base.withColumn("ts", ts).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n_run1 = sum(len(b) for b in kept)
+    # run 2 delivers ONLY duplicates of already-seen texts
+    dup.withColumn("ts", ts).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = sorted(h for b in kept if len(b) for h in b["text_md5"].tolist())
+    assert sum(len(b) for b in kept) == n_run1, "restart must drop known hashes"
+    exp = sorted(
+        r.text_md5
+        for r in dedup_exact(spark.read.parquet(src)).select("text_md5").collect()
+    )
+    assert got == exp
+
+
 def test_streaming_lsh_checkpoint_restart(spark, tmp_path, sf_smoke):
     """The incremental LSH store across RESTARTS: run 1 sees only chunk 1;
     chunk 2 lands later and run 2 (same checkpoint) processes only the
