@@ -133,29 +133,98 @@ def bench_pipeline(cores: int, timed_runs: int, warmup: bool = True, cache=CACHE
     return min(times)  # noise-robust (see module docstring)
 
 
-def bench_pair() -> tuple[float, float]:
-    """The (N, 4N) efficiency pair, INTERLEAVED: two rounds of
+def loadavg_1m() -> float:
+    try:
+        return float(Path("/proc/loadavg").read_text().split()[0])
+    except Exception:  # non-Linux fallback: never block the bench
+        return 0.0
+
+
+def settle(threshold: float = 1.0, max_wait: float = 120.0, step: float = 10.0) -> float:
+    """Bounded settle-wait before the efficiency pair (round-4 verdict #1a).
+
+    External load is the ONLY cause of a low ratio on this engine (the
+    verified-idle readings are 0.89-0.92; contended driver runs read
+    0.72-0.78), and the driver launches the bench right after a 9-minute
+    pytest drain — the 1-min loadavg is still falling when the pair phase
+    starts. Wait until it drops under ``threshold`` or ``max_wait``
+    elapses (never blocks forever: a genuinely busy box runs anyway and
+    the interleave + min-of-k carries the robustness)."""
+    waited = 0.0
+    la = loadavg_1m()
+    while la > threshold and waited < max_wait:
+        print(f"# settle: loadavg {la:.2f} > {threshold}, waiting", file=sys.stderr)
+        time.sleep(step)
+        waited += step
+        la = loadavg_1m()
+    return la
+
+
+def pair_should_extend(
+    walls_n: list[float], walls_n4: list[float], core_ratio: float
+) -> bool:
+    """True when the pair needs another interleaved round: the min-ratio
+    efficiency reads < 0.8 AND at least one leg's relative spread exceeds
+    15% — the asymmetric-contamination signature (a neighbor episode
+    inflates SOME walls of ONE leg; a genuinely sub-0.8 engine shows low
+    spread on both legs and extending cannot flip it)."""
+    eff = (min(walls_n) / min(walls_n4)) / core_ratio
+    spread_n = max(walls_n) / min(walls_n) - 1.0
+    spread_n4 = max(walls_n4) / min(walls_n4) - 1.0
+    return eff < 0.8 and max(spread_n, spread_n4) > 0.15
+
+
+def bench_pair() -> tuple[float, float, dict]:
+    """The (N, 4N) efficiency pair, INTERLEAVED: rounds of
     [local[N] run, local[4N] run] on the pair input, min wall per leg.
     A sustained neighbor-load episode then contaminates BOTH legs of at
     least one round instead of a single leg's whole phase — the r3/r4
     driver artifacts both lost efficiency readings to exactly that
-    one-sided contamination (0.77 and 0.72 on a 0.89-0.92 engine)."""
+    one-sided contamination (0.77 and 0.72 on a 0.89-0.92 engine).
+
+    AUTO-EXTEND (round-4 verdict #1b): after the base 3 rounds, if the
+    min-ratio still reads < 0.8 AND one leg's relative spread exceeds
+    15% — the measured signature of asymmetric contamination
+    (BENCH/BASELINE.md round-4 section) — run up to 2 extra rounds to
+    give the contaminated leg more shots at an uncontended window. Same
+    raise-past-max philosophy as dup_clusters' fixpoint check: a clean
+    box pays nothing, a noisy one buys accuracy with bounded wall."""
     walls_n: list[float] = []
     walls_n4: list[float] = []
-    # 3 rounds: each leg gets three shots at an uncontended window; the
-    # min picks the best of each (the ratio only misreads when one leg
-    # NEVER runs clean while the other does)
-    for rnd in range(3):
+
+    def one_round(rnd: int) -> None:
         # local[N]: ~1 s codegen compile is noise on a ~38 s wall — no
         # warmup; local[4N]: warm up on the first round only
         walls_n.append(bench_pipeline(N_CORES, 1, warmup=False, cache=PAIR_CACHE))
         walls_n4.append(bench_pipeline(N4_CORES, 1, warmup=(rnd == 0), cache=PAIR_CACHE))
-    return min(walls_n), min(walls_n4)
+
+    la0 = settle()
+    for rnd in range(3):
+        one_round(rnd)
+    extended = 0
+    for rnd in range(3, 5):
+        if not pair_should_extend(walls_n, walls_n4, N4_CORES / N_CORES):
+            break
+        print(f"# pair auto-extend: extra round {rnd + 1}", file=sys.stderr)
+        # short settle only: at this point the 1-min loadavg is dominated
+        # by the bench's OWN just-finished runs (reads ~9 regardless of
+        # neighbors) — a long wait here is pure wall-clock loss, and the
+        # total bench must stay under ~6 min
+        settle(threshold=2.0, max_wait=20.0, step=5.0)
+        one_round(rnd)
+        extended += 1
+    diag = {
+        "pair_walls_n": [round(w, 3) for w in walls_n],
+        "pair_walls_n4": [round(w, 3) for w in walls_n4],
+        "pair_extra_rounds": extended,
+        "loadavg_at_pair_start": la0,
+    }
+    return min(walls_n), min(walls_n4), diag
 
 
 def main() -> None:
     ensure_pages()
-    t_n, t_n4 = bench_pair()
+    t_n, t_n4, pair_diag = bench_pair()
     t_full = bench_pipeline(CPUS, 2)
     thr_n = PAIR_ROWS / t_n
     thr_n4 = PAIR_ROWS / t_n4
@@ -163,15 +232,18 @@ def main() -> None:
     eff = (thr_n4 / thr_n) / (N4_CORES / N_CORES)
     eff_full = (thr_full / thr_n4) / (CPUS / N4_CORES)
 
-    # operator queries at the sf dir (single pass, wall per query)
+    # operator queries at the sf dir (single pass, wall per query).
+    # SPARK_GRAFT_PAIR_ONLY=1 skips them: scale-stress runs (e.g. the 40M
+    # 10x-input pair) only need the efficiency legs, not the sf-dir sweep.
     import __spark_entry__ as E
 
-    spark = _session(CPUS)
+    pair_only = os.environ.get("SPARK_GRAFT_PAIR_ONLY") == "1"
+    spark = None if pair_only else _session(CPUS)
     qs = E.queries()
     qtimes: dict[str, float] = {}
     qrows: dict[str, int] = {}
     qbytes: dict[str, int | None] = {}
-    for name in BENCH_QUERIES:
+    for name in [] if pair_only else BENCH_QUERIES:
         walls = []
         out_n = 0
         for _ in range(2):  # min-of-2, plan rebuilt per run (CLAUDE.md:
@@ -193,7 +265,8 @@ def main() -> None:
             )
         except Exception:
             qbytes[name] = None
-    spark.stop()
+    if spark:
+        spark.stop()
 
     # round-over-round diff: compare against the newest BENCH_r*.json so a
     # regression is answerable from this artifact alone (round-1 verdict #10)
@@ -233,6 +306,8 @@ def main() -> None:
     detail["query_deltas_sec"] = deltas
     detail["query_out_rows"] = qrows
     detail["query_input_bytes"] = qbytes
+    detail.update(pair_diag)
+    detail["loadavg_at_end"] = loadavg_1m()
     print(emit(headline, detail))
 
 
@@ -245,10 +320,21 @@ def emit(headline: dict, detail: dict, sidecar: Path | None = None) -> str:
     lost. The line therefore stays under 1,900 bytes BY CONSTRUCTION:
     detail goes to BENCH/last_run.json, and if the headline itself ever
     outgrows the cap the queries dict is swapped for a pointer
-    (tests/test_bench_contract.py pins this)."""
+    (tests/test_bench_contract.py pins this).
+
+    Each run ALSO archives its detail to BENCH/run_<tag>.json (round-4
+    verdict #2: driver/builder/judge invocations were clobbering each
+    other's last_run.json, losing the round's best-evidence detail).
+    Tag = $SPARK_GRAFT_RUN_TAG if the caller sets one, else utc-time+pid."""
     sidecar = sidecar or REPO / "BENCH" / "last_run.json"
     sidecar.parent.mkdir(parents=True, exist_ok=True)
-    sidecar.write_text(json.dumps(detail, indent=1))
+    body = json.dumps(detail, indent=1)
+    sidecar.write_text(body)
+    tag = os.environ.get("SPARK_GRAFT_RUN_TAG") or time.strftime(
+        "%Y%m%dT%H%M%SZ", time.gmtime()
+    ) + f"_p{os.getpid()}"
+    tag = "".join(c if (c.isalnum() or c in "._-") else "_" for c in tag)[:64]
+    (sidecar.parent / f"run_{tag}.json").write_text(body)
     line = json.dumps(headline)
     if len(line) > 1900:  # last-resort guard: never overflow the capture
         headline = dict(headline)
