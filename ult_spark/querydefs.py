@@ -1511,6 +1511,75 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _attach_url_canonical_oracle()
 
 
+_TRACKING_URL_SQL = (
+    "concat('https://site', CAST(event_id % 50 AS VARCHAR), '.example/p/', "
+    "CAST(event_id % 100 AS VARCHAR), "
+    "CASE WHEN event_id % 7 = 0 THEN concat('?utm_source=a&q=', CAST(event_id % 10 AS VARCHAR)) "
+    "WHEN event_id % 7 = 1 THEN concat('?q=', CAST(event_id % 10 AS VARCHAR), '&gclid=g1') "
+    "WHEN event_id % 7 = 2 THEN '?ref=home' "
+    "WHEN event_id % 7 = 3 THEN '?fbclid=x&utm_medium' "
+    "ELSE concat('?q=', CAST(event_id % 10 AS VARCHAR)) END)"
+)
+
+
+def _tracking_url() -> F.Column:
+    """Deterministic url per event whose QUERY STRING varies by tracking
+    noise: the same resource crawled via a utm-tagged link, a gclid
+    click-through, a bare ref, or clean — strip_tracking must collapse
+    them (and drop the '?' entirely when nothing survives). The branch
+    selector is i%7 — COPRIME with the i%100 path key, so every
+    (host, path) group mixes raw spellings and `variants` > 1 proves the
+    collapse (an i%4 selector is determined by i%100 and every group
+    would hold a single spelling)."""
+    i = F.col("event_id")
+    k = (i % 10).cast("string")
+    q = (
+        F.when(i % 7 == 0, F.concat(F.lit("?utm_source=a&q="), k))
+        .when(i % 7 == 1, F.concat(F.lit("?q="), k, F.lit("&gclid=g1")))
+        .when(i % 7 == 2, F.lit("?ref=home"))
+        .when(i % 7 == 3, F.lit("?fbclid=x&utm_medium"))
+        .otherwise(F.concat(F.lit("?q="), k))
+    )
+    return F.concat(
+        F.lit("https://site"), (i % 50).cast("string"),
+        F.lit(".example/p/"), (i % 100).cast("string"), q,
+    )
+
+
+def _attach_url_tracking_oracle() -> None:
+    from ult_spark.extract.url import canonical_url_sql
+
+    canon = canonical_url_sql("url", strip_tracking=True)
+    ORACLES["url_tracking_dedup"] = (
+        f"WITH u AS (SELECT event_id, {_TRACKING_URL_SQL} AS url FROM events) "
+        f"SELECT {canon} AS canon, count(*) AS cnt, "
+        "count(DISTINCT url) AS variants FROM u GROUP BY 1"
+    )
+
+
+@q("url_tracking_dedup", None)
+def url_tracking_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-param stripping as a dedup key (r5, extract/url.py —
+    round-4 verdict #3): utm_*/gclid/fbclid/ref query parameters are
+    dropped (opt-in), remaining params re-joined in order, '?' dropped
+    when nothing survives; variants per canonical form prove the
+    collapse."""
+    from ult_spark.extract.url import canonical_url
+
+    u = load(spark, sf_dir, "events").select("event_id", _tracking_url().alias("url"))
+    return (
+        u.withColumn("canon", canonical_url("url", strip_tracking=True))
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("url").alias("variants"),
+        )
+    )
+
+
+_attach_url_tracking_oracle()
+
+
 @q(
     "cell_centroids_l8",
     f"SELECT DISTINCT cell, (y + 0.5) / 256.0 * 180.0 - 90.0 AS clat, "
