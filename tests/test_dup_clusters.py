@@ -132,3 +132,19 @@ def test_long_chain_converges_at_default_rounds(spark):
     verts, pairs = _path_graph(spark, 61)
     got = {r.doc_id: r.cluster_id for r in connected_components(verts, pairs).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_cc_edges_outside_vertex_set_are_ignored(spark):
+    """Public-API guard (round-4 advice): pairs referencing ids absent
+    from ``vertices`` must neither drop vertices nor leak ghost ids —
+    components are computed on the induced subgraph."""
+    verts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64)})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": np.array([0, 1, 99], dtype=np.int64),
+                      "b": np.array([1, 99, 3], dtype=np.int64)})
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(verts, pairs).collect()}
+    # ghost 99 must not bridge 1 and 3; every vertex present, no extras
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}

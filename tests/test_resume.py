@@ -193,3 +193,29 @@ def test_read_table_iceberg_routing_and_all_empty(spark, tmp_path, monkeypatch):
     catalog.write_snapshot(df.limit(0), t_empty, "u0", "r0")
     out = catalog.read_table(spark, t_empty)
     assert out is not None and out.count() == 0
+
+
+def test_read_table_refuses_mixed_backends(spark, tmp_path, monkeypatch):
+    """Round-4 advice: a table committed under BOTH parquet and iceberg
+    backends has no single read path — read_table must raise, not silently
+    drop the parquet units by routing to spark.table."""
+    t = str(tmp_path / "mixed")
+    df = spark.range(3).selectExpr("id")
+    catalog.write_snapshot(df, t, "u0", "r0")  # parquet-backed unit
+
+    class _FakeWriterV2:
+        def __init__(self, table):
+            self.table = table
+
+        def append(self):
+            pass
+
+    monkeypatch.setattr(type(df), "writeTo", lambda self, tb: _FakeWriterV2(tb))
+    spark.conf.set("spark.sql.catalog.ult", "fake.Catalog")
+    try:
+        catalog.write_snapshot(df, t, "u1", "r1")  # iceberg-backed unit
+        assert catalog.committed_units(t) == {"u0", "u1"}
+        with pytest.raises(ValueError, match="mixed snapshot backends"):
+            catalog.read_table(spark, t)
+    finally:
+        spark.conf.unset("spark.sql.catalog.ult")

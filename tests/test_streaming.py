@@ -428,3 +428,42 @@ def test_stateful_per_cell_counter(spark, tmp_path):
     spark.createDataFrame(pd.DataFrame({"k": ["x"], "v": [5]})).write.mode("append").parquet(src)
     r2 = run_once("b")
     assert dict(zip(r2["k"], r2["total"]))["x"] == 8
+
+
+def test_streaming_lsh_recrawled_doc_ids(spark, tmp_path, sf_smoke):
+    """Round-4 advice: a doc_id RE-ARRIVING in a later batch (re-crawl)
+    must not multiply store rows or re-emit already-committed pairs —
+    store reads are latest-batch-wins and re-discoveries are anti-joined
+    out. The accumulated pair set equals the batch pipeline over the
+    id-distinct corpus, with no (a, b) emitted twice."""
+    from ult_spark.ops.textops import minhash_lsh_dedup
+    from ult_spark.streaming import stream_minhash_pairs
+
+    base = spark.read.parquet(f"{sf_smoke}/documents.parquet").select("doc_id", "text")
+    evens = base.where(F.col("doc_id") % 2 == 0)
+    recrawl = evens.limit(5)  # same ids, same text, delivered again
+    odds = base.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "docs_rc")
+    pairs_table = str(tmp_path / "pairs_rc")
+
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    evens.coalesce(1).write.mode("append").parquet(src)
+    odds.unionByName(recrawl).coalesce(1).write.mode("append").parquet(src)
+    q = stream_minhash_pairs(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        pairs_table, str(tmp_path / "store_rc"), str(tmp_path / "ckpt_rc"),
+    )
+    q.awaitTermination()
+
+    got = catalog.read_table(spark, pairs_table)
+    # no pair emitted twice despite the re-crawled ids
+    assert got.count() == got.select("a", "b").distinct().count()
+    distinct_docs = spark.read.parquet(src).dropDuplicates(["doc_id"])
+    got_pairs = {(r.a, r.b, r.inter, r.jacc_e4) for r in got.collect()}
+    exp_pairs = {
+        (r.a, r.b, r.inter, r.jacc_e4)
+        for r in minhash_lsh_dedup(distinct_docs).collect()
+    }
+    assert got_pairs == exp_pairs

@@ -167,8 +167,19 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     snaps = list_snapshots(table)
     if not snaps:
         raise FileNotFoundError(f"no committed snapshots in {table}")
-    if any(s.get("backend") == "iceberg" for s in snaps):
+    backends = {s.get("backend", "parquet") for s in snaps}
+    if backends == {"iceberg"}:
         return spark.table(f"ult.{Path(table).name}")
+    if "iceberg" in backends:
+        # a table written under BOTH backends (e.g. iceberg enabled
+        # mid-lifetime) has no single authoritative read path — routing to
+        # spark.table would silently drop the parquet-committed units
+        # (round-4 advice). Refuse loudly; re-commit one side to migrate.
+        raise ValueError(
+            f"{table}: mixed snapshot backends {sorted(backends)} — "
+            "parquet-committed units would be invisible via the Iceberg "
+            "catalog; migrate them (rewrite under one backend) first"
+        )
     # skip only rows==0 units (partitionBy writes no files for them); a
     # non-empty unit with a missing path fails LOUDLY in the read below —
     # that's committed data gone, not a case to paper over

@@ -418,7 +418,8 @@ def dup_clusters(
     Planted-chain tests: tests/test_dup_clusters.py."""
     pairs = minhash_lsh_dedup(df, threshold).select("a", "b")
     vertices = df.select(F.col(id_col).alias("doc_id"))
-    return connected_components(vertices, pairs, rounds=rounds)
+    # pairs derive from df itself — containment holds by construction
+    return connected_components(vertices, pairs, rounds=rounds, assume_contained=True)
 
 
 class ConvergenceError(RuntimeError):
@@ -449,6 +450,7 @@ def connected_components(
     rounds: int = 2,
     max_rounds: int = 16,
     check: bool = True,
+    assume_contained: bool = False,
 ) -> DataFrame:
     """CC core behind :func:`dup_clusters` (see its docstring for the
     algorithm and the per-round localCheckpoint rationale). ``vertices``
@@ -467,7 +469,18 @@ def connected_components(
     its round once more for the lineage-truncated checkpoint."""
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    )
+    if not assume_contained:
+        # public-API guard (round-4 advice): an edge endpoint absent from
+        # ``vertices`` must not leak into label propagation — restrict to
+        # the induced subgraph via two semi-joins. Internal callers whose
+        # pairs derive from the vertex frame itself (dup_clusters) pass
+        # assume_contained=True and skip the two shuffles.
+        v = vertices.select("doc_id")
+        edges = edges.join(v.withColumnRenamed("doc_id", "a"), "a", "semi").join(
+            v.withColumnRenamed("doc_id", "b"), "b", "semi"
+        )
+    edges = edges.persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(rounds):
         labels = _cc_round(labels, edges)

@@ -144,7 +144,15 @@ def stream_minhash_pairs(
     only ever probed by band key, never self-joined, so steady-state cost
     tracks the NEW data volume, not the corpus. The union of all emitted
     pairs equals the batch ops/textops.minhash_lsh_dedup pair set on the
-    same corpus (asserted in tests/test_streaming.py)."""
+    same corpus (asserted in tests/test_streaming.py).
+
+    RE-CRAWLED doc_ids (the same id arriving again in a later batch) are
+    handled latest-batch-wins (round-4 advice): every store row carries
+    its batch id and reads keep only each doc's newest version, so the
+    candidate/verify joins never multiply rows. Emitted pairs are
+    DISCOVERY EVENTS, not a current-state view — a pair found against a
+    doc's older content stays committed even if a re-crawl changes the
+    text (re-verify downstream if contents can mutate)."""
     from ult_spark.io import catalog
     from ult_spark.ops.textops import (
         band_rows,
@@ -156,21 +164,29 @@ def stream_minhash_pairs(
     bands_dir = str(Path(store_dir) / "bands")
     sets_dir = str(Path(store_dir) / "sets")
 
+    def latest(df: DataFrame) -> DataFrame:
+        # latest batch wins per doc_id: a re-crawled id must not
+        # contribute two store versions to the joins below
+        mx = df.groupBy("doc_id").agg(F.max("_batch").alias("_batch"))
+        return df.join(mx, ["doc_id", "_batch"]).drop("_batch")
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         unit = f"batch{batch_id:08d}"
         if unit in catalog.committed_units(pairs_table):
             return  # replayed batch — pairs already committed
         spark = batch_df.sparkSession
         sh = shingles(batch_df)
-        new_bands = band_rows(minhash_signature(sh))
+        new_bands = band_rows(minhash_signature(sh)).withColumn(
+            "_batch", F.lit(batch_id)
+        )
         new_sets = sh.groupBy("doc_id").agg(
             F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
-        )
+        ).withColumn("_batch", F.lit(batch_id))
         # (2) store first, keyed by batch id: overwrite makes replays no-ops
         new_bands.write.mode("overwrite").parquet(f"{bands_dir}/{unit}")
         new_sets.write.mode("overwrite").parquet(f"{sets_dir}/{unit}")
-        all_bands = spark.read.parquet(f"{bands_dir}/*")
-        all_sets = spark.read.parquet(f"{sets_dir}/*")
+        all_bands = latest(spark.read.parquet(f"{bands_dir}/*"))
+        all_sets = latest(spark.read.parquet(f"{sets_dir}/*"))
         lhs = new_bands.select(F.col("doc_id").alias("_l"), "band")
         rhs = all_bands.select(F.col("doc_id").alias("_r"), "band")
         cand = (
@@ -181,6 +197,34 @@ def stream_minhash_pairs(
             )
             .distinct()
         )
+        # a RE-CRAWLED id can re-discover pairs an earlier batch already
+        # committed — anti-join those out. The prior-pair set is filtered
+        # by the (tiny, broadcast) re-crawl id set first, so the common
+        # no-recrawl batch pays one empty-check job and nothing else.
+        recrawl = (
+            new_bands.select("doc_id")
+            .distinct()
+            .join(
+                spark.read.parquet(f"{bands_dir}/*")
+                .where(F.col("_batch") < batch_id)
+                .select("doc_id"),
+                "doc_id",
+                "semi",
+            )
+        )
+        if catalog.committed_units(pairs_table) and recrawl.limit(1).count():
+            rc = F.broadcast(recrawl)
+            prior = catalog.read_table(spark, pairs_table).select("a", "b")
+            prior_rel = (
+                prior.join(rc.withColumnRenamed("doc_id", "a"), "a", "semi")
+                .select("a", "b")
+                .unionByName(
+                    prior.join(rc.withColumnRenamed("doc_id", "b"), "b", "semi")
+                    .select("a", "b")
+                )
+                .distinct()
+            )
+            cand = cand.join(prior_rel, ["a", "b"], "anti")
         pairs = jaccard_pairs_from_sets(all_sets, cand, threshold)
         catalog.write_snapshot(pairs, pairs_table, unit, run_id=f"lsh-{batch_id}")
 
