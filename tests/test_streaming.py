@@ -467,3 +467,58 @@ def test_streaming_lsh_recrawled_doc_ids(spark, tmp_path, sf_smoke):
         for r in minhash_lsh_dedup(distinct_docs).collect()
     }
     assert got_pairs == exp_pairs
+
+
+def test_streaming_embedding_pairs_restart_equals_batch(spark, tmp_path, sf_smoke):
+    """Round-4 verdict #5: the incremental vector-LSH stream across
+    RESTARTS — run 1 sees chunk 1, chunk 2 (including planted exact
+    near-dup copies of chunk-1 vectors) lands later and run 2 (same
+    checkpoint) processes only the delta. The accumulated pair set equals
+    the batch near-dup kernel over the full corpus; no pair emitted
+    twice; the cross-chunk planted dups surface."""
+    from ult_spark.ops.ann import near_dup_pairs
+    from ult_spark.streaming import stream_embedding_pairs
+
+    base = spark.read.parquet(f"{sf_smoke}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = (
+        base.where(F.col("vec_id") % 2 == 0).limit(5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    src = str(tmp_path / "emb_src")
+    pairs_table = str(tmp_path / "emb_pairs")
+    store = str(tmp_path / "emb_store")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    def run_once():
+        q = stream_embedding_pairs(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            pairs_table, store, ckpt,
+        )
+        q.awaitTermination()
+
+    base.where(F.col("vec_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    n_after_1 = len(catalog.list_snapshots(pairs_table))
+    assert n_after_1 >= 1
+    base.where(F.col("vec_id") % 2 == 1).unionByName(planted).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert len(catalog.list_snapshots(pairs_table)) > n_after_1
+
+    got = catalog.read_table(spark, pairs_table)
+    assert got.count() == got.select("a", "b").distinct().count()
+    all_vecs = spark.read.parquet(src)
+    got_pairs = {(r.a, r.b, r.sim_e6) for r in got.collect()}
+    exp_pairs = {
+        (r.a, r.b, r.sim_e6)
+        for r in near_dup_pairs(all_vecs, max_bucket=None).collect()
+    }
+    assert got_pairs == exp_pairs
+    # the cross-restart planted copies surfaced (identical vectors)
+    planted_found = {p for p in got_pairs if p[1] >= 100000 and p[0] == p[1] - 100000}
+    assert len(planted_found) == 5

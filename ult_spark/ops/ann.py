@@ -156,6 +156,54 @@ def lsh_bands_sql(
     )
 
 
+def embedding_vectors(df: DataFrame, vid: str = "vec_id") -> DataFrame:
+    """(vid, v array<double>) — the verify-side vector frame."""
+    return df.select(F.col(vid), _vec_double().alias("v"))
+
+
+def cosine_pairs_from_vectors(
+    vectors: DataFrame, cand: DataFrame, min_sim_e6: int = 200000
+) -> DataFrame:
+    """Exact floored-cosine verify of candidate (a, b) pairs against
+    ``vectors`` from :func:`embedding_vectors` — the shared kernel behind
+    the batch ``embedding_near_dup`` query and the streaming increment
+    (streaming/stream_embedding_pairs), so the two stay bit-identical."""
+    va = vectors.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    vb = vectors.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    sim_e6 = F.floor(
+        _dot(F.col("va"), F.col("vb"))
+        / F.sqrt(_norm_sq(F.col("va")) * _norm_sq(F.col("vb")))
+        * 1000000
+    ).cast("long")
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("sim_e6", sim_e6)
+        .where(F.col("sim_e6") >= min_sim_e6)
+        .select("a", "b", "sim_e6")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    min_sim_e6: int = 200000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (a < b sharing any (band, bucket)),
+    deduped BEFORE the vector join, then exact floored-cosine threshold —
+    the full batch near-dup kernel (see querydefs.embedding_near_dup for
+    the scale rationale; callers who cap must run oversized_buckets)."""
+    bands = prune_buckets(lsh_bands(emb), max_bucket)
+    l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
+    r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return cosine_pairs_from_vectors(embedding_vectors(emb), cand, min_sim_e6)
+
+
 def oversized_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
     """(band, bucket, n) groups wider than ``max_bucket`` — what
     :func:`prune_buckets` drops. Count/log this; never silently join it."""

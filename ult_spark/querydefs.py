@@ -1772,32 +1772,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-vector corpus; what the cap drops is surfaced by the
     ``near_dup_oversized`` companion query — run it alongside, never assume
     an empty report."""
-    from ult_spark.ops.ann import DEFAULT_MAX_BUCKET, lsh_bands, prune_buckets
+    from ult_spark.ops.ann import near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
-    bands = prune_buckets(lsh_bands(emb), DEFAULT_MAX_BUCKET)
-    l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
-    r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    vec = F.transform("embedding", lambda x: x.cast("double"))
-    v = emb.select("vec_id", vec.alias("v"))
-    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x)
-    nb = F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x)
-    sim_e6 = F.floor(dot / F.sqrt(na * nb) * 1000000).cast("long")
-    return (
-        cand.join(va, "a").join(vb, "b")
-        .withColumn("sim_e6", sim_e6)
-        .where(F.col("sim_e6") >= 200000)
-        .select("a", "b", "sim_e6")
-    )
+    return near_dup_pairs(load(spark, sf_dir, "embeddings"))
 
 
 @q(
