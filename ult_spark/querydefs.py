@@ -1580,6 +1580,134 @@ def url_tracking_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _attach_url_tracking_oracle()
 
 
+# ---- H3 structural interop (r5, round-4 verdict #4) -------------------
+# A deterministic bit-layout-valid res-9 H3 id per event: base cell and
+# digits 1-5 derive from event_id div 5 (so runs of 5 consecutive events
+# share every ancestor through res 5 — the rollup GROUPS for real), while
+# digits 6-9 derive from event_id (distinct children inside each group).
+# Pentagon digit exclusions are not modeled (grid/h3interop.py docstring).
+
+_H3_TOP = (1 << 59) | (9 << 52) | ((1 << 18) - 1)  # mode 1, res 9, low 7s
+
+
+def _h3_synth() -> F.Column:
+    i = F.col("event_id")
+    g = F.floor(i / 5).cast("long")
+    h = F.lit(_H3_TOP).cast("long").bitwiseOR(F.shiftleft(g % 122, 45))
+    for r in range(1, 6):
+        d = F.floor(g / F.lit(7 ** (r - 1))).cast("long") % 7
+        h = h.bitwiseOR(F.shiftleft(d, (15 - r) * 3))
+    for r in range(6, 10):
+        d = F.floor(i / F.lit(7 ** (r - 6))).cast("long") % 7
+        h = h.bitwiseOR(F.shiftleft(d, (15 - r) * 3))
+    return h
+
+
+def _h3_synth_sql() -> str:
+    g = "CAST(floor(event_id / 5) AS BIGINT)"
+    terms = [str(_H3_TOP), f"(({g} % 122) << 45)"]
+    for r in range(1, 6):
+        terms.append(
+            f"((CAST(floor({g} / {7 ** (r - 1)}) AS BIGINT) % 7) "
+            f"<< {(15 - r) * 3})"
+        )
+    for r in range(6, 10):
+        terms.append(
+            f"((CAST(floor(event_id / {7 ** (r - 6)}) AS BIGINT) % 7) "
+            f"<< {(15 - r) * 3})"
+        )
+    return "(" + " | ".join(terms) + ")"
+
+
+def _attach_h3_oracles() -> None:
+    from ult_spark.grid.h3interop import (
+        h3_is_valid_sql,
+        h3_parent_sql,
+        h3_resolution_sql,
+        h3_to_hex_sql,
+    )
+
+    p5 = h3_parent_sql("h3", 5)
+    ORACLES["h3_parent_rollup"] = (
+        f"WITH f AS (SELECT event_id, {_h3_synth_sql()} AS h3 FROM events) "
+        f"SELECT {h3_to_hex_sql(p5)} AS parent5, count(*) AS cnt, "
+        "count(DISTINCT h3) AS kids, "
+        f"sum(CASE WHEN {h3_is_valid_sql('h3')} THEN 1 ELSE 0 END) AS valid_cnt "
+        "FROM f GROUP BY 1"
+    )
+    cov = (
+        f"(CASE WHEN event_id % 2 = 0 THEN {h3_parent_sql('h3', 3)} "
+        f"ELSE {h3_parent_sql('h3', 5)} END)"
+    )
+    ORACLES["h3_ancestor_counts"] = (
+        f"WITH f AS (SELECT event_id, {_h3_synth_sql()} AS h3 FROM events), "
+        f"c AS (SELECT DISTINCT {cov} AS cov FROM f), "
+        f"j AS (SELECT c.cov, f.event_id FROM f JOIN c "
+        f"ON {h3_parent_sql('f.h3', 3)} = c.cov "
+        f"UNION ALL SELECT c.cov, f.event_id FROM f JOIN c "
+        f"ON {h3_parent_sql('f.h3', 5)} = c.cov) "
+        f"SELECT {h3_to_hex_sql('cov')} AS cov_hex, "
+        f"{h3_resolution_sql('cov')} AS cov_res, "
+        "count(*) AS cnt, count(DISTINCT event_id) AS uniq FROM j GROUP BY 1, 2"
+    )
+
+
+@q("h3_parent_rollup", None)
+def h3_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 interop slice 1 (r5): synthesized external res-9 H3 keys roll up
+    to their res-5 parents with hex rendering and bit-layout validation —
+    parse/resolve/validate, all native bit arithmetic
+    (grid/h3interop.py, layout pinned to the public spec's documented
+    example cells in tests/test_h3interop.py)."""
+    from ult_spark.grid.h3interop import h3_is_valid, h3_parent, h3_to_hex
+
+    f = load(spark, sf_dir, "events").select("event_id", _h3_synth().alias("h3"))
+    return f.groupBy(h3_to_hex(h3_parent("h3", 5)).alias("parent5")).agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("h3").alias("kids"),
+        F.sum(F.when(h3_is_valid("h3"), 1).otherwise(0)).alias("valid_cnt"),
+    )
+
+
+@q("h3_ancestor_counts", None)
+def h3_ancestor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 interop slice 2 (r5): mixed-resolution ancestor join — a res-3 +
+    res-5 coverage set against res-9 cells via h3_ancestor_join's
+    per-resolution EQUI-join decomposition (hash joins, never a BNLJ range
+    join; grid/h3interop.py). Every fine cell matches its ancestor row at
+    each covered resolution, exactly like the BETWEEN child-range
+    formulation (equivalence tested in tests/test_h3interop.py)."""
+    from ult_spark.grid.h3interop import (
+        h3_ancestor_join,
+        h3_parent,
+        h3_resolution,
+        h3_to_hex,
+    )
+
+    f = load(spark, sf_dir, "events").select("event_id", _h3_synth().alias("h3"))
+    cov = (
+        f.select(
+            F.when(F.col("event_id") % 2 == 0, h3_parent("h3", 3))
+            .otherwise(h3_parent("h3", 5))
+            .alias("h3")
+        )
+        .distinct()
+        .select(
+            "h3",
+            h3_to_hex("h3").alias("cov_hex"),
+            h3_resolution("h3").alias("cov_res"),
+        )
+    )
+    return (
+        h3_ancestor_join(f, cov, "h3", "h3")
+        .groupBy("cov_hex", "cov_res")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("event_id").alias("uniq"))
+    )
+
+
+_attach_h3_oracles()
+
+
 @q(
     "cell_centroids_l8",
     f"SELECT DISTINCT cell, (y + 0.5) / 256.0 * 180.0 - 90.0 AS clat, "
