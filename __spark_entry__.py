@@ -27,30 +27,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks the FIRST 50 of queries() per round (round-2 verdict
 # #3): order the registry stalest-green-first so every query keeps
-# accumulating driver rows at the current code state. Round-4 cohorts
-# (computed from CORRECTNESS_r01/02/03): 4 new queries, then the 30 whose
-# newest green row is round 2 (none are r1-stale — r3's window caught all
-# of those); the remaining 16 slots fill with r3-green names in
-# registration order. Pure reordering — zero change to the queries.
+# accumulating driver rows at the current code state. Round-5 cohorts
+# (computed from CORRECTNESS_r01..r04): 3 queries new in round 5, then
+# the 46 whose newest green row is round 3 (every other oracle query is
+# round-4-green), then the rows-only HLL query to fill slot 50. Pure
+# reordering — zero change to the queries. The 46-query r3-stale cohort
+# overflows slot 50 by 4 once the 7 round-5 queries lead; the tail
+# (cube/grouping-sets/distinct-users/HLL) stays pytest-covered via
+# tests/test_oracle_contract.py and rotates in next round.
 _PRIORITY = [
-    # new in round 4
-    "poly_area_m2", "union_area_m2",
-    "poly_intersect_area_dist", "union_area_dist",
-    "zonal_weighted_dist", "buffer_cells_dist", "poly_props",
-    "sample_docs_strat", "split_counts", "gapfill_hourly", "quadkey_l8",
-    "audio_chunk_plan", "pip_depth_events", "poly_distance_events",
-    "poly_distance_dist", "sample_k_per_lang", "url_canonical_dedup",
-    # last driver-green in round 2 (stalest; pre-r3-refactor rows)
-    "cust_nation_region", "top_customers", "tiles_except",
-    "pip_join_events", "pip_agg_by_poly", "pip_anti_count",
-    "pip_tiles_by_poly_l8", "salted_tile_agg_l8", "pyramid_op",
-    "knn_events_k5", "distance_join_errors", "zonal_stats_pop",
-    "rasterize_tiles_l6", "dedup_exact", "token_count",
-    "doc_fingerprint", "quality_score", "simhash32", "lang_id",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_cosine_topk",
-    "ann_lsh_topk", "docs_by_lang_source", "cell_range_join",
-    "asof_orders_version", "interval_join_buckets", "percentiles_by_type",
-    "tile_samples_l4", "udaf_tile_lat_sum",
+    # new in round 5
+    "url_tracking_dedup", "h3_parent_rollup", "h3_ancestor_counts",
+    "gopher_repetition", "pii_scrub_docs", "segment_dedup_w8",
+    "decontam_5gram",
+    # last driver-green in round 3 (stalest oracle queries)
+    "top_tiles_l8", "latest_event_per_user", "topk_per_tile_l4",
+    "rollup_type_tile", "hourly_counts", "orders_status_agg",
+    "pip_join_events_dist", "poly_intersect", "poly_intersect_area",
+    "buffer_cells_l6", "coverage_boundary_l6", "union_area_layer",
+    "bbox_cover_l7", "focal_counts_l6", "knn_events_k5_m",
+    "knn_events_wrap", "distance_join_errors_m", "zonal_weighted_pop",
+    "bpe_token_count", "winnowing_fp", "simhash_near_dup",
+    "tfidf_top_terms", "dup_clusters", "ann_ivf_topk", "ann_ivf_trained",
+    "event_gaps", "rolling_hour_counts", "tile_rank_ntile",
+    "tiles_intersect", "distinct_user_type", "url_host_extract",
+    "cell_centroids_l8", "sessionize_users", "multimodal_meta_agg",
+    "multimodal_features", "video_frame_plan", "compact_event_cells",
+    "range_partitioned_tiles", "props_json_agg", "haversine_to_origin",
+    "embedding_near_dup", "near_dup_oversized", "spacetime_rollup",
 ]
 
 

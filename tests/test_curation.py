@@ -1,0 +1,175 @@
+"""Unit tests for the round-5 corpus-curation ops (ops/curation.py) on
+planted fixtures — the registered queries' oracle parity is covered by
+tests/test_oracle_contract.py; here we pin the SEMANTICS on documents the
+driver corpus can't express (newlines, real PII, adversarial repetition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition
+
+
+def test_gopher_repetition_metrics(spark):
+    from ult_spark.ops.curation import gopher_repetition
+
+    rows = [
+        # 'buy now' repeated: top-2-gram covers everything -> dropped
+        ("loop", " ".join(["buy", "now"] * 8)),
+        # all-distinct tokens: zero repetition -> kept (20 tokens, so the
+        # structural top-2-gram floor 2/n = 10% sits under the 20% gate)
+        ("clean", " ".join(f"w{i}" for i in range(20))),
+        # too short for any 3-gram (2 tokens): dup3 = 0, kept unless top2 dominates
+        ("tiny", "hello world"),
+        # single token: no grams at all -> both metrics 0, kept
+        ("one", "solo"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(_docs(spark, rows)).collect()
+    }
+    assert out["loop"]["keep"] == 0
+    assert out["loop"]["top2_frac_e4"] == 10000  # capped at 1.0
+    assert out["loop"]["dup3_frac_e4"] == 10000  # every 3-gram repeats
+    assert out["clean"]["keep"] == 1
+    assert out["clean"]["top2_frac_e4"] == 1000  # 2 of 20 tokens
+    assert out["clean"]["dup3_frac_e4"] == 0
+    # 2 tokens: one 2-gram covering both tokens -> frac 1.0, dropped by top2
+    assert out["tiny"]["top2_frac_e4"] == 10000 and out["tiny"]["keep"] == 0
+    assert out["one"]["top2_frac_e4"] == 0 and out["one"]["dup3_frac_e4"] == 0
+    assert out["one"]["keep"] == 1
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+
+
+def test_pii_scrub_patterns(spark):
+    from ult_spark.ops.curation import pii_scrub
+
+    rows = [
+        ("a", "mail me at jane.doe+x@sub.example.org today"),
+        ("b", "call 555-867-5309 or 212-555-0100 now"),
+        ("c", "server at 192.168.1.254 responded"),
+        ("d", "no pii here at all"),
+        # phone inside a longer digit run must NOT match (\b guards)
+        ("e", "serial 1555-867-53091 is not a phone"),
+        ("f", "two mails: a@b.co and c.d@e-f.org end"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(_docs(spark, rows)).collect()}
+    assert (out["a"]["n_email"], out["a"]["n_phone"], out["a"]["n_ip"]) == (1, 0, 0)
+    assert (out["b"]["n_email"], out["b"]["n_phone"], out["b"]["n_ip"]) == (0, 2, 0)
+    assert (out["c"]["n_email"], out["c"]["n_phone"], out["c"]["n_ip"]) == (0, 0, 1)
+    assert (out["d"]["n_email"], out["d"]["n_phone"], out["d"]["n_ip"]) == (0, 0, 0)
+    assert out["e"]["n_phone"] == 0
+    assert out["f"]["n_email"] == 2
+
+
+def test_pii_scrub_redacts_in_text(spark):
+    from ult_spark.ops.curation import RE_EMAIL, RE_IPV4, RE_PHONE
+
+    df = _docs(spark, [("x", "a@b.co 555-867-5309 10.0.0.1")])
+    scrubbed = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", RE_EMAIL, "<EMAIL>"), RE_PHONE, "<PHONE>"
+            ),
+            RE_IPV4,
+            "<IP>",
+        ).alias("t")
+    ).first()["t"]
+    assert scrubbed == "<EMAIL> <PHONE> <IP>"
+
+
+# ---------------------------------------------------------------------------
+# segment dedup
+
+
+def test_newline_segment_dedup_keeps_one_canonical(spark):
+    from ult_spark.ops.curation import newline_segments, segment_dedup
+
+    boiler = "all rights reserved"
+    rows = [
+        ("d1", f"unique one\n{boiler}\nmore text"),
+        ("d2", f"{boiler}\nother unique line"),
+        ("d3", f"{boiler}"),
+        ("d4", "nothing shared here\n\n"),  # blank segment dropped
+    ]
+    segs = newline_segments(_docs(spark, rows))
+    # blank-line filtering: d4 has exactly 1 segment
+    assert segs.where(F.col("doc_id") == "d4").count() == 1
+    out = {r["doc_id"]: r.asDict() for r in segment_dedup(segs).collect()}
+    total_kept = sum(o["n_kept"] for o in out.values())
+    total_seg = sum(o["n_seg"] for o in out.values())
+    assert total_seg == 3 + 2 + 1 + 1
+    # 3 boiler occurrences collapse to 1: dropped = 2
+    assert total_seg - total_kept == 2
+    # every doc reports consistent accounting
+    for o in out.values():
+        assert o["n_seg"] == o["n_kept"] + o["n_dropped"]
+
+
+def test_segment_dedup_is_partitioning_invariant(spark):
+    from ult_spark.ops.curation import newline_segments, segment_dedup
+
+    rows = [(f"d{i}", "shared line\nuniq " + str(i)) for i in range(20)]
+    segs = newline_segments(_docs(spark, rows))
+    a = sorted(map(tuple, segment_dedup(segs).collect()))
+    b = sorted(map(tuple, segment_dedup(segs.repartition(7)).collect()))
+    assert a == b
+    # exactly one keeper of the shared line
+    kept = sum(r[2] for r in a)
+    assert kept == 20 + 1  # 20 uniq + 1 canonical shared
+
+
+def test_token_window_segments_drop_tail(spark):
+    from ult_spark.ops.curation import token_window_segments
+
+    df = _docs(spark, [("d", " ".join(f"t{i}" for i in range(19)))])
+    segs = token_window_segments(df, w=8).collect()
+    assert len(segs) == 2  # 19 tokens -> 2 full windows, 3-token tail dropped
+    assert segs[0]["seg"] == " ".join(f"t{i}" for i in range(8))
+    assert segs[1]["seg"] == " ".join(f"t{i}" for i in range(8, 16))
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from ult_spark.ops.curation import decontaminate
+    from ult_spark.ops.textops import _h56
+
+    # build ids whose h56 lands them in bench (<2000) vs train (>=2000)
+    probe = spark.createDataFrame(
+        [(f"id{i}",) for i in range(200)], "doc_id string"
+    ).select("doc_id", (_h56(F.col("doc_id")) % 10000).alias("h"))
+    hs = {r["doc_id"]: r["h"] for r in probe.collect()}
+    bench_id = next(k for k, v in hs.items() if v < 2000)
+    train_ids = [k for k, v in hs.items() if v >= 2000][:3]
+
+    secret = "zero one two three four five six"
+    rows = [
+        (bench_id, f"benchmark doc with {secret} inside"),
+        # shares the 5-gram window "zero one two three four"
+        (train_ids[0], f"a train doc leaking {secret} verbatim"),
+        (train_ids[1], "completely disjoint words nothing shared whatsoever here"),
+        # 4-token overlap only -> NOT flagged at n=5
+        (train_ids[2], "prefix zero one two three xx yy zz ww vv"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(_docs(spark, rows)).collect()
+    }
+    assert bench_id not in out  # bench docs are not in the result
+    assert out[train_ids[0]]["contaminated"] == 1
+    assert out[train_ids[0]]["n_hits"] >= 1
+    assert out[train_ids[1]]["contaminated"] == 0
+    assert out[train_ids[2]]["contaminated"] == 0

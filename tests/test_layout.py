@@ -161,3 +161,24 @@ def test_distributed_compact_matches_numpy(spark, sf_smoke):
     )
     exp = CZ.compact(local)
     assert np.array_equal(got, exp)
+
+
+def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Round-5 operators stay native Column programs: URL tracking-param
+    dedup, H3 structural joins, and the whole curation family (Gopher
+    repetition, PII scrub, segment dedup, decontamination)."""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "url_tracking_dedup",
+        "h3_parent_rollup",
+        "h3_ancestor_counts",
+        "gopher_repetition",
+        "pii_scrub_docs",
+        "segment_dedup_w8",
+        "decontam_5gram",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name

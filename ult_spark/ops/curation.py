@@ -1,0 +1,439 @@
+"""Corpus-curation operators (r5): the crawl-to-training-set filters a
+web-scale text pipeline runs between dedup and sampling.
+
+Four first-class components, each a native Column program (zero Python
+eval nodes — plan-asserted in tests/test_layout.py) with an exact DuckDB
+oracle:
+
+- :func:`gopher_repetition` — repetition quality signals in the style of
+  the Gopher rules (Rae et al. 2021, "Scaling Language Models"): the
+  fraction of tokens covered by the most frequent 2-gram and the fraction
+  of n-gram occurrences that are duplicated, plus a keep flag. Pinned
+  variant (documented): token-occurrence fractions, not character
+  fractions, so the metric is exact integer arithmetic in both engines.
+- :func:`pii_scrub` — regex PII redaction (email / NANP-style phone /
+  IPv4) with per-doc redaction counts and a cross-engine hash of the
+  scrubbed text. The driver corpus carries no PII, so the registered
+  query PLANTS deterministic PII derived from doc_id first (same
+  construction in both engines) — the scrub mechanics are what's tested.
+- :func:`segment_dedup` — cross-document segment-level dedup (the
+  CCNet/RefinedWeb paragraph-dedup shape): segment the corpus, keep
+  exactly ONE canonical occurrence of every distinct segment, report
+  per-doc kept/dropped counts. Canonical = min (h56(doc:idx), doc, idx)
+  over the segment's occurrences — deterministic under any partitioning,
+  no "first seen" race. The driver corpus has no newlines, so the
+  registered query segments by fixed non-overlapping token windows
+  (w=8, tail remainder dropped — pinned); newline segmentation is
+  exercised on planted fixtures in tests/test_curation.py.
+- :func:`decontaminate` — train-test decontamination: flag training docs
+  sharing any token n-gram (n=5 pinned) with a benchmark set. The
+  registered query derives the benchmark split deterministically
+  (h56(doc_id) % 10000 < 2000) so both engines build the identical set.
+
+Scale notes (100 TB): every op is one-or-two shuffles keyed by doc or by
+gram/segment hash — md5-uniform keys, no skew hazard; nothing is
+all-pairs. ``decontaminate`` joins corpus grams against the benchmark
+gram set — benchmark sets are small (MBs) in practice, so the join is
+broadcast; the registered query leaves the strategy to AQE because here
+both sides derive from the same table. ``segment_dedup``'s window is
+partitioned BY SEGMENT (not global), so it scales like any hash
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ult_spark.ops.textops import _h56, tokens_col
+
+H56_SQL = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 14))::BIGINT"
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+
+
+def _grams(toks, n: int):
+    """Array of space-joined token n-grams (empty when size < n).
+
+    Guarded: Spark's ``sequence(1, k)`` DESCENDS when k < 1 (default step
+    -1), so the window count must be clamped before building the range.
+    """
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# keep thresholds (pinned): drop when the top 2-gram covers >= 20% of
+# tokens or >= 20% of 3-gram occurrences are duplicates.
+TOP2_MAX_E4 = 2000
+DUP3_MAX_E4 = 2000
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-doc repetition metrics + keep flag (e4 integers, pinned).
+
+    ``top2_frac_e4``: tokens covered by the most frequent 2-gram, as
+    ``least(2 * max_count, n_tok) * 10000 // n_tok`` (overlapping
+    occurrences of a 2-gram like 'a a' in 'a a a' can exceed n_tok — the
+    least() cap keeps the fraction <= 1, pinned).
+    ``dup3_frac_e4``: 3-gram occurrences whose gram occurs more than once
+    in the doc, over all 3-gram occurrences.
+    Docs too short for a gram family score 0 for it (kept).
+    """
+    toks = tokens_col(text)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tok"),
+        _grams(toks, 2).alias("g2"),
+        _grams(toks, 3).alias("g3"),
+    )
+
+    def gram_stats(col: str, agg):
+        per_gram = (
+            base.select("doc_id", F.explode(col).alias("gram"))
+            .groupBy("doc_id", "gram")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return per_gram.groupBy("doc_id").agg(*agg)
+
+    a2 = gram_stats("g2", [F.max("cnt").alias("top2_cnt")])
+    a3 = gram_stats(
+        "g3",
+        [
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "dup3_occ"
+            ),
+            F.sum("cnt").alias("n3"),
+        ],
+    )
+    out = (
+        base.select("doc_id", "n_tok")
+        .join(a2, "doc_id", "left")
+        .join(a3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("top2_cnt", F.lit(0)).cast("long").alias("top2_cnt"),
+            (
+                F.least(F.coalesce("top2_cnt", F.lit(0)) * 2, F.col("n_tok"))
+                * 10000
+                / F.col("n_tok")
+            )
+            .cast("long")
+            .alias("top2_frac_e4"),
+            F.when(
+                F.coalesce("n3", F.lit(0)) > 0,
+                (F.coalesce("dup3_occ", F.lit(0)) * 10000 / F.col("n3")).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup3_frac_e4"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("top2_frac_e4") < TOP2_MAX_E4)
+                & (F.col("dup3_frac_e4") < DUP3_MAX_E4)
+            ).cast("int"),
+        )
+    )
+    return out
+
+
+GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ts) AS n_tok, ts FROM toks
+), i2 AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM base
+), g2 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram FROM i2
+), c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+), a2 AS (
+  SELECT doc_id, max(cnt) AS top2_cnt FROM c2 GROUP BY 1
+), i3 AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM base
+), g3 AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram FROM i3
+), c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+), a3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3_occ,
+         sum(cnt) AS n3
+  FROM c3 GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tok,
+       CAST(coalesce(a2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+       CAST(least(coalesce(a2.top2_cnt, 0) * 2, b.n_tok) * 10000 // b.n_tok
+            AS BIGINT) AS top2_frac_e4,
+       CAST(CASE WHEN coalesce(a3.n3, 0) > 0
+                 THEN coalesce(a3.dup3_occ, 0) * 10000 // a3.n3
+                 ELSE 0 END AS BIGINT) AS dup3_frac_e4,
+       CAST(CASE WHEN least(coalesce(a2.top2_cnt, 0) * 2, b.n_tok) * 10000 // b.n_tok
+                      < {TOP2_MAX_E4}
+                  AND CAST(CASE WHEN coalesce(a3.n3, 0) > 0
+                                THEN coalesce(a3.dup3_occ, 0) * 10000 // a3.n3
+                                ELSE 0 END AS BIGINT) < {DUP3_MAX_E4}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM base b
+LEFT JOIN a2 ON b.doc_id = a2.doc_id
+LEFT JOIN a3 ON b.doc_id = a3.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+
+# Patterns chosen for Java-regex / RE2 agreement: plain classes and
+# bounded quantifiers only — no backreferences, no lookaround.
+RE_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+RE_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+RE_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Redact email / phone / IPv4 from ``text``; per-doc counts + a
+    cross-engine 56-bit hash of the scrubbed text. Order pinned:
+    emails first, then phones, then IPv4 (an email host never matches the
+    later patterns, so the order only matters for documentation)."""
+    t = F.col(text)
+    # idx=0 (whole match): the patterns are group-free, and Spark's
+    # default group index is 1 (errors), while DuckDB's is 0.
+    n_email = F.size(F.regexp_extract_all(t, F.lit(RE_EMAIL), F.lit(0))).cast("long")
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(RE_PHONE), F.lit(0))).cast("long")
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(RE_IPV4), F.lit(0))).cast("long")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, RE_EMAIL, "<EMAIL>"), RE_PHONE, "<PHONE>"
+        ),
+        RE_IPV4,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ip.alias("n_ip"),
+        _h56(scrubbed).alias("scrub_h56"),
+    )
+
+
+def planted_pii(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Append deterministic doc_id-derived PII to every doc (registered-
+    query preamble; same construction in the SQL oracle): an email, a
+    phone with h56-derived digits, and an IP from the doc_id byte."""
+    h = _h56(F.col(id_col).cast("string"))
+    planted = F.concat(
+        F.col(text),
+        F.lit(" contact user"),
+        F.col(id_col).cast("string"),
+        F.lit("@example.com or 555-867-"),
+        F.lpad((h % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (h % 256).cast("string"),
+        F.lit("."),
+        (F.col(id_col).cast("long") % 256).cast("string"),
+    )
+    return df.withColumn(text, planted)
+
+
+def pii_scrub_sql() -> str:
+    h = H56_SQL.format(col="doc_id")
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-867-' || "
+        f"lpad(CAST({h} % 10000 AS VARCHAR), 4, '0') || ' from 10.0.' || "
+        f"CAST({h} % 256 AS VARCHAR) || '.' || CAST(doc_id % 256 AS VARCHAR)"
+    )
+    e, p, ip = RE_EMAIL, RE_PHONE, RE_IPV4
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{e}', '<EMAIL>', 'g'), "
+        f"'{p}', '<PHONE>', 'g'), '{ip}', '<IP>', 'g')"
+    )
+    return (
+        f"WITH planted AS (SELECT doc_id, {planted} AS text FROM documents) "
+        f"SELECT doc_id, CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_phone, "
+        f"CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ip, "
+        f"('0x' || substr(md5({scrub}), 1, 14))::BIGINT AS scrub_h56 FROM planted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (paragraph) dedup
+
+
+def token_window_segments(
+    df: DataFrame, w: int = 8, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(doc_id, seg_idx, seg): non-overlapping w-token windows, tail
+    remainder dropped (pinned). seg_idx is 1-based."""
+    toks = tokens_col(text)
+    k = F.floor(F.size(toks) / w).cast("int")
+    segs = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos0", "seg")
+    ).select("doc_id", (F.col("pos0") + 1).alias("seg_idx"), "seg")
+
+
+def newline_segments(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """(doc_id, seg_idx, seg): newline-split segments, blanks dropped,
+    seg_idx numbering the KEPT segments 1-based (pinned)."""
+    segs = F.filter(F.split(F.col(text), "\n"), lambda x: x != "")
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(segs).alias("pos0", "seg")
+    ).select("doc_id", (F.col("pos0") + 1).alias("seg_idx"), "seg")
+
+
+def segment_dedup(segments: DataFrame) -> DataFrame:
+    """Per-doc segment dedup accounting over a (doc_id, seg_idx, seg)
+    frame: every distinct segment keeps exactly ONE canonical occurrence
+    corpus-wide — argmin of (h56(doc:idx), doc_id, seg_idx), a total
+    order, so the result is identical under any partitioning or engine.
+
+    Returns (doc_id, n_seg, n_kept, n_dropped). One shuffle: the window
+    partitions by the segment value (md5-uniform — no skew), then a
+    doc-keyed aggregation.
+    """
+    tiebreak = _h56(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("seg_idx").cast("string"))
+    )
+    w = Window.partitionBy("seg").orderBy(tiebreak, F.col("doc_id"), F.col("seg_idx"))
+    ranked = segments.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seg"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        )
+        .withColumn("n_dropped", (F.col("n_seg") - F.col("n_kept")).cast("long"))
+    )
+
+
+def segment_dedup_sql(w: int = 8) -> str:
+    h = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(seg_idx AS VARCHAR)), 1, 14))::BIGINT"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ts
+  FROM documents
+), idx AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) // {w})) AS seg_idx
+  FROM toks
+), segs AS (
+  SELECT doc_id, seg_idx,
+         list_aggregate(ts[(seg_idx-1)*{w}+1 : seg_idx*{w}], 'string_agg', ' ') AS seg
+  FROM idx
+), ranked AS (
+  SELECT doc_id, seg_idx,
+         row_number() OVER (PARTITION BY seg ORDER BY {h}, doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train-test decontamination
+
+DECONTAM_N = 5
+BENCH_E4 = 2000  # benchmark split: h56(doc_id) % 10000 < 2000
+
+
+def decontaminate(
+    df: DataFrame,
+    n: int = DECONTAM_N,
+    bench_e4: int = BENCH_E4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Flag training docs sharing any token n-gram with the benchmark
+    split. Returns (doc_id, n_hits, contaminated) for every TRAIN doc —
+    n_hits = distinct shared grams, contaminated = 1 if any.
+
+    Scale shape: distinct benchmark grams are one small aggregation; the
+    train-side probe is a gram-keyed left semi-ish join (left join +
+    count), md5-uniform keys. With a real (small, fixed) benchmark set
+    the gram list is broadcast; here both sides derive from `documents`
+    so the strategy is left to AQE.
+    """
+    toks = tokens_col(text)
+    h = _h56(F.col(id_col).cast("string")) % 10000
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.explode(_grams(toks, n)).alias("gram"),
+    )
+    bench = grams.where(F.col("h") < bench_e4).select("gram").distinct()
+    train = grams.where(F.col("h") >= bench_e4).select("doc_id", "gram").distinct()
+    hits = (
+        train.join(bench, "gram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    train_docs = df.where(h >= bench_e4).select(F.col(id_col).alias("doc_id"))
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = DECONTAM_N, bench_e4: int = BENCH_E4) -> str:
+    h = H56_SQL.format(col="doc_id") + " % 10000"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {h} AS h,
+         list_filter(string_split(text, ' '), x -> x != '') AS ts
+  FROM documents
+), idx AS (
+  SELECT doc_id, h, ts, unnest(generate_series(1, len(ts) - {n - 1})) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, h,
+         list_aggregate(ts[i : i + {n - 1}], 'string_agg', ' ') AS gram
+  FROM idx
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE h < {bench_e4}
+), train AS (
+  SELECT DISTINCT doc_id, gram FROM grams WHERE h >= {bench_e4}
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM train t JOIN bench b USING (gram) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(hits.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM (SELECT doc_id FROM toks WHERE h >= {bench_e4}) d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""

@@ -1708,6 +1708,54 @@ def h3_ancestor_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _attach_h3_oracles()
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation ops (r5): Gopher-style repetition filters, PII scrub,
+# segment-level dedup, train-test decontamination (ops/curation.py).
+
+
+def _attach_curation_oracles() -> None:
+    from ult_spark.ops import curation as C
+
+    ORACLES["gopher_repetition"] = C.GOPHER_SQL
+    ORACLES["pii_scrub_docs"] = C.pii_scrub_sql()
+    ORACLES["segment_dedup_w8"] = C.segment_dedup_sql(8)
+    ORACLES["decontam_5gram"] = C.decontaminate_sql()
+
+
+@q("gopher_repetition", None)
+def gopher_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.curation import gopher_repetition
+
+    return gopher_repetition(load(spark, sf_dir, "documents"))
+
+
+@q("pii_scrub_docs", None)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant deterministic doc_id-derived PII, then scrub it — the
+    corpus itself is PII-free, so the plant step (mirrored in the
+    oracle) is what exercises the redaction path."""
+    from ult_spark.ops.curation import pii_scrub, planted_pii
+
+    return pii_scrub(planted_pii(load(spark, sf_dir, "documents")))
+
+
+@q("segment_dedup_w8", None)
+def segment_dedup_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.curation import segment_dedup, token_window_segments
+
+    return segment_dedup(token_window_segments(load(spark, sf_dir, "documents"), w=8))
+
+
+@q("decontam_5gram", None)
+def decontam_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ult_spark.ops.curation import decontaminate
+
+    return decontaminate(load(spark, sf_dir, "documents"))
+
+
+_attach_curation_oracles()
+
+
 @q(
     "cell_centroids_l8",
     f"SELECT DISTINCT cell, (y + 0.5) / 256.0 * 180.0 - 90.0 AS clat, "
