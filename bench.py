@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "union_area_layer",
     "zonal_weighted_pop",
     "dup_clusters",
+    "pack_sequences_b256",
+    "session_trips_30m",
 ]
 
 

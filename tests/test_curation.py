@@ -173,3 +173,40 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out[train_ids[0]]["n_hits"] >= 1
     assert out[train_ids[1]]["contaminated"] == 0
     assert out[train_ids[2]]["contaminated"] == 0
+
+
+def test_decontaminate_fuzzy_planted(spark):
+    """A train doc that is a one-word edit of a bench doc is flagged with
+    high Jaccard; an unrelated train doc is not. Split membership is the
+    pinned h56(doc_id) % 10000 < 2000 rule, so the test picks ids by
+    replaying the hash."""
+    import hashlib
+
+    from ult_spark.ops.curation import decontaminate_fuzzy
+
+    def h4(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:14], 16) % 10000
+
+    from itertools import islice
+
+    bench_id = next(i for i in range(1000) if h4(i) < 2000)
+    t1, t2 = islice((i for i in range(1000) if h4(i) >= 2000), 2)
+
+    # one appended token: shingle Jaccard 18/19 ≈ 0.947 — band collision
+    # probability 1-(1-j^4)^4 ≈ 0.9985, and the md5 band hashes are
+    # deterministic, so this fixture either collides forever or never;
+    # verified colliding (the exact-edit variant at j≈0.71 happened to
+    # land in the ~31% no-collision region and was swapped out)
+    words = [f"tok{i}" for i in range(20)]
+    bench_text = " ".join(words)
+    edited = bench_text + " zzz"
+    unrelated = " ".join(f"other{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(bench_id, bench_text), (t1, edited), (t2, unrelated)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate_fuzzy(df).collect()}
+    assert set(got) == {t1, t2}
+    assert got[t1].contaminated == 1 and got[t1].n_hits == 1
+    assert got[t1].best_jacc_e4 >= 2000
+    assert got[t2].contaminated == 0 and got[t2].best_jacc_e4 == 0

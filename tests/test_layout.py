@@ -165,8 +165,9 @@ def test_distributed_compact_matches_numpy(spark, sf_smoke):
 
 def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
     """Round-5 operators stay native Column programs: URL tracking-param
-    dedup, H3 structural joins, and the whole curation family (Gopher
-    repetition, PII scrub, segment dedup, decontamination)."""
+    dedup, H3 structural joins, the whole curation family (Gopher
+    repetition, PII scrub, segment dedup, decontamination), and the
+    training-batch assembly + trajectory/diff ops."""
     from ult_spark.querydefs import QUERIES
 
     for name in (
@@ -177,8 +178,65 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "pii_scrub_docs",
         "segment_dedup_w8",
         "decontam_5gram",
+        "pack_sequences_b256",
+        "domain_balance_sqrt",
+        "session_trips_30m",
+        "snapshot_diff_orders",
+        "decontam_fuzzy",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_cell_partitioned_layout_prunes_directories(spark, sf_smoke, tmp_path):
+    """r5 io/layout.py: Z-order directory clustering + descendant-range
+    read = planning-time partition pruning — the scan reads ONLY the
+    matching directories (inputFiles shrinks) and returns exactly the
+    rows a full-scan filter returns."""
+    from ult_spark.grid import cells as C
+    from ult_spark.io.layout import read_descendants, write_cell_partitioned
+    from ult_spark.querydefs import events_points
+
+    path = str(tmp_path / "cells_l2")
+    pts = events_points(spark, sf_smoke).select(
+        "event_id", UF.latlon_to_cell("lat", "lon", 8).alias("cell")
+    )
+    write_cell_partitioned(pts, path)
+    total_files = len(spark.read.parquet(path).inputFiles())
+
+    def files_read(make_df) -> int:
+        # DataFrame.inputFiles() reflects the UNFILTERED relation; the
+        # scan's numFiles metric after execution is the real I/O count.
+        # The metric is populated by the scan's lazy partition listing,
+        # which happens once per PLAN — a re-collected DataFrame resets
+        # it to 0 — so the plan is rebuilt fresh for the metric read.
+        df = make_df()
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return int(leaf.metrics().apply("numFiles").value())
+
+    # ancestor at the dir level itself (level 2): exact directory pruning
+    anc = int(C.latlon_to_cell(np.array([20.0]), np.array([30.0]), 2)[0])
+    got = read_descendants(spark, path, anc)
+    lo, hi = (int(x[0]) for x in C.cell_range(np.array([anc], dtype=np.int64)))
+    expect = pts.where(F.col("cell").between(lo, hi))
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in expect.collect()
+    )
+    assert files_read(lambda: read_descendants(spark, path, anc)) < total_files
+    # plan-level evidence: the predicate landed as a partition filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # deeper-than-dir ancestor (level 5): clamps to ONE covering directory
+    anc5 = int(C.latlon_to_cell(np.array([20.0]), np.array([30.0]), 5)[0])
+    got5 = read_descendants(spark, path, anc5)
+    lo5, hi5 = (int(x[0]) for x in C.cell_range(np.array([anc5], dtype=np.int64)))
+    expect5 = pts.where(F.col("cell").between(lo5, hi5))
+    assert sorted(r.event_id for r in got5.collect()) == sorted(
+        r.event_id for r in expect5.collect()
+    )
+    # one file per directory at this scale
+    assert files_read(lambda: read_descendants(spark, path, anc5)) == 1

@@ -1,0 +1,216 @@
+"""Training-batch assembly (ops/packing.py) + trajectory/diff ops
+(ops/relational.py r5): planted-corpus exactness, invariants, and
+partitioning-determinism. The cross-engine oracles run in
+tests/test_oracle_contract.py; these tests pin the semantics against
+independent Python references."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ult_spark.ops.packing import PACK_BUDGET, PACK_SHARDS, domain_balance, pack_sequences
+
+
+def h56(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+
+
+def _reference_pack(docs: list[tuple[int, str]], budget: int, shards: int):
+    """Independent Python replay of the pinned packing semantics."""
+    per_shard: dict[int, list[tuple[int, int, int]]] = {}
+    for doc_id, text in docs:
+        n_tok = len([t for t in text.split(" ") if t])
+        if n_tok == 0:
+            continue
+        ok = h56(f"{doc_id}:pk")
+        per_shard.setdefault(ok % shards, []).append((ok, doc_id, n_tok))
+    out: dict[tuple[int, int], list[int]] = {}
+    for shard, rows in per_shard.items():
+        cum = 0
+        for _, _, n_tok in sorted(rows):
+            lo, cum = cum, cum + n_tok
+            for seq in range(lo // budget, (cum - 1) // budget + 1):
+                got = out.setdefault((shard, seq), [0, 0, 0])
+                got[0] += 1
+                got[1] += int(lo >= seq * budget and cum <= (seq + 1) * budget)
+                got[2] += min(cum, (seq + 1) * budget) - max(lo, seq * budget)
+    return out
+
+
+def test_pack_sequences_planted_exact(spark):
+    docs = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)]
+    docs.append((40, ""))  # zero-token doc: dropped (pinned)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.shard, r.seq_id): [r.n_docs, r.n_whole, r.n_tokens]
+        for r in pack_sequences(df, budget=16, shards=4).collect()
+    }
+    assert got == _reference_pack(docs, budget=16, shards=4)
+
+
+def test_pack_sequences_invariants(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    out = pack_sequences(docs).collect()
+    total_tok = docs.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+    ).collect()[0][0]
+    # token conservation: every token lands in exactly one sequence slot
+    assert sum(r.n_tokens for r in out) == total_tok
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(PACK_SHARDS))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.seq_id)
+        # contiguous sequence ids from 0; full budget everywhere but the tail
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        assert all(r.n_tokens == PACK_BUDGET for r in rows[:-1])
+        assert 0 < rows[-1].n_tokens <= PACK_BUDGET
+        for r in rows:
+            assert 0 <= r.n_whole <= r.n_docs
+
+
+def test_pack_sequences_partitioning_invariant(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    a = sorted(map(tuple, pack_sequences(docs).collect()))
+    b = sorted(map(tuple, pack_sequences(docs.repartition(13)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# domain_balance
+
+
+def test_domain_balance_matches_python(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    rows = {r.domain: r for r in domain_balance(docs).collect()}
+    pdf = docs.select("doc_id", "source").toPandas()
+    counts = pdf.groupby("source").size().to_dict()
+    assert set(rows) == set(counts)
+    for src, n in counts.items():
+        r = rows[src]
+        assert r.n_docs == n
+        expect_rate = min(1_000_000, math.floor(4_000_000.0 / math.sqrt(n)))
+        assert r.keep_rate_e6 == expect_rate
+        kept = sum(
+            1
+            for d in pdf[pdf.source == src].doc_id
+            if h56(f"{d}:bal") % 1_000_000 < expect_rate
+        )
+        assert r.n_kept == kept
+        assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_domain_balance_flattens_distribution(spark):
+    """The whole point of α=0.5: a skewed source distribution flattens —
+    the kept-count ratio between the dominant and minor domain shrinks
+    toward sqrt of the original ratio. (The driver corpus has perfectly
+    UNIFORM sources, where hash-threshold binomial noise dominates, so
+    this property needs a planted skewed corpus.)"""
+    docs = [(i, "big") for i in range(6400)] + [(10000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(docs, "doc_id long, source string").withColumn(
+        "text", F.lit("x")
+    )
+    got = {r.domain: r for r in domain_balance(df, t_e6=400_000.0).collect()}
+    # rates: big -> 400000/80 = 5000 (0.5%), small -> 400000/10 = 40000 (4%)
+    assert got["big"].keep_rate_e6 == 5000
+    assert got["small"].keep_rate_e6 == 40000
+    orig_ratio = got["big"].n_docs / got["small"].n_docs  # 64
+    kept_ratio = got["big"].n_kept / max(got["small"].n_kept, 1)
+    assert kept_ratio < orig_ratio / 2  # expected ~8 (sqrt(64)), far under 64
+
+
+# ---------------------------------------------------------------------------
+# session_trips
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    dlat = math.radians(lat2 - lat1) / 2.0
+    dlon = math.radians(lon2 - lon1) / 2.0
+    a = (
+        math.sin(dlat) ** 2
+        + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2)) * math.sin(dlon) ** 2
+    )
+    return 2.0 * 6371008.8 * math.asin(math.sqrt(a))
+
+
+def test_session_trips_planted(spark):
+    from ult_spark.ops.relational import session_trips
+
+    # user 1: two sessions (gap 2000 s > 1800); user 2: one single-event
+    # session (zero distance, zero duration)
+    rows = [
+        (1, 1, "2026-01-01 00:00:00", 10.0, 20.0),
+        (2, 1, "2026-01-01 00:10:00", 10.5, 20.0),
+        (3, 1, "2026-01-01 00:20:00", 10.5, 20.5),
+        (4, 1, "2026-01-01 01:00:00", 11.0, 21.0),  # 2400 s after prev
+        (5, 2, "2026-01-01 00:00:00", -30.0, 150.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, lat double, lon double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.user_id, r.session_id): r
+        for r in session_trips(df, key="user_id").collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert s11.n_events == 3 and s11.dur_s == 1200
+    legs = [
+        math.floor(haversine_m(10.0, 20.0, 10.5, 20.0)),
+        math.floor(haversine_m(10.5, 20.0, 10.5, 20.5)),
+    ]
+    assert s11.dist_m == sum(legs) and s11.max_leg_m == max(legs)
+    assert got[(1, 2)].n_events == 1 and got[(1, 2)].dist_m == 0
+    s2 = got[(2, 1)]
+    assert (s2.n_events, s2.dur_s, s2.dist_m, s2.max_leg_m) == (1, 0, 0, 0)
+
+
+def test_session_trips_sum_is_order_free(spark, sf_correct):
+    """Per-leg floors before the sum: identical totals under repartition."""
+    from ult_spark.ops.relational import session_trips
+    from ult_spark.querydefs import events_points
+
+    pts = events_points(spark, sf_correct)
+    a = sorted(map(tuple, session_trips(pts).collect()))
+    b = sorted(map(tuple, session_trips(pts.repartition(17)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+
+
+def test_snapshot_diff_planted(spark):
+    from ult_spark.ops.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b"), (3, 300, "c")], "k long, v long, s string"
+    )
+    new = spark.createDataFrame(
+        [(2, 200, "b"), (3, 301, "c"), (4, 400, "d")], "k long, v long, s string"
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert set(got) == {1, 3, 4}  # 2 is unchanged and dropped
+    assert got[1].change_type == "removed" and got[1].new_v is None
+    assert got[3].change_type == "changed" and (got[3].old_v, got[3].new_v) == (300, 301)
+    assert got[4].change_type == "added" and got[4].old_v is None
+
+
+def test_snapshot_diff_null_safe_values(spark):
+    """NULL value columns compare null-safely: NULL→NULL is unchanged,
+    NULL→value and value→NULL are changed."""
+    from ult_spark.ops.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, 5), (3, None)], "k long, v long")
+    new = spark.createDataFrame([(1, None), (2, None), (3, 7)], "k long, v long")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {2: "changed", 3: "changed"}

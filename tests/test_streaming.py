@@ -522,3 +522,79 @@ def test_streaming_embedding_pairs_restart_equals_batch(spark, tmp_path, sf_smok
     # the cross-restart planted copies surfaced (identical vectors)
     planted_found = {p for p in got_pairs if p[1] >= 100000 and p[0] == p[1] - 100000}
     assert len(planted_found) == 5
+
+
+def test_session_window_counts_equals_batch_sessionize(spark, tmp_path, sf_smoke):
+    """r5 session_window_counts ≡ batch gaps-and-islands sessionization.
+
+    Boundary pin: Spark MERGES adjacent session windows, so an event
+    exactly ``gap`` seconds after the previous one extends the session —
+    a split needs the gap to EXCEED the threshold, which is precisely the
+    batch sessionize rule with the same gap_seconds. Asserted on the real
+    events table AND on a planted exact-1800s gap (which stays ONE
+    session under both forms, and splits only at a 1799s batch
+    threshold)."""
+    from ult_spark.ops.relational import sessionize
+    from ult_spark.streaming import session_window_counts
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(src)
+
+    batches = []
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck_sessc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    stream_counts = sorted(
+        map(tuple, got[["user_id", "n_events"]].itertuples(index=False))
+    )
+
+    batch = (
+        sessionize(events, "user_id", "ts", 1800, tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    batch_counts = sorted((r.user_id, r.n_events) for r in batch.collect())
+    assert stream_counts == batch_counts
+
+    # planted exact-gap boundary: 1800 s apart → ONE session in both the
+    # stream (adjacent windows merge; end = last event + gap) and the
+    # batch at threshold 1800; the batch at 1799 splits
+    planted = spark.createDataFrame(
+        [(1, 7, "2026-01-01 00:00:00"), (2, 7, "2026-01-01 00:30:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    psrc = str(tmp_path / "sess_planted")
+    planted.write.mode("overwrite").parquet(psrc)
+    pstream = spark.readStream.schema("event_id long, user_id long, ts timestamp").parquet(psrc)
+    pbatches = []
+    pq = (
+        session_window_counts(pstream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, bid: pbatches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "ck_sessp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    pq.awaitTermination()
+    planted_stream = pd.concat([b for b in pbatches if len(b)], ignore_index=True)
+    assert len(planted_stream) == 1
+    row = planted_stream.iloc[0]
+    assert row["n_events"] == 2
+    assert row["sess_end"] - row["sess_start"] == 1800 + 1800  # last event + gap
+    assert sessionize(planted, "user_id", "ts", 1800).agg(
+        F.max("session_id")
+    ).collect()[0][0] == 1
+    assert sessionize(planted, "user_id", "ts", 1799).agg(
+        F.max("session_id")
+    ).collect()[0][0] == 2

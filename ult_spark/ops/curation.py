@@ -437,3 +437,117 @@ SELECT d.doc_id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
 FROM (SELECT doc_id FROM toks WHERE h >= {bench_e4}) d
 LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (MinHash) decontamination
+
+
+FUZZY_THRESHOLD = 0.2  # pinned: same verify threshold as minhash_lsh_pairs
+
+
+def decontaminate_fuzzy(
+    df: DataFrame,
+    bench_e4: int = BENCH_E4,
+    threshold: float = FUZZY_THRESHOLD,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Fuzzy train-test decontamination: flag training docs whose shingle
+    Jaccard vs ANY benchmark doc reaches ``threshold`` — the near-dup
+    complement of :func:`decontaminate` (an exact 5-gram hit misses
+    lightly-edited benchmark rewordings; MinHash-banded candidates + an
+    exact verify catch them).
+
+    Composition (all shared with ops/textops.py, so the semantics and
+    cross-engine SQL mirrors are the hash-green minhash_lsh_pairs
+    kernels): shingle → 16-minhash signature → 4-band LSH keys; candidate
+    pairs come from a TRAIN-bands ⋈ BENCH-bands equi-join (never a
+    self-join — work scales with cross-split band collisions only), then
+    exact Jaccard over the two shingle sets per candidate pair.
+
+    Returns (doc_id, n_hits, best_jacc_e4, contaminated) for every train
+    doc: n_hits = benchmark docs at or above threshold, best_jacc_e4 =
+    max Jaccard among them (0 when none).
+    """
+    from ult_spark.ops.textops import (
+        band_rows,
+        jaccard_pairs_from_sets,
+        minhash_signature,
+        shingle_array,
+    )
+
+    h = _h56(F.col(id_col).cast("string")) % 10000
+    base = df.select(
+        F.col(id_col).alias("doc_id"), h.alias("h"), shingle_array(text).alias("shs")
+    )
+    sh = base.select("doc_id", "h", F.explode("shs").alias("shingle"))
+    bands = band_rows(minhash_signature(sh)).join(
+        base.select("doc_id", "h"), "doc_id"
+    )
+    tb = bands.where(F.col("h") >= bench_e4).select(F.col("doc_id").alias("a"), "band")
+    bb = bands.where(F.col("h") < bench_e4).select(F.col("doc_id").alias("b"), "band")
+    cand = tb.join(bb, "band").select("a", "b").distinct()
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shs"), F.count(F.lit(1)).alias("sz")
+    )
+    hits = (
+        jaccard_pairs_from_sets(docsets, cand, threshold)
+        .groupBy(F.col("a").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max("jacc_e4").cast("long").alias("best_jacc_e4"),
+        )
+    )
+    train_docs = df.where(h >= bench_e4).select(F.col(id_col).alias("doc_id"))
+    return train_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("best_jacc_e4", F.lit(0)).cast("long").alias("best_jacc_e4"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def decontaminate_fuzzy_sql(
+    bench_e4: int = BENCH_E4, threshold: float = FUZZY_THRESHOLD
+) -> str:
+    from ult_spark.ops.textops import N_BANDS, N_MINHASH, SHINGLES_SQL
+
+    r = N_MINHASH // N_BANDS
+    mh = ", ".join(f"min(h1 + {j} * h2) AS mh{j}" for j in range(N_MINHASH))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, md5(concat_ws('_', '{b}', "
+        + ", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + ")) AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    thr = int(threshold * 10000)
+    return (
+        f"WITH sh AS ({SHINGLES_SQL}), "
+        f"hd AS (SELECT doc_id, {H56_SQL.format(col='CAST(doc_id AS VARCHAR)')} % 10000 AS h "
+        "FROM documents), "
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1, "
+        "('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mh} FROM hs GROUP BY 1), "
+        f"bands AS ({bands}), "
+        f"tb AS (SELECT b.doc_id AS a, b.band FROM bands b JOIN hd ON b.doc_id = hd.doc_id "
+        f"WHERE hd.h >= {bench_e4}), "
+        f"bb AS (SELECT b.doc_id AS b, b.band FROM bands b JOIN hd ON b.doc_id = hd.doc_id "
+        f"WHERE hd.h < {bench_e4}), "
+        "cand AS (SELECT DISTINCT tb.a, bb.b FROM tb JOIN bb USING (band)), "
+        "inters AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter "
+        "FROM sh sa JOIN sh sb USING (shingle) "
+        "JOIN hd ha ON sa.doc_id = ha.doc_id JOIN hd hb ON sb.doc_id = hb.doc_id "
+        f"WHERE ha.h >= {bench_e4} AND hb.h < {bench_e4} GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), "
+        "hits AS (SELECT c.a AS doc_id, count(*) AS n_hits, "
+        "max(CAST(floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) AS BIGINT)) AS best_jacc_e4 "
+        "FROM cand c JOIN inters i ON c.a = i.a AND c.b = i.b "
+        "JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b "
+        f"WHERE floor(i.inter * 10000 / (za.sz + zb.sz - i.inter)) >= {thr} GROUP BY 1) "
+        f"SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        "CAST(coalesce(h.best_jacc_e4, 0) AS BIGINT) AS best_jacc_e4, "
+        "CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated "
+        f"FROM (SELECT doc_id FROM hd WHERE h >= {bench_e4}) d "
+        "LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )

@@ -112,3 +112,140 @@ def time_bucket_gapfill_sql(key: str = "event_type", bucket_s: int = 3600) -> st
         "(PARTITION BY a.k ORDER BY a.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf "
         "FROM axis a LEFT JOIN obs USING (k, bucket)"
     )
+
+
+def session_trips(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-session trajectory stats (r5 — the geospatial reading of T4):
+    sessionize, then per (key, session) count events, duration, and the
+    great-circle path length over consecutive events.
+
+    Returns (key, session_id, n_events, dur_s, dist_m, max_leg_m). Each
+    leg is FLOORED to integer meters before the sum (CLAUDE.md: integer
+    sums are addition-order-free, so the result is identical under any
+    partitioning and across engines; the haversine sin/cos parity is the
+    hash-green precedent from ``haversine_to_origin``).
+
+    Scale shape: both windows partition by ``key`` (and session) with the
+    same (ts, tiebreak) order, so Catalyst computes them off one sort —
+    a single shuffle keyed by the session key, no global window.
+    """
+    s = sessionize(events, key, ts, gap_seconds, tiebreak=tiebreak)
+    w = Window.partitionBy(key, "session_id").orderBy(ts, tiebreak)
+    leg = F.floor(
+        UF.haversine_m(
+            F.lag(lat).over(w), F.lag(lon).over(w), F.col(lat), F.col(lon)
+        )
+    ).cast("long")
+    return (
+        s.withColumn("_leg", leg)
+        .groupBy(key, "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.max(F.unix_timestamp(F.col(ts)))
+                - F.min(F.unix_timestamp(F.col(ts)))
+            )
+            .cast("long")
+            .alias("dur_s"),
+            F.coalesce(F.sum("_leg"), F.lit(0)).cast("long").alias("dist_m"),
+            F.coalesce(F.max("_leg"), F.lit(0)).cast("long").alias("max_leg_m"),
+        )
+    )
+
+
+def session_trips_sql(
+    lat_sql: str, lon_sql: str, gap_seconds: int = 1800
+) -> str:
+    """DuckDB mirror on the events view: identical sessionization (the
+    hash-green ``sessionize_users`` oracle) + textually identical
+    haversine structure, floored per leg before the BIGINT sum."""
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt("
+        "sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) + "
+        "cos(radians(plat)) * cos(radians(lat)) * "
+        "sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {lat_sql} AS lat, {lon_sql} AS lon
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL
+                   OR es - lag(es) OVER w > {gap_seconds}
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+), legs AS (
+  SELECT user_id, session_id, es,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon, lat, lon
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC)
+), measured AS (
+  SELECT user_id, session_id, es,
+         CASE WHEN plat IS NULL THEN NULL
+              ELSE CAST(floor({hav}) AS BIGINT) END AS leg
+  FROM legs
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(es) - min(es) AS BIGINT) AS dur_s,
+       CAST(coalesce(sum(leg), 0) AS BIGINT) AS dist_m,
+       CAST(coalesce(max(leg), 0) AS BIGINT) AS max_leg_m
+FROM measured GROUP BY user_id, session_id
+"""
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], vals: list[str]
+) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as added / removed /
+    changed between two relation snapshots, dropping unchanged rows.
+
+    Returns ``keys + [change_type] + old_<v>/new_<v>`` for each val
+    column. One full-outer hash join on the key columns — at 100 TB this
+    is the standard incremental-maintenance primitive between two
+    manifest commits (io/catalog.py snapshots); nothing is collected and
+    both sides stream through the join.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("_in_old"),
+        *[F.col(v).alias(f"old_{v}") for v in vals],
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("_in_new"),
+        *[F.col(v).alias(f"new_{v}") for v in vals],
+    )
+    j = o.join(n, keys, "full_outer")
+    same_vals = F.lit(True)  # no val columns → presence-only diff
+    for v in vals:
+        same_vals = same_vals & F.col(f"old_{v}").eqNullSafe(F.col(f"new_{v}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same_vals, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type") != "same")
+        .select(
+            *keys,
+            "change_type",
+            *[c for v in vals for c in (f"old_{v}", f"new_{v}")],
+        )
+    )

@@ -2197,3 +2197,127 @@ def distinct_users_per_tile_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(UF.latlon_to_cell("lat", "lon", 6).alias("cell"))
         .agg(F.countDistinct("user_id").alias("users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch assembly (r5: ops/packing.py) — sequence packing and
+# temperature-balanced domain resampling.
+
+
+def _attach_packing_oracles() -> None:
+    from ult_spark.ops import packing as P
+
+    ORACLES["pack_sequences_b256"] = P.pack_sequences_sql()
+    ORACLES["domain_balance_sqrt"] = P.domain_balance_sql()
+
+
+@q("pack_sequences_b256", None)
+def pack_sequences_b256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing accounting at budget=256,
+    shards=8 (pinned) — per packed sequence: contributing docs, docs that
+    fit whole, and token fill."""
+    from ult_spark.ops.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+@q("domain_balance_sqrt", None)
+def domain_balance_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature source rebalancing with deterministic
+    hash-threshold realization (no rand(); sqrt is IEEE-exact in both
+    engines, so the per-domain rate quantizes identically)."""
+    from ult_spark.ops.packing import domain_balance
+
+    return domain_balance(load(spark, sf_dir, "documents"))
+
+
+_attach_packing_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Session trajectories + snapshot diff (r5: ops/relational.py).
+
+
+def _attach_trip_oracles() -> None:
+    from ult_spark.ops.relational import session_trips_sql
+
+    ORACLES["session_trips_30m"] = session_trips_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL
+    )
+
+
+@q("session_trips_30m", None)
+def session_trips_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session trajectory stats (events sessionized at a 30-minute
+    gap): event count, duration, great-circle path length with per-leg
+    integer-meter floors (order-free sums; sin/cos parity precedent:
+    haversine_to_origin)."""
+    from ult_spark.ops.relational import session_trips
+
+    return session_trips(events_points(spark, sf_dir))
+
+
+_attach_trip_oracles()
+
+_SNAPDIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders WHERE o_orderkey % 7 != 0
+), new AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT)
+           + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS price_c
+  FROM orders WHERE o_orderkey % 5 != 0
+)
+SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       old.price_c AS old_price_c, new.price_c AS new_price_c
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.price_c != new.price_c
+"""
+
+
+@q("snapshot_diff_orders", _SNAPDIFF_SQL)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff between two deterministic snapshots of orders
+    (ops/relational.py snapshot_diff): old = keys % 7 != 0, new =
+    keys % 5 != 0 with a one-cent perturbation on keys % 11 == 0 —
+    exercises added / removed / changed classification in one full-outer
+    hash join."""
+    from ult_spark.ops.relational import snapshot_diff
+
+    orders = load(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", cents("o_totalprice").alias("price_c")
+    )
+    new = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        (
+            cents("o_totalprice")
+            + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("price_c"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["price_c"])
+
+
+@q("decontam_fuzzy", None)
+def decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train-test decontamination (ops/curation.py): MinHash-banded
+    train ⋈ bench candidates + exact shingle-Jaccard verify at the pinned
+    0.2 threshold — catches lightly-edited benchmark rewordings the exact
+    5-gram check (decontam_5gram) misses."""
+    from ult_spark.ops.curation import decontaminate_fuzzy
+
+    return decontaminate_fuzzy(load(spark, sf_dir, "documents"))
+
+
+def _attach_fuzzy_oracle() -> None:
+    from ult_spark.ops.curation import decontaminate_fuzzy_sql
+
+    ORACLES["decontam_fuzzy"] = decontaminate_fuzzy_sql()
+
+
+_attach_fuzzy_oracle()

@@ -381,3 +381,39 @@ def run_backfill(
         checkpoint,
     )
     q.awaitTermination()
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T-family (r5): native session-window sessionization on a stream —
+    the streaming twin of ops/relational.py ``sessionize``/``session_trips``
+    grouping. ``F.session_window`` merges events of ``key`` whose gaps are
+    under ``gap`` into one window (state bounded by the watermark; closed
+    sessions emit exactly once in append mode).
+
+    Boundary semantics (pinned, tested): Spark merges ADJACENT session
+    windows — an event landing exactly ``gap`` after the previous one
+    extends the session — so a new session starts only when the gap
+    EXCEEDS ``gap``, exactly the batch gaps-and-islands rule
+    (ops/relational.py ``sessionize`` with the same ``gap_seconds``).
+
+    Scale shape: session-window aggregation shuffles once by ``key``;
+    per-key state holds only open sessions (merged incrementally), so
+    steady-state memory tracks active keys, not history.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("w"), key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            key,
+            F.unix_timestamp(F.col("w.start")).alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).alias("sess_end"),
+            "n_events",
+        )
+    )
