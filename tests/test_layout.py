@@ -183,6 +183,8 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "session_trips_30m",
         "snapshot_diff_orders",
         "decontam_fuzzy",
+        "ring_simplify_stats",
+        "session_cell_path",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -1,0 +1,60 @@
+"""One-sweep Visvalingam decimation (ops/simplify.py) + session cell
+paths (ops/relational.py): planted-geometry exactness; oracle parity runs
+in tests/test_oracle_contract.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ult_spark.ops.simplify import rings_df, simplify_stats, synth_rings
+
+
+def test_simplify_drops_collinear_midpoints(spark):
+    """A square with midpoints inserted on each edge: midpoints are exactly
+    collinear (triangle area 0 → dropped); corners survive; the shoelace
+    area is unchanged by removing collinear vertices."""
+    xs = [0.0, 5.0, 10.0, 10.0, 10.0, 5.0, 0.0, 0.0]
+    ys = [0.0, 0.0, 0.0, 5.0, 10.0, 10.0, 10.0, 5.0]
+    out = simplify_stats(rings_df(spark, [(1, 0, xs, ys)]), eps_e12=1).collect()[0]
+    assert out.n_orig == 8 and out.n_kept == 4
+    # doubled area 200 deg² → e9-quantized
+    assert out.area2_orig_e9 == out.area2_kept_e9 == 200 * 10**9
+
+
+def test_simplify_anchor_always_kept(spark):
+    """A fully-degenerate (all-collinear) ring keeps only the anchor."""
+    xs = [0.0, 1.0, 2.0, 3.0]
+    ys = [0.0, 1.0, 2.0, 3.0]
+    out = simplify_stats(rings_df(spark, [(1, 0, xs, ys)]), eps_e12=1).collect()[0]
+    assert out.n_kept == 1 and out.area2_kept_e9 == 0
+
+
+def test_simplify_synth_rings_decimate(spark):
+    """The synthetic dense layer: arc vertices drop, jittered ones stay,
+    and the kept area remains within 15% of the original."""
+    rows = synth_rings()
+    for r in simplify_stats(rings_df(spark, rows)).collect():
+        assert r.n_kept < r.n_orig  # something was decimated
+        assert r.n_kept >= r.n_orig // 5  # jittered spikes survive
+        assert abs(r.area2_kept_e9 - r.area2_orig_e9) < 0.15 * abs(r.area2_orig_e9)
+
+
+def test_session_cell_path_planted(spark):
+    """Transitions collapse consecutive repeats and order the path by
+    event time: A A B A → path A-B-A (3 cells)."""
+    from ult_spark.ops.relational import session_cell_path
+
+    rows = [
+        (1, 1, "2026-01-01 00:00:00", 100),
+        (2, 1, "2026-01-01 00:05:00", 100),
+        (3, 1, "2026-01-01 00:10:00", 200),
+        (4, 1, "2026-01-01 00:15:00", 100),
+        # second session (gap > 30 min), single cell
+        (5, 1, "2026-01-01 01:00:00", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, cell long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.session_id: r for r in session_cell_path(df).collect()}
+    assert got[1].n_cells == 3 and got[1].path == "100-200-100"
+    assert got[2].n_cells == 1 and got[2].path == "300"

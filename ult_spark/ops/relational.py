@@ -249,3 +249,45 @@ def snapshot_diff(
             *[c for v in vals for c in (f"old_{v}", f"new_{v}")],
         )
     )
+
+
+def session_cell_path(
+    events: DataFrame,
+    cell_col: str = "cell",
+    gap_seconds: int = 1800,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-session cell trajectory (r5): the ordered sequence of grid
+    cells visited, consecutive repeats collapsed (run-length path) — the
+    cell-index reading of a GPS trace compressor.
+
+    Returns (key, session_id, n_cells, path) where ``path`` joins the
+    visited cell ids with '-'. Determinism: the transition rows are
+    picked by the same (ts, tiebreak) window as sessionization, and the
+    final path is assembled by sorting (epoch, tiebreak, cell) structs —
+    a total order, identical under any partitioning or engine.
+
+    Scale shape: both windows and the final aggregation share the
+    session key partitioning — one shuffle, then row-local array sort
+    (sessions are human-scale; no skew hazard).
+    """
+    s = sessionize(events, key, ts, gap_seconds, tiebreak=tiebreak)
+    w = Window.partitionBy(key, "session_id").orderBy(ts, tiebreak)
+    prev = F.lag(cell_col).over(w)
+    moves = s.withColumn(
+        "_nw", prev.isNull() | (F.col(cell_col) != prev)
+    ).where(F.col("_nw"))
+    entry = F.struct(
+        F.unix_timestamp(F.col(ts)).alias("es"),
+        F.col(tiebreak).alias("tb"),
+        F.col(cell_col).cast("string").alias("c"),
+    )
+    return moves.groupBy(key, "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.concat_ws(
+            "-",
+            F.transform(F.sort_array(F.collect_list(entry)), lambda x: x["c"]),
+        ).alias("path"),
+    )

@@ -2321,3 +2321,64 @@ def _attach_fuzzy_oracle() -> None:
 
 
 _attach_fuzzy_oracle()
+
+
+@q("ring_simplify_stats", None)
+def ring_simplify_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sweep Visvalingam-style vertex decimation (ops/simplify.py)
+    over a deterministic dense synthetic ring layer (the driver's admin
+    layer is 4-6 uniform vertices — nothing to decimate): per ring, kept
+    vertex count and floor-quantized shoelace area before/after."""
+    from ult_spark.ops.simplify import rings_df, simplify_stats, synth_rings
+
+    return simplify_stats(rings_df(spark, synth_rings()))
+
+
+def _attach_simplify_oracle() -> None:
+    from ult_spark.ops.simplify import simplify_stats_sql, synth_rings
+
+    ORACLES["ring_simplify_stats"] = simplify_stats_sql(synth_rings())
+
+
+_attach_simplify_oracle()
+
+
+_CELL_PATH_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {_cell(6)} AS cell
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+), moves AS (
+  SELECT user_id, session_id, es, event_id, CAST(cell AS VARCHAR) AS c,
+         CASE WHEN lag(cell) OVER w2 IS NULL OR cell != lag(cell) OVER w2
+              THEN 1 ELSE 0 END AS nw
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_cells,
+       string_agg(c, '-' ORDER BY es ASC, event_id ASC) AS path
+FROM moves WHERE nw = 1 GROUP BY user_id, session_id
+"""
+
+
+@q("session_cell_path", _CELL_PATH_SQL)
+def session_cell_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length-compressed per-session cell trajectory at L6
+    (ops/relational.py session_cell_path): ordered distinct-consecutive
+    cells joined into a '-' path string — total-order assembled (epoch,
+    event_id, cell), so the string is partitioning/engine-invariant."""
+    from ult_spark.ops.relational import session_cell_path
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "cell", UF.latlon_to_cell("lat", "lon", 6)
+    )
+    return session_cell_path(pts)
