@@ -353,3 +353,39 @@ def test_approx_users_per_tile_bound_at_sf01(spark):
         assert abs(approx[cell] - users) <= max(5, 3 * 0.02 * users), (
             cell, users, approx[cell],
         )
+
+
+def test_approx_percentile_error_bound(spark, sf_correct):
+    """A6 approx twin: Spark's approx_percentile with accuracy=1000 must
+    land within rank-error 1/1000 of the exact order statistics — checked
+    against exact percentiles over the events value column at three
+    probes across three accuracy settings (the KLL/GK-style guarantee is
+    on RANK, not value, so the assertion maps the approx value back to
+    its rank in the sorted data)."""
+    import numpy as np
+
+    vals = np.sort(
+        np.array(
+            [
+                r.value
+                for r in spark.read.parquet(f"{sf_correct}/events.parquet")
+                .select("value")
+                .collect()
+            ]
+        )
+    )
+    n = len(vals)
+    for acc in (100, 1000, 10000):
+        row = (
+            spark.read.parquet(f"{sf_correct}/events.parquet")
+            .agg(
+                F.percentile_approx(
+                    "value", [0.1, 0.5, 0.99], F.lit(acc)
+                ).alias("p")
+            )
+            .collect()[0]
+        )
+        for q, got in zip((0.1, 0.5, 0.99), row.p):
+            # rank of the returned value in the exact sorted data
+            rank = np.searchsorted(vals, got, side="right")
+            assert abs(rank / n - q) <= 1.0 / acc + 1.0 / n, (acc, q)
