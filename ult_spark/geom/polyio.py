@@ -146,6 +146,31 @@ def shifted_layer(
     ]
 
 
+def scaled_layer(
+    polys: list[PackedPolygon] | tuple[PackedPolygon, ...],
+    factor: float = 0.5,
+    id_offset: int = 200,
+) -> list[PackedPolygon]:
+    """Deterministic nested layer for containment operators: every polygon
+    shrunk about its vertex mean by ``factor`` (ids offset). For the
+    star-shaped-about-centroid rings of the driver layer a factor < 1
+    keeps the copy strictly inside the original."""
+    out = []
+    for p in polys:
+        cx, cy = float(p.xs.mean()), float(p.ys.mean())
+        out.append(
+            PackedPolygon(
+                poly_id=p.poly_id + id_offset,
+                name=f"{p.name}_scaled",
+                level=p.level,
+                ring_offsets=p.ring_offsets,
+                xs=cx + (p.xs - cx) * factor,
+                ys=cy + (p.ys - cy) * factor,
+            )
+        )
+    return out
+
+
 def edges_values_sql(polys: list[PackedPolygon]) -> str:
     """Inline all polygon edges as a DuckDB VALUES relation — used by the
     oracle SQL so PIP parity needs no extra table (SURVEY.md §5.5)."""

@@ -64,6 +64,12 @@ def poly_intersect_join(
     index_level: int = DEFAULT_INDEX_LEVEL,
 ) -> DataFrame:
     """All (a_id, b_id) pairs whose polygons intersect (pinned rule above)."""
+    return _refine(*_driver_inputs(spark, layer_a, layer_b, index_level))
+
+
+def _driver_inputs(
+    spark: SparkSession, layer_a, layer_b, index_level: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     ca = _cells_df(spark, layer_a, index_level, "a_id")
     cb = _cells_df(spark, layer_b, index_level, "b_id")
     cand = ca.join(cb, "cell").select("a_id", "b_id").distinct()
@@ -76,7 +82,31 @@ def poly_intersect_join(
     )
     va = spark.createDataFrame(_vertex_rows(layer_a), "a_id long, avx double, avy double")
     vb = spark.createDataFrame(_vertex_rows(layer_b), "b_id long, bvx double, bvy double")
-    return _refine(cand, ea, eb, va, vb)
+    return cand, ea, eb, va, vb
+
+
+def poly_contains_join(
+    spark: SparkSession,
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """ST_Contains as a pair join: (a_id, b_id) where polygon A contains
+    polygon B. Pinned rule for simple polygons, composed from the SAME
+    IEEE-exact predicates as the intersects join (no quantized-area
+    equality anywhere):
+
+      contains(A, B) := A contains B's first vertex (even-odd parity)
+                        AND no proper edge crossing between ∂A and ∂B
+
+    With no proper crossings, a simple polygon is on one side of the
+    other, so one strictly-interior vertex certifies full containment;
+    boundary touching (collinear overlap — cross = 0) stays "contained",
+    the same measure-zero pinning as the intersects rule.
+    """
+    cand, ea, eb, va, vb = _driver_inputs(spark, layer_a, layer_b, index_level)
+    cross_pairs, cont_ab, _ = _refine_sets(cand, ea, eb, va, vb)
+    return cont_ab.join(cross_pairs, ["a_id", "b_id"], "left_anti")
 
 
 def _refine(
@@ -84,6 +114,16 @@ def _refine(
 ) -> DataFrame:
     """Pinned exact refine shared by the driver-layer and DataFrame-layer
     variants: proper edge crossing ∪ vertex containment both ways."""
+    cross_pairs, cont_ab, cont_ba = _refine_sets(cand, ea, eb, va, vb)
+    return cross_pairs.unionByName(cont_ab).unionByName(cont_ba).distinct()
+
+
+def _refine_sets(
+    cand: DataFrame, ea: DataFrame, eb: DataFrame, va: DataFrame, vb: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three exact pair sets (proper crossings, A-contains-B-vertex,
+    B-contains-A-vertex) — intersects unions them; containment differences
+    them."""
     # proper edge crossing: orientation sign tests (0 counts as non-positive)
     d1 = (F.col("bx2") - F.col("bx1")) * (F.col("ay1") - F.col("by1")) - (
         F.col("by2") - F.col("by1")
@@ -125,7 +165,7 @@ def _refine(
 
     cont_ab = _contains(ea, "a_id", vb, "bvx", "bvy", "ax1", "ay1", "ax2", "ay2")
     cont_ba = _contains(eb, "b_id", va, "avx", "avy", "bx1", "by1", "bx2", "by2")
-    return cross_pairs.unionByName(cont_ab).unionByName(cont_ba).distinct()
+    return cross_pairs, cont_ab, cont_ba
 
 
 def poly_intersect_join_df(
@@ -139,6 +179,27 @@ def poly_intersect_join_df(
     shipped py-files + native uncompact), and every join is a shuffle join
     — parcel-scale layers never touch the driver. Refine is the same pinned
     sign-test/containment rule, evaluated per edge-pair row."""
+    return _refine(*_df_inputs(layer_a_df, layer_b_df, index_level))
+
+
+def poly_contains_join_df(
+    layer_a_df: DataFrame,
+    layer_b_df: DataFrame,
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> DataFrame:
+    """Distributed-layer twin of :func:`poly_contains_join` — the same
+    vertex-parity \\ proper-crossing set difference over cluster-built
+    covers and edge rows."""
+    cand, ea, eb, va, vb = _df_inputs(layer_a_df, layer_b_df, index_level)
+    cross_pairs, cont_ab, _ = _refine_sets(cand, ea, eb, va, vb)
+    return cont_ab.join(cross_pairs, ["a_id", "b_id"], "left_anti")
+
+
+def _df_inputs(
+    layer_a_df: DataFrame,
+    layer_b_df: DataFrame,
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     from ult_spark.ops.pip import build_cell_index_df, build_edge_index_df
 
     ca = build_cell_index_df(layer_a_df, index_level).select(
@@ -175,7 +236,7 @@ def poly_intersect_join_df(
         F.col("poly_id").alias("b_id"),
         F.element_at("xs", 1).alias("bvx"), F.element_at("ys", 1).alias("bvy"),
     )
-    return _refine(cand, ea, eb, va, vb)
+    return cand, ea, eb, va, vb
 
 
 # ---------------------------------------------------------------------------
@@ -216,4 +277,50 @@ def poly_intersect_sql(
         "AND avx < (bx2 - bx1) * (avy - by1) / (by2 - by1) + bx1 THEN 1 ELSE 0 END) % 2 = 1) "
         "SELECT DISTINCT a_id, b_id FROM ("
         "SELECT * FROM crossed UNION ALL SELECT * FROM cont_ab UNION ALL SELECT * FROM cont_ba)"
+    )
+
+
+def poly_contains_sql(
+    layer_a: list[PackedPolygon],
+    layer_b: list[PackedPolygon],
+    index_level: int = DEFAULT_INDEX_LEVEL,
+) -> str:
+    """DuckDB mirror of :func:`poly_contains_join` — the cont_ab CTE minus
+    the crossed CTE, identical sign-test fragments as poly_intersect_sql.
+
+    Coordinate literals are cast ::DOUBLE: scaled-layer coordinates carry
+    long mantissas, and DuckDB types bare decimal literals as DECIMAL
+    whose exact products overflow DECIMAL(18) (CLAUDE.md r3 rule — the
+    shifted-layer intersects oracle survives on short literals only)."""
+
+    def _values_d(rows: list[tuple], alias: str, cols: str) -> str:
+        body = ",".join(
+            "("
+            + ",".join(
+                f"{v!r}::DOUBLE" if isinstance(v, float) else repr(v) for v in r
+            )
+            + ")"
+            for r in rows
+        )
+        return f"(VALUES {body}) AS {alias}({cols})"
+
+    ca = _values([(int(c), int(p)) for c, p in _index_rows(layer_a, index_level)], "ca", "cell, a_id")
+    cb = _values([(int(c), int(p)) for c, p in _index_rows(layer_b, index_level)], "cb", "cell, b_id")
+    ea = _values_d(_edge_rows(layer_a), "ea", "a_id, ax1, ay1, ax2, ay2")
+    eb = _values_d(_edge_rows(layer_b), "eb", "b_id, bx1, by1, bx2, by2")
+    vb = _values_d(_vertex_rows(layer_b), "vb", "b_id, bvx, bvy")
+    cross = (
+        "((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1) > 0) "
+        "!= ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1) > 0) "
+        "AND ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1) > 0) "
+        "!= ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1) > 0)"
+    )
+    return (
+        f"WITH cand AS (SELECT DISTINCT a_id, b_id FROM {ca} JOIN {cb} USING (cell)), "
+        f"crossed AS (SELECT a_id, b_id FROM cand JOIN {ea} USING (a_id) JOIN {eb} USING (b_id) "
+        f"GROUP BY 1, 2 HAVING max(CASE WHEN {cross} THEN 1 ELSE 0 END) = 1), "
+        f"cont_ab AS (SELECT a_id, b_id FROM cand JOIN {vb} USING (b_id) JOIN {ea} USING (a_id) "
+        "GROUP BY 1, 2 HAVING sum(CASE WHEN (ay1 > bvy) != (ay2 > bvy) "
+        "AND bvx < (ax2 - ax1) * (bvy - ay1) / (ay2 - ay1) + ax1 THEN 1 ELSE 0 END) % 2 = 1) "
+        "SELECT a_id, b_id FROM cont_ab EXCEPT SELECT a_id, b_id FROM crossed"
     )

@@ -2382,3 +2382,27 @@ def session_cell_path_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", UF.latlon_to_cell("lat", "lon", 6)
     )
     return session_cell_path(pts)
+
+
+@q("poly_contains", None)
+def poly_contains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains pair join (ops/polyjoin.py poly_contains_join): the
+    admin layer vs a 0.5-scaled nested copy — vertex-parity containment
+    minus proper-crossing pairs, all IEEE-exact sign tests (no quantized
+    area equality)."""
+    from ult_spark.geom.polyio import default_layer, scaled_layer
+    from ult_spark.ops.polyjoin import poly_contains_join
+
+    a = list(default_layer())
+    return poly_contains_join(spark, a, scaled_layer(a, 0.5))
+
+
+def _attach_contains_oracle() -> None:
+    from ult_spark.geom.polyio import default_layer, scaled_layer
+    from ult_spark.ops.polyjoin import poly_contains_sql
+
+    a = list(default_layer())
+    ORACLES["poly_contains"] = poly_contains_sql(a, scaled_layer(a, 0.5))
+
+
+_attach_contains_oracle()
