@@ -186,6 +186,7 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "ring_simplify_stats",
         "session_cell_path",
         "poly_contains",
+        "gapfill_lerp",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -214,3 +214,29 @@ def test_snapshot_diff_null_safe_values(spark):
     new = spark.createDataFrame([(1, None), (2, None), (3, 7)], "k long, v long")
     got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {2: "changed", 3: "changed"}
+
+
+def test_time_bucket_interpolate_planted(spark):
+    """Gaps lie on the straight line between observations; observed
+    buckets are exact; endpoints carry their own values."""
+    from ult_spark.ops.relational import time_bucket_interpolate
+
+    # type 'a': 3 events at hour H, 1 at H+3 → gaps at H+1, H+2 on the
+    # line 3 → 1 (slope -2/3): lerp(H+1) = 3 - 2/3 ≈ 2.333333
+    rows = [
+        (1, "a", "2026-01-01 00:10:00"),
+        (2, "a", "2026-01-01 00:20:00"),
+        (3, "a", "2026-01-01 00:30:00"),
+        (4, "a", "2026-01-01 03:30:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.bucket: r for r in time_bucket_interpolate(df).collect()}
+    buckets = sorted(got)
+    assert len(buckets) == 4
+    h = buckets[0]
+    assert got[h].cnt == 3 and got[h].lerp_e6 == 3_000_000
+    assert got[h + 3].cnt == 1 and got[h + 3].lerp_e6 == 1_000_000
+    assert got[h + 1].cnt == 0 and got[h + 1].lerp_e6 == 2_333_333
+    assert got[h + 2].cnt == 0 and got[h + 2].lerp_e6 == 1_666_666

@@ -291,3 +291,90 @@ def session_cell_path(
             F.transform(F.sort_array(F.collect_list(entry)), lambda x: x["c"]),
         ).alias("path"),
     )
+
+
+def time_bucket_interpolate(
+    df: DataFrame,
+    key: str = "event_type",
+    ts: str = "ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Gap-filled rollup with LINEAR interpolation (r5 — the TimescaleDB
+    ``interpolate()`` companion to :func:`time_bucket_gapfill`'s locf):
+    per (key, bucket) over the same per-key dense axis, observed buckets
+    carry their exact count and missing buckets the straight line between
+    the surrounding observations, e6-floor-quantized.
+
+    Exactness: the lerp is one subtraction/multiply/divide chain over
+    integer-derived doubles with the same textual structure in both
+    engines, floored BEFORE output; observed rows bypass the float path
+    entirely (cnt × 1e6 exactly). The axis spans [min, max] per key, so
+    every gap has both neighbors.
+
+    Scale shape: identical to gapfill — one input-sized groupBy shuffle,
+    a tiny span agg, a per-key explode, and two frames over one sort.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_s)).cast("long")
+    obs = df.groupBy(F.col(key).alias("k"), b.alias("bucket")).agg(
+        F.count("*").alias("_cnt")
+    )
+    span = obs.groupBy("k").agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    axis = span.select(
+        "k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket")
+    )
+    filled = axis.join(obs, ["k", "bucket"], "left")
+    w_up = Window.partitionBy("k").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_dn = Window.partitionBy("k").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    ob = F.when(F.col("_cnt").isNotNull(), F.col("bucket"))
+    pv = F.last("_cnt", ignorenulls=True).over(w_up)
+    pb = F.last(ob, ignorenulls=True).over(w_up)
+    nv = F.first("_cnt", ignorenulls=True).over(w_dn)
+    nb = F.first(ob, ignorenulls=True).over(w_dn)
+    lerp = (
+        pv.cast("double")
+        + (nv - pv).cast("double")
+        * (F.col("bucket") - pb).cast("double")
+        / (nb - pb).cast("double")
+    ) * F.lit(1000000.0)
+    return filled.select(
+        F.col("k").alias(key),
+        "bucket",
+        F.coalesce("_cnt", F.lit(0)).cast("long").alias("cnt"),
+        F.when(F.col("_cnt").isNotNull(), F.col("_cnt") * F.lit(1000000))
+        .otherwise(F.floor(lerp))
+        .cast("long")
+        .alias("lerp_e6"),
+    )
+
+
+def time_bucket_interpolate_sql(key: str = "event_type", bucket_s: int = 3600) -> str:
+    """DuckDB mirror: same axis, same two IGNORE NULLS frames, textually
+    identical lerp structure, floored before output."""
+    lerp = (
+        "(CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) "
+        "* CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) * 1000000.0"
+    )
+    return (
+        "WITH obs AS (SELECT "
+        f"{key} AS k, CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / {bucket_s}) AS BIGINT) AS bucket, "
+        "count(*) AS _cnt FROM events GROUP BY 1, 2), "
+        "span AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1), "
+        "axis AS (SELECT k, unnest(generate_series(lo, hi)) AS bucket FROM span), "
+        "filled AS (SELECT a.k, a.bucket, _cnt FROM axis a LEFT JOIN obs USING (k, bucket)), "
+        "frames AS (SELECT k, bucket, _cnt, "
+        "last_value(_cnt IGNORE NULLS) OVER wu AS pv, "
+        "last_value(CASE WHEN _cnt IS NOT NULL THEN bucket END IGNORE NULLS) OVER wu AS pb, "
+        "first_value(_cnt IGNORE NULLS) OVER wd AS nv, "
+        "first_value(CASE WHEN _cnt IS NOT NULL THEN bucket END IGNORE NULLS) OVER wd AS nb "
+        "FROM filled "
+        "WINDOW wu AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+        "wd AS (PARTITION BY k ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+        f"SELECT k AS {key}, bucket, CAST(coalesce(_cnt, 0) AS BIGINT) AS cnt, "
+        "CAST(CASE WHEN _cnt IS NOT NULL THEN _cnt * 1000000 "
+        f"ELSE CAST(floor({lerp}) AS BIGINT) END AS BIGINT) AS lerp_e6 "
+        "FROM frames"
+    )

@@ -2406,3 +2406,23 @@ def _attach_contains_oracle() -> None:
 
 
 _attach_contains_oracle()
+
+
+@q("gapfill_lerp", None)
+def gapfill_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup with LINEAR interpolation (r5 — the
+    TimescaleDB interpolate() companion to gapfill_hourly's locf):
+    observed buckets exact, gaps on the e6-floored straight line between
+    surrounding observations (ops/relational.py time_bucket_interpolate)."""
+    from ult_spark.ops.relational import time_bucket_interpolate
+
+    return time_bucket_interpolate(load(spark, sf_dir, "events"))
+
+
+def _attach_lerp_oracle() -> None:
+    from ult_spark.ops.relational import time_bucket_interpolate_sql
+
+    ORACLES["gapfill_lerp"] = time_bucket_interpolate_sql()
+
+
+_attach_lerp_oracle()
