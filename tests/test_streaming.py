@@ -598,3 +598,59 @@ def test_session_window_counts_equals_batch_sessionize(spark, tmp_path, sf_smoke
     assert sessionize(planted, "user_id", "ts", 1799).agg(
         F.max("session_id")
     ).collect()[0][0] == 2
+
+
+def test_stream_session_trips_equals_batch_closed_sessions(spark, tmp_path, sf_smoke):
+    """r5 stream_session_trips ≡ batch session_trips for every CLOSED
+    session (a session closes when the next event of its user arrives;
+    each user's final session stays open in state — pinned contract).
+    Run twice over a chronological split to exercise checkpointed state
+    across batches, including sessions that SPAN the split."""
+    from ult_spark.ops.relational import session_trips
+    from ult_spark.querydefs import events_points
+    from ult_spark.streaming import stream_session_trips
+
+    pts = events_points(spark, sf_smoke).select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("es"), "lat", "lon", "ts",
+    )
+    cut = pts.agg(F.expr("percentile_approx(es, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "trips_src")
+    pts.where(F.col("es") <= cut).drop("ts").write.mode("append").parquet(src)
+
+    batches = []
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, es long, lat double, lon double"
+        ).parquet(src)
+        q = (
+            stream_session_trips(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+            .option("checkpointLocation", str(tmp_path / "trips_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    pts.where(F.col("es") > cut).drop("ts").write.mode("append").parquet(src)
+    run_once()
+    got = pd.concat([b for b in batches if len(b)], ignore_index=True)
+    stream_set = {
+        tuple(int(r[c]) for c in ("user_id", "session_id", "n_events",
+                                  "dur_s", "dist_m", "max_leg_m"))
+        for _, r in got.iterrows()
+    }
+
+    batch = session_trips(events_points(spark, sf_smoke)).collect()
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, 0), r.session_id)
+    expect = {
+        (r.user_id, r.session_id, r.n_events, r.dur_s, r.dist_m, r.max_leg_m)
+        for r in batch
+        if r.session_id != last[r.user_id]
+    }
+    assert stream_set == expect and len(expect) > 0

@@ -417,3 +417,89 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Stateful incremental session trajectories (r5): the streaming twin
+    of ops/relational.py ``session_trips`` as a CUSTOM stateful operator
+    (``applyInPandasWithState``) — per-user state carries the open
+    session (counts, last fix, accumulated floored-leg distance), and a
+    session EMITS exactly once, when it closes (the next event of that
+    user arrives more than ``gap_seconds`` later). The open tail session
+    stays in state across batches/restarts (checkpointed).
+
+    Input columns: user_id, event_id, es (epoch seconds, precompute with
+    unix_timestamp — native side), lat, lon. Precondition (documented):
+    per-key event-time arrival order across batches — true of
+    chronological file/commit ingest; out-of-order feeds need a
+    watermark + reorder stage in front. Session ids and all stats match
+    the batch operator for every closed session (equivalence-tested);
+    per CLAUDE.md the pandas closure is self-contained (math/pandas
+    only, haversine inlined with the same formula structure, floor per
+    leg before the integer sum).
+
+    Scale shape: one shuffle keyed by user; state is O(active users) ×
+    one open session row — no history accumulates.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_id long, n_events long, dur_s long, "
+        "dist_m long, max_leg_m long"
+    )
+    state_schema = (
+        "sess long, first_es long, last_es long, last_lat double, "
+        "last_lon double, n long, dist long, maxleg long"
+    )
+    gap = int(gap_seconds)
+
+    def fn(key, pdfs, state):
+        import math
+
+        import pandas as _pd
+
+        def leg_m(lat1, lon1, lat2, lon2):
+            dlat = math.radians(lat2 - lat1) / 2.0
+            dlon = math.radians(lon2 - lon1) / 2.0
+            a = (
+                math.sin(dlat) * math.sin(dlat)
+                + math.cos(math.radians(lat1))
+                * math.cos(math.radians(lat2))
+                * math.sin(dlon)
+                * math.sin(dlon)
+            )
+            return math.floor(2.0 * 6371008.8 * math.asin(math.sqrt(a)))
+
+        if state.exists:
+            sess, first_es, last_es, last_lat, last_lon, n, dist, maxleg = state.get
+        else:
+            sess, first_es, last_es, last_lat, last_lon, n, dist, maxleg = (
+                0, 0, 0, 0.0, 0.0, 0, 0, 0
+            )
+        closed = []
+        rows = _pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["es", "event_id"])
+        for es, lat, lon in zip(rows["es"], rows["lat"], rows["lon"]):
+            es, lat, lon = int(es), float(lat), float(lon)
+            if n == 0:
+                sess, first_es, n = sess + 1, es, 1
+                dist = maxleg = 0
+            elif es - last_es > gap:
+                closed.append((key[0], sess, n, last_es - first_es, dist, maxleg))
+                sess, first_es, n = sess + 1, es, 1
+                dist = maxleg = 0
+            else:
+                lg = leg_m(last_lat, last_lon, lat, lon)
+                dist, maxleg, n = dist + lg, max(maxleg, lg), n + 1
+            last_es, last_lat, last_lon = es, lat, lon
+        state.update((sess, first_es, last_es, last_lat, last_lon, n, dist, maxleg))
+        yield _pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_id", "n_events", "dur_s", "dist_m", "max_leg_m",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
