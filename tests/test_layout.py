@@ -187,6 +187,7 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "session_cell_path",
         "poly_contains",
         "gapfill_lerp",
+        "raster_bilinear_events",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

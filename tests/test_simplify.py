@@ -58,3 +58,30 @@ def test_session_cell_path_planted(spark):
     got = {r.session_id: r for r in session_cell_path(df).collect()}
     assert got[1].n_cells == 3 and got[1].path == "100-200-100"
     assert got[2].n_cells == 1 and got[2].path == "300"
+
+
+def test_raster_bilinear_planted(spark):
+    """Known 2x2 neighborhood: the sample interpolates exactly; a corner
+    point at a pixel center returns that pixel's value."""
+    from ult_spark.geom.raster import GeoRef
+    from ult_spark.ops.zonal import raster_bilinear
+
+    ref = GeoRef(origin_lat=0.0, origin_lon=0.0, cell_deg=1.0, nrows=2, ncols=2)
+    raster = spark.createDataFrame(
+        [(0, 0, 10.0), (0, 1, 20.0), (1, 0, 30.0), (1, 1, 40.0)],
+        "row int, col int, value double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),   # pixel (0,0) center → 10
+            (2, 1.0, 1.0),   # grid middle → mean 25
+            (3, 0.5, 1.25),  # row 0, 3/4 toward col 1 → 10*(0.25)+20*(0.75)=17.5
+            (4, -5.0, -5.0), # far outside → clamps to pixel (0,0) → 10
+        ],
+        "event_id long, lat double, lon double",
+    )
+    got = {r.event_id: r.val_e6 for r in raster_bilinear(pts, raster, ref).collect()}
+    assert got[1] == 10_000_000
+    assert got[2] == 25_000_000
+    assert got[3] == 17_500_000
+    assert got[4] == 10_000_000

@@ -318,3 +318,107 @@ def zonal_weighted_sql(
         "UNION ALL SELECT a_id, b_id, area_e6 FROM far) "
         "JOIN pxr USING (b_id) GROUP BY 1"
     )
+
+
+def raster_bilinear(
+    points: DataFrame,
+    raster: DataFrame,
+    ref: GeoRef = PINNED_GEOREF,
+    id_col: str = "event_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    value: str = "value",
+) -> DataFrame:
+    """Bilinear raster sampling at point locations (r5 — completes the
+    raster↔vector family: center-assigned zonal, area-weighted zonal, and
+    now interpolated POINT sampling, the ST_Value(bilinear) shape).
+
+    Pinned semantics: continuous pixel coordinates are
+    ``f = (coord - origin)/cell - 0.5`` (pixel centers at half-integers);
+    the base corner clamps to the grid interior (edge-extend for points
+    outside), and the sample is the 4-corner weighted sum with each term
+    FLOOR-QUANTIZED at e6 before the integer sum (order-free per
+    CLAUDE.md — a float sum over a hash-aggregated group has no pinned
+    order). Returns (id, val_e6).
+
+    Scale shape: each point explodes to exactly 4 corner keys and
+    equi-joins the raster on (row, col) — at production raster sizes this
+    is a plain shuffle join keyed by pixel, then one point-keyed
+    aggregation; no window, nothing quadratic.
+    """
+    fy = (F.col(lat) - F.lit(ref.origin_lat)) / F.lit(ref.cell_deg) - F.lit(0.5)
+    fx = (F.col(lon) - F.lit(ref.origin_lon)) / F.lit(ref.cell_deg) - F.lit(0.5)
+    r0 = F.least(
+        F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit(ref.nrows - 2)
+    )
+    c0 = F.least(
+        F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit(ref.ncols - 2)
+    )
+    wy = F.least(F.greatest(fy - r0, F.lit(0.0)), F.lit(1.0))
+    wx = F.least(F.greatest(fx - c0, F.lit(0.0)), F.lit(1.0))
+    corners = points.select(
+        F.col(id_col).alias("_id"),
+        r0.alias("_r0"),
+        c0.alias("_c0"),
+        wy.alias("_wy"),
+        wx.alias("_wx"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dr"), F.lit(0).alias("dc")),
+                F.struct(F.lit(0).alias("dr"), F.lit(1).alias("dc")),
+                F.struct(F.lit(1).alias("dr"), F.lit(0).alias("dc")),
+                F.struct(F.lit(1).alias("dr"), F.lit(1).alias("dc")),
+            )
+        ).alias("_d"),
+    ).select(
+        "_id",
+        (F.col("_r0") + F.col("_d.dr")).alias("row"),
+        (F.col("_c0") + F.col("_d.dc")).alias("col"),
+        (
+            F.when(F.col("_d.dr") == 0, F.lit(1.0) - F.col("_wy")).otherwise(F.col("_wy"))
+            * F.when(F.col("_d.dc") == 0, F.lit(1.0) - F.col("_wx")).otherwise(F.col("_wx"))
+        ).alias("_w"),
+    )
+    return (
+        corners.join(raster.select("row", "col", value), ["row", "col"])
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.floor(F.col("_w") * F.col(value) * F.lit(1000000.0)).cast("long")
+            )
+            .cast("long")
+            .alias("val_e6")
+        )
+        .select(F.col("_id").alias(id_col), "val_e6")
+    )
+
+
+def raster_bilinear_sql(
+    ref: GeoRef = PINNED_GEOREF, lat_sql: str = "lat", lon_sql: str = "lon"
+) -> str:
+    """DuckDB mirror over the events view + the synthesized raster —
+    identical continuous-coordinate structure, clamps, per-corner floors."""
+    from ult_spark.geom.raster import raster_sql
+
+    fy = f"(({lat_sql}) - {ref.origin_lat!r}::DOUBLE) / {ref.cell_deg!r}::DOUBLE - 0.5::DOUBLE"
+    fx = f"(({lon_sql}) - {ref.origin_lon!r}::DOUBLE) / {ref.cell_deg!r}::DOUBLE - 0.5::DOUBLE"
+    return (
+        f"WITH raster AS ({raster_sql(ref)}), "
+        f"pts AS (SELECT event_id, {fy} AS fy, {fx} AS fx FROM events), "
+        "base AS (SELECT event_id, fy, fx, "
+        f"least(greatest(CAST(floor(fy) AS INT), 0), {ref.nrows - 2}) AS r0, "
+        f"least(greatest(CAST(floor(fx) AS INT), 0), {ref.ncols - 2}) AS c0 "
+        "FROM pts), "
+        "w AS (SELECT event_id, r0, c0, "
+        "least(greatest(fy - r0, 0.0::DOUBLE), 1.0::DOUBLE) AS wy, "
+        "least(greatest(fx - c0, 0.0::DOUBLE), 1.0::DOUBLE) AS wx "
+        "FROM base), "
+        "corners AS (SELECT event_id, r0 + d.dr AS row, c0 + d.dc AS col, "
+        "(CASE WHEN d.dr = 0 THEN 1.0::DOUBLE - wy ELSE wy END) * "
+        "(CASE WHEN d.dc = 0 THEN 1.0::DOUBLE - wx ELSE wx END) AS w "
+        "FROM w CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(dr, dc)) "
+        "SELECT c.event_id, CAST(sum(CAST(floor(c.w * r.value * 1000000.0::DOUBLE) "
+        "AS BIGINT)) AS BIGINT) AS val_e6 "
+        "FROM corners c JOIN raster r ON c.row = r.row AND c.col = r.col "
+        "GROUP BY c.event_id"
+    )

@@ -2426,3 +2426,26 @@ def _attach_lerp_oracle() -> None:
 
 
 _attach_lerp_oracle()
+
+
+@q("raster_bilinear_events", None)
+def raster_bilinear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear raster sampling at event points (r5, ops/zonal.py
+    raster_bilinear — the ST_Value(bilinear) shape): 4-corner explode +
+    pixel equi-join + per-corner e6 floors before the integer sum;
+    points outside the grid interior edge-extend (clamp, pinned)."""
+    from ult_spark.geom.raster import synth_raster
+    from ult_spark.ops.zonal import raster_bilinear
+
+    return raster_bilinear(events_points(spark, sf_dir), synth_raster(spark))
+
+
+def _attach_bilinear_oracle() -> None:
+    from ult_spark.ops.zonal import raster_bilinear_sql
+
+    ORACLES["raster_bilinear_events"] = raster_bilinear_sql(
+        lat_sql=UF.EVENT_LAT_SQL, lon_sql=UF.EVENT_LON_SQL
+    )
+
+
+_attach_bilinear_oracle()
