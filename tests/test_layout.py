@@ -188,6 +188,8 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "poly_contains",
         "gapfill_lerp",
         "raster_bilinear_events",
+        "od_matrix_l4",
+        "user_retention_daily",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -2449,3 +2449,94 @@ def _attach_bilinear_oracle() -> None:
 
 
 _attach_bilinear_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Mobility / product-analytics compositions (r5): OD matrix + retention.
+
+_OD_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {_cell(4)} AS cell
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+), od AS (
+  SELECT DISTINCT user_id, session_id,
+         first_value(cell) OVER w2 AS o,
+         last_value(cell) OVER w2 AS d
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o, d, CAST(count(*) AS BIGINT) AS trips,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM od GROUP BY o, d
+"""
+
+
+@q("od_matrix_l4", _OD_SQL)
+def od_matrix_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix at L4 (r5): per session, the first and
+    last visited cell; per (o, d), trip and distinct-user counts — the
+    standard mobility-flow product over the sessionize kernel. One
+    user-keyed sort feeds sessionization and both frame extremes."""
+    from ult_spark.ops.relational import sessionize
+
+    pts = events_points(spark, sf_dir).withColumn(
+        "cell", UF.latlon_to_cell("lat", "lon", 4)
+    )
+    s = sessionize(pts, "user_id", "ts", 1800, tiebreak="event_id")
+    w2 = (
+        Window.partitionBy("user_id", "session_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    od = s.select(
+        "user_id",
+        "session_id",
+        F.first("cell").over(w2).alias("o"),
+        F.last("cell").over(w2).alias("d"),
+    ).distinct()
+    return od.groupBy("o", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("trips"),
+        F.countDistinct("user_id").cast("long").alias("users"),
+    )
+
+
+_RETENTION_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM acts a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY c.cohort_day, a.day - c.cohort_day
+"""
+
+
+@q("user_retention_daily", _RETENTION_SQL)
+def user_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (r5): users bucketed by first-active day,
+    distinct active users per (cohort_day, day_offset) — integer day
+    buckets, two aggregations, one broadcast-able cohort join."""
+    ev = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(86400)).cast("long")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(cohorts, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
