@@ -210,3 +210,30 @@ def test_decontaminate_fuzzy_planted(spark):
     assert got[t1].contaminated == 1 and got[t1].n_hits == 1
     assert got[t1].best_jacc_e4 >= 2000
     assert got[t2].contaminated == 0 and got[t2].best_jacc_e4 == 0
+
+
+def test_token_entropy_planted(spark):
+    """Uniform tokens → ln(k) nats; constant token → 0; repetitive docs
+    score strictly below diverse docs of the same length."""
+    import math
+
+    from ult_spark.querydefs import QUERIES
+    import tempfile, os
+    import pandas as pd
+
+    rows = [
+        (1, "a b c d"),              # uniform over 4 → ln(4)
+        (2, "x x x x x x"),          # constant → 0
+        (3, "a a a b"),              # skewed
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        got = {r.doc_id: r for r in QUERIES["token_entropy"](spark, d).collect()}
+    assert got[2].entropy_e9 == 0 and got[2].n_distinct == 1
+    # per-term floors: 4 × floor(0.25·ln4·1e9) — within 4 ulps of ln(4)·1e9
+    assert abs(got[1].entropy_e9 - math.log(4) * 1e9) <= 4
+    skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) * 1e9
+    assert abs(got[3].entropy_e9 - skew) <= 2
+    assert got[3].entropy_e9 < got[1].entropy_e9

@@ -190,6 +190,7 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "raster_bilinear_events",
         "od_matrix_l4",
         "user_retention_daily",
+        "token_entropy",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -2540,3 +2540,51 @@ def user_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM counts GROUP BY 1
+)
+SELECT c.doc_id, t.n AS n_tok, t.n_distinct,
+       CAST(sum(CAST(floor(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * 1000000000.0::DOUBLE) AS BIGINT)) AS BIGINT) AS entropy_e9
+FROM counts c JOIN totals t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n, t.n_distinct
+"""
+
+
+@q("token_entropy", _ENTROPY_SQL)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (r5 — the
+    repetitiveness/spam signal complementing the Gopher n-gram rules):
+    -Σ p·ln p with each term e9-floor-quantized BEFORE the integer sum
+    (order-free; ln cross-engine parity precedent: the hash-green tfidf
+    idf). Also emits token and distinct-token counts. One explode +
+    two doc-keyed aggregations — scan-shaped at any corpus size."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tok").cast("double")
+    term = F.floor(-p * F.log(p) * F.lit(1000000000.0)).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id", "n_tok", "n_distinct")
+        .agg(F.sum(term).cast("long").alias("entropy_e9"))
+        .select("doc_id", "n_tok", "n_distinct", "entropy_e9")
+    )
