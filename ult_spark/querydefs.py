@@ -2588,3 +2588,139 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).cast("long").alias("entropy_e9"))
         .select("doc_id", "n_tok", "n_distinct", "entropy_e9")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory cleaning + geofence dwell (r5).
+
+_SPEED_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+), legs AS (
+  SELECT user_id, session_id, es - lag(es) OVER w2 AS dt,
+         lag(lat) OVER w2 AS plat, lag(lon) OVER w2 AS plon, lat, lon
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC)
+), speeds AS (
+  SELECT user_id, session_id,
+         (CAST(floor(2.0 * 6371008.8 * asin(sqrt(
+            sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) +
+            cos(radians(plat)) * cos(radians(lat)) *
+            sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)))) AS BIGINT)
+          * 1000) // dt AS speed_e3
+  FROM legs WHERE plat IS NOT NULL AND dt > 0
+)
+SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_legs,
+       CAST(max(speed_e3) AS BIGINT) AS max_speed_e3,
+       CAST(sum(CASE WHEN speed_e3 > 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_teleport
+FROM speeds GROUP BY user_id, session_id
+"""
+
+
+@q("session_speed_stats", _SPEED_SQL)
+def session_speed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session leg-speed stats (r5 — the GPS-cleaning signal): legs
+    within a session (dt > 0), integer speed = (floored-leg-m × 1000)
+    div dt — all-integer arithmetic after the leg floor, so exact on any
+    engine — with max speed and a >50 m/s teleport-leg count (the
+    implausible-jump flag a trajectory pipeline filters on)."""
+    from ult_spark.ops.relational import sessionize
+
+    s = sessionize(events_points(spark, sf_dir), "user_id", "ts", 1800, tiebreak="event_id")
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp(F.col("ts"))
+    dt = es - F.lag(es).over(w2)
+    leg = F.floor(
+        UF.haversine_m(F.lag("lat").over(w2), F.lag("lon").over(w2), F.col("lat"), F.col("lon"))
+    ).cast("long")
+    legs = s.select(
+        "user_id", "session_id", dt.alias("dt"), leg.alias("leg")
+    ).where(F.col("leg").isNotNull() & (F.col("dt") > 0))
+    speed = F.expr("(leg * 1000) div dt")
+    return (
+        legs.select("user_id", "session_id", speed.alias("speed_e3"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+            F.max("speed_e3").cast("long").alias("max_speed_e3"),
+            F.sum((F.col("speed_e3") > 50000).cast("long")).cast("long").alias("n_teleport"),
+        )
+    )
+
+
+def _dwell_oracle() -> str:
+    from ult_spark.geom.polyio import default_layer, edges_values_sql
+
+    edges = edges_values_sql(list(default_layer()))
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {UF.EVENT_LAT_SQL} AS py, {UF.EVENT_LON_SQL} AS px
+  FROM events
+), hits AS (
+  SELECT event_id, poly_id FROM pts, {edges}
+  GROUP BY event_id, poly_id
+  HAVING sum(CASE WHEN (ey1 > py) != (ey2 > py)
+             AND px < (ex2 - ex1) * (py - ey1) / (ey2 - ey1) + ex1
+             THEN 1 ELSE 0 END) % 2 = 1
+), pairs AS (
+  SELECT user_id, lag(event_id) OVER w AS prev_id, event_id AS cur_id,
+         es - lag(es) OVER w AS dt
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT p.user_id, h1.poly_id, CAST(sum(p.dt) AS BIGINT) AS dwell_s,
+       CAST(count(*) AS BIGINT) AS n_legs
+FROM pairs p
+JOIN hits h1 ON p.prev_id = h1.event_id
+JOIN hits h2 ON p.cur_id = h2.event_id AND h1.poly_id = h2.poly_id
+WHERE p.prev_id IS NOT NULL AND p.dt <= 86400
+GROUP BY p.user_id, h1.poly_id
+"""
+
+
+@q("dwell_time_by_poly", _dwell_oracle())
+def dwell_time_by_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence dwell time (r5): per (user, polygon), the summed time of
+    overall-consecutive event pairs with BOTH endpoints inside the
+    polygon and the gap within one day (86,400 s pinned — the driver
+    events are temporally sparse, so a session-scale cap would leave
+    almost no qualifying pairs; a longer gap means the user was away). Uses the exact PIP hit set
+    (the hash-green pip_join kernel); the pair→hits joins are event-id
+    equi-joins, so the plan is two hash joins + one aggregation at any
+    scale."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.ops.pip import pip_join
+
+    pts = events_points(spark, sf_dir)
+    hits = pip_join(pts, list(default_layer())).select("event_id", "poly_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp(F.col("ts"))
+    pairs = pts.select(
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.col("event_id").alias("cur_id"),
+        (es - F.lag(es).over(w)).alias("dt"),
+    ).where(F.col("prev_id").isNotNull() & (F.col("dt") <= 86400))
+    h1 = hits.select(F.col("event_id").alias("prev_id"), "poly_id")
+    h2 = hits.select(F.col("event_id").alias("cur_id"), "poly_id")
+    return (
+        pairs.join(h1, "prev_id")
+        .join(h2, ["cur_id", "poly_id"])
+        .groupBy("user_id", "poly_id")
+        .agg(
+            F.sum("dt").cast("long").alias("dwell_s"),
+            F.count(F.lit(1)).cast("long").alias("n_legs"),
+        )
+    )
