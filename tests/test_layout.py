@@ -193,6 +193,8 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "token_entropy",
         "session_speed_stats",
         "dwell_time_by_poly",
+        "session_sinuosity",
+        "curation_funnel",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -2724,3 +2724,161 @@ def dwell_time_by_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_legs"),
         )
     )
+
+
+_SINUOSITY_SQL = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         {UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+), legs AS (
+  SELECT user_id, session_id,
+         lag(lat) OVER w2 AS plat, lag(lon) OVER w2 AS plon, lat, lon,
+         first_value(lat) OVER w3 AS olat, first_value(lon) OVER w3 AS olon,
+         last_value(lat) OVER w3 AS dlat, last_value(lon) OVER w3 AS dlon
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC),
+         w3 AS (PARTITION BY user_id, session_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), per AS (
+  SELECT user_id, session_id,
+         CAST(coalesce(sum(CASE WHEN plat IS NULL THEN NULL ELSE
+           CAST(floor(2.0 * 6371008.8 * asin(sqrt(
+             sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2) +
+             cos(radians(plat)) * cos(radians(lat)) *
+             sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)))) AS BIGINT)
+           END), 0) AS BIGINT) AS dist_m,
+         CAST(floor(2.0 * 6371008.8 * asin(sqrt(
+             sin(radians(any_value(dlat) - any_value(olat)) / 2) * sin(radians(any_value(dlat) - any_value(olat)) / 2) +
+             cos(radians(any_value(olat))) * cos(radians(any_value(dlat))) *
+             sin(radians(any_value(dlon) - any_value(olon)) / 2) * sin(radians(any_value(dlon) - any_value(olon)) / 2)))) AS BIGINT) AS od_m
+  FROM legs GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, dist_m, od_m,
+       CAST(CASE WHEN od_m > 0 THEN (dist_m * 1000) // od_m ELSE NULL END AS BIGINT)
+         AS sinuosity_e3
+FROM per
+"""
+
+
+@q("session_sinuosity", _SINUOSITY_SQL)
+def session_sinuosity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session sinuosity (r5): path length over straight-line
+    origin→destination distance, all-integer (dist_m × 1000) div od_m
+    after per-leg and od floors (NULL for zero od — loops/stationary).
+    The standard trajectory-tortuosity diagnostic."""
+    from ult_spark.ops.relational import sessionize
+
+    s = sessionize(events_points(spark, sf_dir), "user_id", "ts", 1800, tiebreak="event_id")
+    w2 = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    w3 = w2.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    leg = F.floor(
+        UF.haversine_m(F.lag("lat").over(w2), F.lag("lon").over(w2), F.col("lat"), F.col("lon"))
+    ).cast("long")
+    withod = s.select(
+        "user_id", "session_id", leg.alias("_leg"),
+        F.first("lat").over(w3).alias("olat"), F.first("lon").over(w3).alias("olon"),
+        F.last("lat").over(w3).alias("dlat"), F.last("lon").over(w3).alias("dlon"),
+    )
+    per = withod.groupBy("user_id", "session_id").agg(
+        F.coalesce(F.sum("_leg"), F.lit(0)).cast("long").alias("dist_m"),
+        F.floor(
+            UF.haversine_m(
+                F.any_value("olat"), F.any_value("olon"),
+                F.any_value("dlat"), F.any_value("dlon"),
+            )
+        ).cast("long").alias("od_m"),
+    )
+    return per.select(
+        "user_id", "session_id", "dist_m", "od_m",
+        F.when(F.col("od_m") > 0, F.expr("(dist_m * 1000) div od_m"))
+        .cast("long").alias("sinuosity_e3"),
+    )
+
+
+def _funnel_oracle() -> str:
+    from ult_spark.ops import curation as C
+    from ult_spark.ops import packing as P
+
+    h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':bal'), 1, 14))::BIGINT % 1000000"
+    return (
+        f"WITH g AS ({C.GOPHER_SQL}), "
+        f"dec AS ({C.decontaminate_sql()}), "
+        f"bal AS ({P.domain_balance_sql()}), "
+        "dd AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) "
+        "THEN 1 ELSE 0 END AS ded FROM documents), "
+        f"base AS (SELECT doc_id, source, {h} AS kh FROM documents) "
+        "SELECT b.source AS domain, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(g.keep) AS BIGINT) AS n_rep, "
+        "CAST(sum(g.keep * dd.ded) AS BIGINT) AS n_dedup, "
+        "CAST(sum(g.keep * dd.ded * coalesce(1 - dec.contaminated, 0)) AS BIGINT) AS n_decontam, "
+        "CAST(sum(g.keep * dd.ded * coalesce(1 - dec.contaminated, 0) "
+        "* CASE WHEN b.kh < bal.keep_rate_e6 THEN 1 ELSE 0 END) AS BIGINT) AS n_balance "
+        "FROM base b JOIN g USING (doc_id) JOIN dd USING (doc_id) "
+        "LEFT JOIN dec USING (doc_id) JOIN bal ON b.source = bal.domain "
+        "GROUP BY b.source"
+    )
+
+
+@q("curation_funnel", None)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation funnel (r5 showcase): per source,
+    document survival through the pipeline's stages IN ORDER —
+    Gopher repetition keep → exact-dup keeper (min-id of the md5 group) →
+    exact 5-gram decontamination (benchmark-split docs leave the corpus
+    here: they are eval data) → α=0.5 temperature balancing threshold.
+    Each stage is the SAME pinned kernel as its standalone query, so the
+    funnel certifies the filters compose. Scale: the stages are
+    independent doc-keyed columns joined once — no stage rescans
+    another's output."""
+    from ult_spark.ops.curation import decontaminate, gopher_repetition
+    from ult_spark.ops.packing import domain_balance
+    from ult_spark.ops.textops import _h56
+
+    docs = load(spark, sf_dir, "documents")
+    rep = gopher_repetition(docs).select("doc_id", F.col("keep").alias("rep"))
+    wmd5 = Window.partitionBy(F.md5("text"))
+    dd = docs.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(wmd5)).cast("int").alias("ded"),
+    )
+    dec = decontaminate(docs).select("doc_id", "contaminated")
+    bal = domain_balance(docs).select(
+        F.col("domain").alias("source"), "keep_rate_e6"
+    )
+    kh = _h56(F.concat(F.col("doc_id").cast("string"), F.lit(":bal"))) % 1_000_000
+    base = docs.select("doc_id", "source", kh.alias("kh"))
+    j = (
+        base.join(rep, "doc_id")
+        .join(dd, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(F.broadcast(bal), "source")
+    )
+    clean = F.col("rep") * F.col("ded") * F.coalesce(
+        F.lit(1) - F.col("contaminated"), F.lit(0)
+    )
+    return j.groupBy(F.col("source").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("rep").cast("long").alias("n_rep"),
+        F.sum(F.col("rep") * F.col("ded")).cast("long").alias("n_dedup"),
+        F.sum(clean).cast("long").alias("n_decontam"),
+        F.sum(
+            clean * (F.col("kh") < F.col("keep_rate_e6")).cast("int")
+        ).cast("long").alias("n_balance"),
+    )
+
+
+def _attach_funnel_oracle() -> None:
+    ORACLES["curation_funnel"] = _funnel_oracle()
+
+
+_attach_funnel_oracle()
