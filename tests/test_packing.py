@@ -240,3 +240,34 @@ def test_time_bucket_interpolate_planted(spark):
     assert got[h + 3].cnt == 1 and got[h + 3].lerp_e6 == 1_000_000
     assert got[h + 1].cnt == 0 and got[h + 1].lerp_e6 == 2_333_333
     assert got[h + 2].cnt == 0 and got[h + 2].lerp_e6 == 1_666_666
+
+
+def test_pack_sequences_doc_spanning_many_sequences(spark):
+    """A doc longer than several budgets spans them all: n_docs counts it
+    in each, n_whole in none, and interior sequences it fully owns carry
+    exactly budget tokens from it."""
+    docs = [(1, " ".join(["w"] * 40)), (2, "a b c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, budget=16, shards=1)
+    got = {r.seq_id: r for r in out.collect()}
+    assert got == _reference_pack_dict(docs, budget=16, shards=1)
+
+
+def _reference_pack_dict(docs, budget, shards):
+    ref = _reference_pack(docs, budget, shards)
+    import collections
+    Row = collections.namedtuple("Row", "shard seq_id n_docs n_whole n_tokens")
+    return {
+        seq: Row(shard, seq, *vals) for (shard, seq), vals in ref.items()
+    }
+
+
+def test_domain_balance_single_doc_domain(spark):
+    """A one-doc domain rates at the 1e6 cap and is always kept."""
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "big"), (3, "big"), (4, "big")],
+        "doc_id long, source string",
+    ).withColumn("text", F.lit("x"))
+    got = {r.domain: r for r in domain_balance(df).collect()}
+    assert got["solo"].keep_rate_e6 == 1_000_000
+    assert got["solo"].n_kept == 1
