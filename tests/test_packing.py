@@ -271,3 +271,33 @@ def test_domain_balance_single_doc_domain(spark):
     got = {r.domain: r for r in domain_balance(df).collect()}
     assert got["solo"].keep_rate_e6 == 1_000_000
     assert got["solo"].n_kept == 1
+
+
+def test_asof_keyed_matches_broadcast_form(spark, sf_correct):
+    """On a single-key axis the union-marker keyed as-of must equal the
+    broadcast theta-join form exactly (same inclusive-at-equal-ts rule),
+    and its plan must contain no nested-loop join (the scalable claim)."""
+    from ult_spark.ops.relational import asof_join, asof_join_keyed
+    from ult_spark.querydefs import ASOF_VERSIONS, load
+
+    versions = spark.createDataFrame(
+        [(0, i, f"{d} 00:00:00") for i, d in ASOF_VERSIONS],
+        "k long, version_id long, vts string",
+    ).select("k", "version_id", F.to_timestamp("vts").alias("vts"))
+    orders = load(spark, sf_correct, "orders").select(
+        F.lit(0).alias("k"), "o_orderkey", "o_orderdate"
+    )
+    keyed = asof_join_keyed(orders, versions, "k", "o_orderdate", "vts", "version_id")
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    a = sorted(
+        (r.o_orderkey, r.version_id) for r in keyed.select("o_orderkey", "version_id").collect()
+    )
+    b = sorted(
+        (r.o_orderkey, r.version_id)
+        for r in asof_join(
+            orders.drop("k"), versions.drop("k"), "o_orderkey", "o_orderdate", "vts"
+        ).select("o_orderkey", "version_id").collect()
+    )
+    assert a == b and len(a) > 0

@@ -378,3 +378,52 @@ def time_bucket_interpolate_sql(key: str = "event_type", bucket_s: int = 3600) -
         f"ELSE CAST(floor({lerp}) AS BIGINT) END AS BIGINT) AS lerp_e6 "
         "FROM frames"
     )
+
+
+def asof_join_keyed(
+    left: DataFrame,
+    versions: DataFrame,
+    key: str,
+    left_ts: str,
+    ver_ts: str,
+    ver_col: str,
+) -> DataFrame:
+    """J5 at scale (r5): keyed as-of via the union-marker window — the
+    shape that survives a version table too big to broadcast.
+
+    ``left`` rows and ``versions`` rows are unioned on (key, ts) with a
+    marker ordering versions FIRST at equal timestamps (a version taking
+    effect exactly at left_ts applies — the same inclusive rule as
+    :func:`asof_join`); one window per key carries the latest ``ver_col``
+    forward; left rows filter back out. ONE shuffle keyed by ``key``, no
+    theta join, no broadcast — versions stream through the same sort as
+    the data. Returns ``left``'s columns + ``ver_col`` (NULL when no
+    version precedes).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+    )
+    v = versions.select(
+        F.col(key).alias("_k"),
+        F.col(ver_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.col(ver_col),
+    )
+    u = l.unionByName(v, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # left rows carry NULL in ver_col, so last-ignore-nulls reads the
+    # newest preceding version row of the same key
+    carried = F.last(ver_col, ignorenulls=True).over(w)
+    return (
+        u.withColumn("_v", carried)
+        .where(F.col("_is_left") == 1)
+        .select(*lcols, F.col("_v").alias(ver_col))
+    )

@@ -2882,3 +2882,47 @@ def _attach_funnel_oracle() -> None:
 
 
 _attach_funnel_oracle()
+
+
+ASOF_KEYED_VERSIONS = [
+    (k, 10 * k + i, d)
+    for k in (0, 1, 2)
+    for i, d in ((1, "1992-01-01"), (2, "1994-06-15"), (3, "1996-09-01"))
+]
+
+_ASOF_KEYED_SQL = (
+    "WITH v(k, version_id, vts) AS (VALUES "
+    + ", ".join(
+        f"({k}, {vid}, TIMESTAMP '{d} 00:00:00')" for k, vid, d in ASOF_KEYED_VERSIONS
+    )
+    + "), l AS (SELECT o_orderkey % 3 AS k, o_orderkey, "
+    "CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders), "
+    "u AS (SELECT k, ts, 1 AS is_left, o_orderkey, NULL AS version_id FROM l "
+    "UNION ALL SELECT k, vts, 0, NULL, version_id FROM v), "
+    "c AS (SELECT *, last_value(version_id IGNORE NULLS) OVER "
+    "(PARTITION BY k ORDER BY ts ASC, is_left ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcur FROM u) "
+    "SELECT o_orderkey, CAST(vcur AS BIGINT) AS version_id FROM c WHERE is_left = 1"
+)
+
+
+@q("asof_orders_keyed", _ASOF_KEYED_SQL)
+def asof_orders_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of at scale (r5, ops/relational.py asof_join_keyed): the
+    union-marker window form — versions FIRST at equal ts (inclusive
+    rule), one shuffle keyed by the join key, no theta join, no
+    broadcast. The standalone broadcast form (asof_orders_version) stays
+    the small-dim fast path; this is the shape for a version table too
+    big to broadcast."""
+    from ult_spark.ops.relational import asof_join_keyed
+
+    versions = spark.createDataFrame(
+        [(k, vid, f"{d} 00:00:00") for k, vid, d in ASOF_KEYED_VERSIONS],
+        "k long, version_id long, vts string",
+    ).select("k", "version_id", F.to_timestamp("vts").alias("vts"))
+    orders = load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).alias("k"), "o_orderkey", "o_orderdate"
+    )
+    return asof_join_keyed(
+        orders, versions, "k", "o_orderdate", "vts", "version_id"
+    ).select("o_orderkey", F.col("version_id").cast("long").alias("version_id"))
