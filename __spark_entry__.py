@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks the FIRST 50 of queries() per round (round-2 verdict
 # #3): order the registry stalest-green-first so every query keeps
 # accumulating driver rows at the current code state. Round-5 cohorts
-# (computed from CORRECTNESS_r01..r04): 25 queries new in round 5, then
+# (computed from CORRECTNESS_r01..r04): 26 queries new in round 5, then
 # the 46 whose newest green row is round 3 (every other oracle query is
 # round-4-green). Pure reordering — zero change to the queries. The
-# 46-query r3-stale cohort overflows slot 50 by 21 once the 25 round-5
+# 46-query r3-stale cohort overflows slot 50 by 22 once the 26 round-5
 # queries lead; the tail (compact/range-partition/json/haversine/
 # near-dup/spacetime plus cube/grouping-sets/distinct-users/HLL) stays
 # pytest-covered via tests/test_oracle_contract.py and rotates in next
@@ -46,7 +46,7 @@ _PRIORITY = [
     "gapfill_lerp", "raster_bilinear_events", "od_matrix_l4",
     "user_retention_daily", "token_entropy", "session_speed_stats",
     "dwell_time_by_poly", "session_sinuosity", "curation_funnel",
-    "asof_orders_keyed",
+    "asof_orders_keyed", "cell_range_join_anchored",
     # last driver-green in round 3 (stalest oracle queries)
     "top_tiles_l8", "latest_event_per_user", "topk_per_tile_l4",
     "rollup_type_tile", "hourly_counts", "orders_status_agg",

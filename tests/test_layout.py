@@ -196,6 +196,7 @@ def test_round5_native_ops_have_no_python_eval(spark, sf_smoke):
         "session_sinuosity",
         "curation_funnel",
         "asof_orders_keyed",
+        "cell_range_join_anchored",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

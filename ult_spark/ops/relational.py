@@ -427,3 +427,30 @@ def asof_join_keyed(
         .where(F.col("_is_left") == 1)
         .select(*lcols, F.col("_v").alias(ver_col))
     )
+
+
+def cell_range_join_anchored(
+    points: DataFrame,
+    cells: DataFrame,
+    levels: list[int],
+    point_cell: str = "cell",
+) -> DataFrame:
+    """J4 at scale (r5): descendant-range containment as a pure hash
+    EQUI-join — the shape for an index-cell table too big to broadcast
+    (the BETWEEN form of :func:`cell_range_join` is a range/theta join).
+
+    Each point explodes to its ancestor id at every level present in the
+    compacted index (cell ids encode their level via the lsb sentinel,
+    so an ancestor at level L can only ever equal an index cell at L —
+    the equi-join on the ancestor id is exactly descendant containment).
+    Fan-out is |levels| (a handful after compaction); one shuffle keyed
+    by cell id, skew-free (md5-free but quadtree-uniform at depth).
+    """
+    anchors = F.array(
+        *[UF.cell_parent(point_cell, lvl) for lvl in sorted(set(levels))]
+    )
+    anc = points.withColumn("_anchor", F.explode(anchors))
+    return anc.join(
+        cells.select(F.col("cell").alias("_anchor"), *[c for c in cells.columns if c != "cell"]),
+        "_anchor",
+    ).drop("_anchor")

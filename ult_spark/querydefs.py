@@ -2926,3 +2926,46 @@ def asof_orders_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_keyed(
         orders, versions, "k", "o_orderdate", "vts", "version_id"
     ).select("o_orderkey", F.col("version_id").cast("long").alias("version_id"))
+
+
+def _compacted_cells():
+    """Compacted polygon-index cells (ids + levels) — the anchored twin's
+    input shape (same cells whose ranges _compacted_ranges derives)."""
+    from ult_spark.geom.polyio import default_layer
+    from ult_spark.grid import cells as C, compact as CZ
+    from ult_spark.grid.polyfill import polyfill
+
+    rows, levels = [], set()
+    for p in default_layer():
+        packed = CZ.compact(polyfill(p, 6))
+        lv = C.cell_level(packed)
+        rows.extend(
+            (int(c), p.poly_id) for c in packed.tolist()
+        )
+        levels.update(int(x) for x in lv.tolist())
+    return rows, sorted(levels)
+
+
+@q("cell_range_join_anchored", None)
+def cell_range_join_anchored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at scale (ops/relational.py cell_range_join_anchored): the
+    descendant-range join as an ancestor-anchored hash EQUI-join — each
+    point explodes to its ancestors at the index's compacted levels and
+    equi-joins the cell ids (level-encoding ids make that exactly
+    containment). Same result set and oracle as the BETWEEN-form
+    cell_range_join; this is the shape for an unbroadcastable index."""
+    from ult_spark.ops.relational import cell_range_join_anchored
+
+    rows, levels = _compacted_cells()
+    cells = spark.createDataFrame(rows, "cell long, poly_id long")
+    pts = events_points(spark, sf_dir).select(
+        "event_id", UF.latlon_to_cell("lat", "lon", 12).alias("cell")
+    )
+    return cell_range_join_anchored(pts, cells, levels).select("event_id", "poly_id")
+
+
+def _attach_anchored_oracle() -> None:
+    ORACLES["cell_range_join_anchored"] = ORACLES["cell_range_join"]
+
+
+_attach_anchored_oracle()
