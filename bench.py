@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "dup_clusters",
     "pack_sequences_b256",
     "session_trips_30m",
+    "decontam_fuzzy",
+    "curation_funnel",
 ]
 
 
