@@ -301,3 +301,28 @@ def test_asof_keyed_matches_broadcast_form(spark, sf_correct):
         ).select("o_orderkey", "version_id").collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_asof_keyed_inclusive_at_equal_ts(spark):
+    """A version effective exactly at the row's timestamp applies (the
+    inclusive rule); rows before any version get NULL; keys are isolated."""
+    from ult_spark.ops.relational import asof_join_keyed
+
+    versions = spark.createDataFrame(
+        [(1, 10, "2026-01-05 00:00:00"), (1, 11, "2026-01-10 00:00:00"),
+         (2, 20, "2026-01-07 00:00:00")],
+        "k long, version_id long, vts string",
+    ).select("k", "version_id", F.to_timestamp("vts").alias("vts"))
+    left = spark.createDataFrame(
+        [(1, 100, "2026-01-04 00:00:00"),  # before any v of k=1 -> NULL
+         (1, 101, "2026-01-05 00:00:00"),  # exactly at v10 -> 10
+         (1, 102, "2026-01-10 00:00:00"),  # exactly at v11 -> 11
+         (2, 200, "2026-01-09 00:00:00"),  # k=2 sees only v20
+         ],
+        "k long, row_id long, ts string",
+    ).select("k", "row_id", F.to_timestamp("ts").alias("ts"))
+    got = {
+        r.row_id: r.version_id
+        for r in asof_join_keyed(left, versions, "k", "ts", "vts", "version_id").collect()
+    }
+    assert got == {100: None, 101: 10, 102: 11, 200: 20}
