@@ -36,10 +36,32 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt)
+    if s == "bool":
+        return "bool"
+    if s.startswith(("int", "uint", "Int")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    return "other"
+
+
 def assert_match(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> None:
     assert sorted(got.columns) == sorted(exp.columns), (
         f"{name}: schema mismatch spark={sorted(got.columns)} duck={sorted(exp.columns)}"
     )
+    # Dtype CLASS must match before normalization: the driver hashes
+    # rendered values, so a DuckDB HUGEINT (object/float in pandas) vs a
+    # Spark BIGINT hash-diverges even when every value is equal — the
+    # r5 h3_parent_rollup red row. Catch that here, pre-canon.
+    for c in got.columns:
+        gc, ec = _dtype_class(got[c].dtype), _dtype_class(exp[c].dtype)
+        assert gc == ec, (
+            f"{name}: column {c!r} dtype class spark={got[c].dtype}({gc}) "
+            f"duck={exp[c].dtype}({ec}) — driver value-hash would diverge; "
+            "CAST the oracle (sums → BIGINT) or align the Spark type"
+        )
     assert len(got) == len(exp), f"{name}: row count spark={len(got)} duck={len(exp)}"
     g, e = canon(got), canon(exp)
     for c in g.columns:

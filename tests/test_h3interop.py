@@ -66,10 +66,15 @@ def test_documented_children_via_child_range(spark):
 
 
 def _synth(n, seed, res):
-    """n bit-layout-valid H3 ids at ``res`` (random base cells/digits)."""
+    """n bit-layout-valid H3 ids at ``res`` (random HEXAGON base cells +
+    digits — pentagon base cells excluded so every id stays valid under
+    the pentagon leading-digit rule)."""
     rng = np.random.default_rng(seed)
+    hexagons = np.array(
+        [b for b in range(122) if b not in H.PENTAGON_BASE_CELLS]
+    )
     v = np.full(n, (1 << 59) | (res << 52), dtype=np.uint64)
-    v |= rng.integers(0, 122, n).astype(np.uint64) << np.uint64(45)
+    v |= hexagons[rng.integers(0, len(hexagons), n)].astype(np.uint64) << np.uint64(45)
     for r in range(1, 16):
         d = rng.integers(0, 7, n) if r <= res else np.full(n, 7)
         v |= d.astype(np.uint64) << np.uint64((15 - r) * 3)
@@ -102,6 +107,71 @@ def test_validity_and_roundtrip_properties(spark):
         H.h3_is_valid("h").alias("ok")
     )
     assert [r.ok for r in db.collect()] == [False, False, False, False]
+
+
+RES0_PENTAGONS = [  # the 12 documented res-0 pentagon indexes (public spec)
+    "8009fffffffffff", "801dfffffffffff", "8031fffffffffff",
+    "804dfffffffffff", "8063fffffffffff", "8075fffffffffff",
+    "807ffffffffffff", "8091fffffffffff", "80a7fffffffffff",
+    "80c3fffffffffff", "80d7fffffffffff", "80ebfffffffffff",
+]
+
+
+def test_pentagon_base_cells_match_documented_res0_pentagons(spark):
+    """The module's PENTAGON_BASE_CELLS tuple and the 12 documented res-0
+    pentagon index ids are independent public-spec facts — they must name
+    the same 12 base cells, and all 12 ids must be valid pentagons."""
+    d = _df(spark, RES0_PENTAGONS).select(
+        H.h3_base_cell("h").alias("bc"),
+        H.h3_is_valid("h").alias("ok"),
+        H.h3_is_pentagon("h").alias("pent"),
+        H.h3_resolution("h").alias("res"),
+    )
+    rows = d.collect()
+    assert sorted(r.bc for r in rows) == sorted(H.PENTAGON_BASE_CELLS)
+    assert all(r.ok and r.pent and r.res == 0 for r in rows)
+
+
+def test_pentagon_leading_digit_exclusion(spark):
+    """Under a pentagon base cell the FIRST non-center digit can never be
+    1 (K axis deleted); hexagon base cells have no such restriction; a 1
+    that is not the leading digit is fine even under a pentagon."""
+    def mk(bc, digits, res=len("x")):  # res = number of digits given
+        v = (1 << 59) | (len(digits) << 52) | (bc << 45)
+        for i, d in enumerate(digits):
+            v |= d << ((15 - (i + 1)) * 3)
+        v |= (1 << ((15 - len(digits)) * 3)) - 1  # trailing 7s
+        return v
+
+    pent_bc, hex_bc = 4, 20
+    cases = [
+        (mk(pent_bc, [1, 0, 0]), False),   # leading digit 1 → invalid
+        (mk(pent_bc, [0, 1, 0]), False),   # 0-prefix then 1 → still leading
+        (mk(pent_bc, [2, 1, 0]), True),    # 1 after a non-zero → fine
+        (mk(pent_bc, [0, 0, 0]), True),    # center child chain (pentagon)
+        (mk(pent_bc, [0, 3, 2]), True),
+        (mk(hex_bc, [1, 0, 0]), True),     # hexagon base: 1 allowed
+        (mk(hex_bc, [0, 1, 0]), True),
+    ]
+    d = spark.createDataFrame(
+        pd.DataFrame({"h": np.array([c[0] for c in cases], dtype=np.int64)})
+    ).select(
+        H.h3_is_valid("h").alias("ok"), H.h3_is_pentagon("h").alias("pent")
+    )
+    rows = d.collect()
+    assert [r.ok for r in rows] == [c[1] for c in cases]
+    # pentagon-ness: only the all-zero-digit pentagon descendant qualifies
+    assert [r.pent for r in rows] == [False, False, False, True, False, False, False]
+    # SQL twin agrees on every case (same engine pair the oracle uses)
+    import duckdb
+
+    con = duckdb.connect()
+    got = [
+        bool(con.execute(f"SELECT {H.h3_is_valid_sql(str(c[0]))}").fetchone()[0])
+        for c in cases
+    ]
+    con.close()
+    assert got == [c[1] for c in cases]
 
 
 def test_ancestor_join_mixed_resolution_vs_between(spark):

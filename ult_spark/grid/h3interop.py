@@ -28,9 +28,14 @@ two H3-keyed datasets needs. The GEOMETRIC half (cell ↔ lat/lng) requires
 the published icosahedral constant tables (122 base-cell anchors + 20
 face centers) that only ship with the library, which is unavailable
 offline — encode/decode therefore stays out rather than shipping numbers
-from memory. Likewise ``h3_is_valid`` checks the bit layout (mode,
-reserved bits, base cell < 122, digit/resolution consistency) but not the
-pentagon leading-digit exclusion, which needs the base-cell table.
+from memory. ``h3_is_valid`` checks the bit layout (mode, reserved bits,
+base cell < 122, digit/resolution consistency) AND the pentagon
+leading-digit exclusion (r6): the 12 pentagon base-cell NUMBERS are
+public-spec scalar facts — they are exactly the base cells of the 12
+documented res-0 pentagon indexes (tests/test_h3interop.py pins that
+correspondence), so pentagon-aware validity needs no geometric table.
+Under a pentagon the K axis (digit 1) is deleted, so the FIRST
+non-center digit of a pentagon-based cell can never be 1.
 """
 
 from __future__ import annotations
@@ -42,6 +47,10 @@ _RES_SHIFT, _RES_MASK = 52, 0xF
 _BC_SHIFT, _BC_MASK = 45, 0x7F
 _MODE_SHIFT, _MODE_MASK = 59, 0xF
 _MODE_CELL = 1
+# The 12 pentagon base cells (public H3 spec; equal by construction to the
+# base cells of the 12 documented res-0 pentagon indexes 8009fffffffffff,
+# 801dfffffffffff, ... — cross-checked in tests/test_h3interop.py).
+PENTAGON_BASE_CELLS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
 
 
 def _signed64(v: int) -> int:
@@ -75,8 +84,13 @@ def h3_base_cell(h: Column | str) -> Column:
 
 def h3_is_valid(h: Column | str) -> Column:
     """Bit-layout validity: mode 1, reserved bits clear, base cell < 122,
-    digits ≤ 6 at occupied resolutions and exactly 7 below them (pentagon
-    digit exclusion not modeled — see module docstring)."""
+    digits ≤ 6 at occupied resolutions and exactly 7 below them, AND the
+    pentagon exclusion: if the base cell is one of the 12 pentagons, the
+    first non-center digit must not be 1 (the K axis is deleted there).
+
+    The "digit r is the first non-center digit" test is closed-form: all
+    digits 1..r-1 sit in the bits just above digit r, so prefix-zero is one
+    shift+mask — no per-row loop state."""
     c = _c(h)
     res = h3_resolution(c)
     ok = (
@@ -85,10 +99,31 @@ def h3_is_valid(h: Column | str) -> Column:
         & (F.shiftright(c, 56).bitwiseAND(F.lit(7)) == 0)
         & (h3_base_cell(c) < 122)
     )
+    pent_bad = F.lit(False)
     for r in range(1, 16):
         digit = F.shiftright(c, (15 - r) * 3).bitwiseAND(F.lit(7))
         ok = ok & F.when(F.lit(r) <= res, digit != 7).otherwise(digit == 7)
-    return ok
+        prefix = F.shiftright(c, (16 - r) * 3).bitwiseAND(
+            F.lit((1 << (3 * (r - 1))) - 1)
+        )
+        pent_bad = pent_bad | (
+            (F.lit(r) <= res) & (prefix == 0) & (digit == 1)
+        )
+    pent = h3_base_cell(c).isin(*PENTAGON_BASE_CELLS)
+    return ok & ~(pent & pent_bad)
+
+
+def h3_is_pentagon(h: Column | str) -> Column:
+    """True iff the (valid) cell is a pentagon: pentagon base cell and
+    every occupied digit is 0 (pentagons only descend through their own
+    center child)."""
+    c = _c(h)
+    res = h3_resolution(c)
+    centered = F.lit(True)
+    for r in range(1, 16):
+        digit = F.shiftright(c, (15 - r) * 3).bitwiseAND(F.lit(7))
+        centered = centered & ((F.lit(r) > res) | (digit == 0))
+    return h3_is_valid(c) & h3_base_cell(c).isin(*PENTAGON_BASE_CELLS) & centered
 
 
 def h3_parent(h: Column | str, parent_res: int) -> Column:
@@ -198,9 +233,14 @@ def h3_is_valid_sql(h: str) -> str:
         f"((({h}) >> 56) & 7) = 0",
         f"({h3_base_cell_sql(h)}) < 122",
     ]
+    bad = []
     for r in range(1, 16):
         digit = f"((({h}) >> {(15 - r) * 3}) & 7)"
         terms.append(
             f"(CASE WHEN {r} <= ({res}) THEN {digit} <> 7 ELSE {digit} = 7 END)"
         )
+        prefix = f"((({h}) >> {(16 - r) * 3}) & {(1 << (3 * (r - 1))) - 1})"
+        bad.append(f"({r} <= ({res}) AND {prefix} = 0 AND {digit} = 1)")
+    pent = f"(({h3_base_cell_sql(h)}) IN {PENTAGON_BASE_CELLS})"
+    terms.append(f"(NOT ({pent} AND ({' OR '.join(bad)})))")
     return "(" + " AND ".join(terms) + ")"

@@ -426,22 +426,30 @@ class ConvergenceError(RuntimeError):
     """Raised when an iterative operator's round bound was too small."""
 
 
-def _cc_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
-    """One CC round: min-label edge propagation, then pointer jump."""
+def _cc_round(labels: DataFrame, edges: DataFrame, track: bool = False) -> DataFrame:
+    """One CC round: min-label edge propagation, then pointer jump.
+
+    ``track=True`` carries the incoming label through as ``_old`` so the
+    caller can fold the fixpoint test into the round's own materialization
+    (an observe() metric) — the column rides the round's existing joins,
+    so tracking costs no extra shuffle and no extra job."""
     nbr = (
         edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(F.col("a").alias("doc_id"))
         .agg(F.min("label").alias("_nl"))
     )
-    labels = (
-        labels.join(nbr, "doc_id", "left")
-        # least() ignores NULLs: no-neighbor rows keep their label
-        .select("doc_id", F.least("label", "_nl").alias("label"))
-    )
+    cols = [F.col("doc_id"), F.least("label", "_nl").alias("label")]
+    if track:
+        cols.append(F.col("label").alias("_old"))
+    # least() ignores NULLs: no-neighbor rows keep their label
+    labels = labels.join(nbr, "doc_id", "left").select(*cols)
     # pointer jump: label := label's own label (labels only decrease,
     # so this shortcuts chains and buys log-diameter convergence)
     jump = labels.select(F.col("doc_id").alias("label"), F.col("label").alias("_jl"))
-    return labels.join(jump, "label").select("doc_id", F.col("_jl").alias("label"))
+    out = [F.col("doc_id"), F.col("_jl").alias("label")]
+    if track:
+        out.append(F.col("_old"))
+    return labels.join(jump, "label").select(*out)
 
 
 def connected_components(

@@ -1632,7 +1632,8 @@ def _attach_h3_oracles() -> None:
         f"WITH f AS (SELECT event_id, {_h3_synth_sql()} AS h3 FROM events) "
         f"SELECT {h3_to_hex_sql(p5)} AS parent5, count(*) AS cnt, "
         "count(DISTINCT h3) AS kids, "
-        f"sum(CASE WHEN {h3_is_valid_sql('h3')} THEN 1 ELSE 0 END) AS valid_cnt "
+        f"CAST(sum(CASE WHEN {h3_is_valid_sql('h3')} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS valid_cnt "
         "FROM f GROUP BY 1"
     )
     cov = (
