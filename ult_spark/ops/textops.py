@@ -465,16 +465,20 @@ def connected_components(
     is (doc_id), ``pairs`` is undirected (a, b) edges; returns
     (doc_id, cluster_id).
 
-    ``check=True`` runs ONE extra (unmaterialized) round after the loop
-    and counts changed labels. Non-zero means the round bound did not
-    cover the graph's diameter — the loop then AUTO-EXTENDS one round at a
-    time (re-checking after each) up to ``max_rounds`` total, and only a
-    graph still unconverged there raises :class:`ConvergenceError`
-    (pointer jumping makes max_rounds=16 cover diameter ~2^16 — a 65k-hop
-    near-dup chain is not a corpus, it's an adversarial input). The
-    converged fast path costs exactly one count job over the
-    already-checkpointed labels (≈ one round); each extension recomputes
-    its round once more for the lineage-truncated checkpoint."""
+    ``check=True`` (the default) runs a pure FIXPOINT loop: each round
+    carries its input label through as ``_old`` and an ``observe()``
+    metric counts changed labels during the round's own localCheckpoint
+    materialization — convergence detection is free (no extra shuffle, no
+    extra job; r6, was previously one full extra count job per run). The
+    loop stops at the first round whose output equals its input (a
+    fixpoint, since a round is a pure function of its input), so ``rounds``
+    is ignored under check=True; a graph still changing at ``max_rounds``
+    raises :class:`ConvergenceError` (pointer jumping makes max_rounds=16
+    cover diameter ~2^16 — a 65k-hop near-dup chain is not a corpus, it's
+    an adversarial input). ``check=False`` runs exactly ``rounds`` blind
+    rounds."""
+    from pyspark.sql import Observation
+
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -490,18 +494,22 @@ def connected_components(
         )
     edges = edges.persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
-    for _ in range(rounds):
-        labels = _cc_round(labels, edges)
-        labels = labels.localCheckpoint()  # truncate lineage (see docstring)
-    done = rounds
-    while check:
-        changed = (
-            _cc_round(labels, edges)
-            .withColumnRenamed("label", "_new")
-            .join(labels, "doc_id")
-            .where(F.col("_new") != F.col("label"))
-            .count()
+    if not check:
+        for _ in range(rounds):
+            # truncate lineage each round (see docstring)
+            labels = _cc_round(labels, edges).localCheckpoint()
+        edges.unpersist()
+        return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    done = 0
+    while True:
+        ob = Observation()
+        stepped = _cc_round(labels, edges, track=True).observe(
+            ob,
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
         )
+        labels = stepped.select("doc_id", "label").localCheckpoint()
+        done += 1
+        changed = ob.get["changed"] or 0  # None on an empty vertex set
         if not changed:
             break
         if done >= max_rounds:
@@ -511,8 +519,6 @@ def connected_components(
                 f"{done} rounds (max_rounds={max_rounds}, covers diameter "
                 f"~2^{max_rounds}) — raise max_rounds for adversarial graphs"
             )
-        labels = _cc_round(labels, edges).localCheckpoint()
-        done += 1
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
