@@ -27,41 +27,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks the FIRST 50 of queries() per round (round-2 verdict
 # #3): order the registry stalest-green-first so every query keeps
-# accumulating driver rows at the current code state. Round-5 cohorts
-# (computed from CORRECTNESS_r01..r04): 26 queries new in round 5, then
-# the 46 whose newest green row is round 3 (every other oracle query is
-# round-4-green). Pure reordering — zero change to the queries. The
-# 46-query r3-stale cohort overflows slot 50 by 22 once the 26 round-5
-# queries lead; the tail (compact/range-partition/json/haversine/
-# near-dup/spacetime plus cube/grouping-sets/distinct-users/HLL) stays
-# pytest-covered via tests/test_oracle_contract.py and rotates in next
-# round.
+# accumulating driver rows at the current code state. Round-6 cohorts
+# (computed from CORRECTNESS_r01..r05): h3_parent_rollup first (its r5
+# red row was a DuckDB HUGEINT typing bug, fixed in querydefs.py — r5
+# verdict #1), then the 22 queries whose newest green row is round 3,
+# then approx_users_per_tile_l6 (rows-only by design, re-accumulates a
+# rows-green row), then the queries NEW in round 6, then round-4-green
+# backfill up to slot 50. Pure reordering — zero change to the queries;
+# everything past slot 50 stays covered by tests/test_oracle_contract.py.
 _PRIORITY = [
-    # new in round 5
-    "url_tracking_dedup", "h3_parent_rollup", "h3_ancestor_counts",
-    "gopher_repetition", "pii_scrub_docs", "segment_dedup_w8",
-    "decontam_5gram", "pack_sequences_b256", "domain_balance_sqrt",
-    "session_trips_30m", "snapshot_diff_orders", "decontam_fuzzy",
-    "ring_simplify_stats", "session_cell_path", "poly_contains",
-    "gapfill_lerp", "raster_bilinear_events", "od_matrix_l4",
-    "user_retention_daily", "token_entropy", "session_speed_stats",
-    "dwell_time_by_poly", "session_sinuosity", "curation_funnel",
-    "asof_orders_keyed", "cell_range_join_anchored",
+    # red in r5 on an oracle typing bug, fixed — must re-green first
+    "h3_parent_rollup",
     # last driver-green in round 3 (stalest oracle queries)
-    "top_tiles_l8", "latest_event_per_user", "topk_per_tile_l4",
-    "rollup_type_tile", "hourly_counts", "orders_status_agg",
-    "pip_join_events_dist", "poly_intersect", "poly_intersect_area",
-    "buffer_cells_l6", "coverage_boundary_l6", "union_area_layer",
-    "bbox_cover_l7", "focal_counts_l6", "knn_events_k5_m",
-    "knn_events_wrap", "distance_join_errors_m", "zonal_weighted_pop",
-    "bpe_token_count", "winnowing_fp", "simhash_near_dup",
-    "tfidf_top_terms", "dup_clusters", "ann_ivf_topk", "ann_ivf_trained",
-    "event_gaps", "rolling_hour_counts", "tile_rank_ntile",
-    "tiles_intersect", "distinct_user_type", "url_host_extract",
-    "cell_centroids_l8", "sessionize_users", "multimodal_meta_agg",
-    "multimodal_features", "video_frame_plan", "compact_event_cells",
-    "range_partitioned_tiles", "props_json_agg", "haversine_to_origin",
-    "embedding_near_dup", "near_dup_oversized", "spacetime_rollup",
+    "ann_ivf_trained", "cell_centroids_l8", "compact_event_cells",
+    "cube_type_bucket", "distinct_user_type", "distinct_users_per_tile_l6",
+    "embedding_near_dup", "event_gaps", "grouping_sets_type_bucket",
+    "haversine_to_origin", "multimodal_features", "multimodal_meta_agg",
+    "near_dup_oversized", "props_json_agg", "range_partitioned_tiles",
+    "rolling_hour_counts", "sessionize_users", "spacetime_rollup",
+    "tile_rank_ntile", "tiles_intersect", "url_host_extract",
+    "video_frame_plan",
+    # rows-only by design (HLL), re-accumulates a rows-green row
+    "approx_users_per_tile_l6",
+    # new in round 6
+    "dup_keep_best", "session_window_counts_b",
+    # round-4-green backfill to fill the 50-slot window
+    "ann_cosine_topk", "ann_lsh_topk", "asof_orders_version",
+    "audio_chunk_plan", "buffer_cells_dist", "cell_encode_l12",
+    "cell_range_join", "cust_nation_region", "dedup_exact",
+    "distance_join_errors", "doc_fingerprint", "docs_by_lang_source",
+    "gapfill_hourly", "interval_join_buckets", "knn_events_k5",
+    "lang_id", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "percentiles_by_type", "pip_agg_by_poly", "pip_anti_count",
+    "pip_depth_events", "pip_join_events", "pip_tiles_by_poly_l8",
 ]
 
 

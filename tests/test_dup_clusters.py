@@ -148,3 +148,55 @@ def test_cc_edges_outside_vertex_set_are_ignored(spark):
     got = {r.doc_id: r.cluster_id for r in connected_components(verts, pairs).collect()}
     # ghost 99 must not bridge 1 and 3; every vertex present, no extras
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4}
+
+
+def test_dup_keep_best_planted_clusters(spark):
+    """dup_keep_best (r6): planted multi-cluster fixture — exact copies plus
+    an appended-suffix chain (they share the full base shingle set at
+    j≈0.97, far above the LSH no-collision region — CLAUDE.md plant-at-
+    high-j rule) and disjoint singletons. Per cluster exactly one keep; the
+    canonical is argmax n_tok with min-doc_id tiebreak, checked against a
+    reference derived from the independently verified dup_clusters output."""
+    from ult_spark.ops.textops import dup_clusters, dup_keep_best
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    texts = [base.strip()] * 3  # docs 0-2: exact copies (n_tok tie)
+    # docs 3-5: base plus k extra tokens; doc 5 is the longest
+    texts += [(base + " ".join(f"extra{j}" for j in range(k))).strip() for k in (1, 2, 3)]
+    # docs 6-7: disjoint singletons (no shared 3-gram with anything)
+    texts += [" ".join(f"s{i}_{j}" for j in range(12)) for i in range(2)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters(df, threshold=0.2).collect()}
+    n_tok = {i: len(t.split()) for i, t in enumerate(texts)}
+    # reference canonical per cluster: argmax n_tok, tie min doc_id
+    ref_canon = {}
+    for d, c in labels.items():
+        best = ref_canon.get(c)
+        if best is None or (-n_tok[d], d) < (-n_tok[best], best):
+            ref_canon[c] = d
+    rows = {r.doc_id: r for r in dup_keep_best(df, threshold=0.2).collect()}
+    assert len(rows) == len(texts)
+    # the fixture must actually exercise all three reasons: the suffix
+    # chain merges with the exact copies into one >1-doc cluster whose
+    # longest member is doc 5, and the singletons stay alone
+    sizes = pd.Series(list(labels.values())).value_counts()
+    assert sizes.max() >= 4 and (sizes == 1).sum() >= 2
+    assert ref_canon[labels[5]] == 5  # doc 5 is its cluster's longest
+    for d, r in rows.items():
+        assert r.cluster_id == labels[d]
+        assert r.canon_id == ref_canon[labels[d]]
+        expected_keep = 1 if d == ref_canon[labels[d]] else 0
+        assert r.keep == expected_keep
+        if sizes[labels[d]] == 1:
+            assert r.reason == "unique"
+        elif expected_keep:
+            assert r.reason == "canonical"
+        else:
+            assert r.reason == "duplicate"
+    # exactly one keep per cluster
+    from collections import Counter
+
+    per_cluster = Counter(r.cluster_id for r in rows.values() if r.keep == 1)
+    assert per_cluster == {c: 1 for c in set(labels.values())}

@@ -523,17 +523,90 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-def dup_clusters_sql(threshold: float = 0.2) -> str:
-    """DuckDB fixpoint mirror: true connected components via WITH RECURSIVE
-    over the same pair graph."""
+def _cc_ctes(threshold: float) -> str:
+    """The WITH RECURSIVE CTE chain computing true connected components of
+    the minhash pair graph; terminal CTE ``labels`` is (doc_id, cluster_id).
+    Shared by :func:`dup_clusters_sql` and :func:`dup_keep_best_sql`."""
     return (
         f"WITH RECURSIVE pairs AS (SELECT a, b FROM ({minhash_lsh_sql(threshold)})), "
         "e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs), "
         "comp(doc_id, label) AS ("
         "SELECT doc_id, doc_id FROM documents "
         "UNION "
-        "SELECT e.a, c.label FROM e JOIN comp c ON c.doc_id = e.b) "
-        "SELECT doc_id, min(label) AS cluster_id FROM comp GROUP BY 1"
+        "SELECT e.a, c.label FROM e JOIN comp c ON c.doc_id = e.b), "
+        "labels AS (SELECT doc_id, min(label) AS cluster_id FROM comp GROUP BY 1)"
+    )
+
+
+def dup_clusters_sql(threshold: float = 0.2) -> str:
+    """DuckDB fixpoint mirror: true connected components via WITH RECURSIVE
+    over the same pair graph."""
+    return _cc_ctes(threshold) + " SELECT doc_id, cluster_id FROM labels"
+
+
+def dup_keep_best(
+    df: DataFrame,
+    threshold: float = 0.2,
+    rounds: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Cluster-canonical near-dup RETENTION — the pipeline step between
+    :func:`dup_clusters` and sampling: per duplicate cluster keep exactly one
+    representative, emit an auditable keep/drop decision for every document.
+
+    Canonical = argmax token count (the standard keep-the-longest near-dup
+    policy), tie → min doc_id — a total order, so the choice is
+    partition/engine/retry invariant (no first-seen race). Output per doc:
+    (doc_id, cluster_id, canon_id, keep 1/0, reason) with reason ∈
+    {'unique', 'canonical', 'duplicate'}; exactly one keep=1 row per
+    cluster.
+
+    Scale: one groupBy-shuffle pipeline — quality (n_tok) is a row-local
+    projection joined onto the cluster labels by doc_id, then ONE window
+    partitioned by cluster_id (cluster sizes are near-dup clusters, bounded
+    small; the window never sees a global sort). All native Columns."""
+    labels = dup_clusters(df, threshold=threshold, rounds=rounds, id_col=id_col)
+    qual = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text)).cast("long").alias("n_tok"),
+    )
+    j = labels.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    wc = Window.partitionBy("cluster_id")
+    canon = F.first("doc_id").over(w)
+    csize = F.count(F.lit(1)).over(wc)
+    keep = (F.col("doc_id") == canon).cast("long")
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        canon.alias("canon_id"),
+        keep.alias("keep"),
+        F.when(csize == 1, F.lit("unique"))
+        .when(keep == 1, F.lit("canonical"))
+        .otherwise(F.lit("duplicate"))
+        .alias("reason"),
+    )
+
+
+def dup_keep_best_sql(threshold: float = 0.2) -> str:
+    """DuckDB mirror of :func:`dup_keep_best` (same total order, same
+    token-count quality key)."""
+    return (
+        _cc_ctes(threshold) + ", "
+        "qual AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x != '')) AS BIGINT) AS n_tok FROM documents), "
+        "j AS (SELECT l.doc_id, l.cluster_id, q.n_tok FROM labels l "
+        "JOIN qual q USING (doc_id)), "
+        "ranked AS (SELECT doc_id, cluster_id, "
+        "first_value(doc_id) OVER (PARTITION BY cluster_id "
+        "ORDER BY n_tok DESC, doc_id ASC) AS canon_id, "
+        "count(*) OVER (PARTITION BY cluster_id) AS csize FROM j) "
+        "SELECT doc_id, cluster_id, canon_id, "
+        "CAST(doc_id = canon_id AS BIGINT) AS keep, "
+        "CASE WHEN csize = 1 THEN 'unique' "
+        "WHEN doc_id = canon_id THEN 'canonical' "
+        "ELSE 'duplicate' END AS reason FROM ranked"
     )
 
 

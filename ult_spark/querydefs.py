@@ -1088,6 +1088,16 @@ def dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(load(spark, sf_dir, "documents"), threshold=0.2)
 
 
+@q("dup_keep_best", None)
+def dup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical near-dup retention (r6): per duplicate cluster keep
+    the argmax-token-count representative (tie: min doc_id), emit keep/drop
+    + reason for every document (ops/textops.py dup_keep_best)."""
+    from ult_spark.ops.textops import dup_keep_best
+
+    return dup_keep_best(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
 def _attach_text_oracles() -> None:
     from ult_spark.ops.textops import (
         dup_clusters_sql,
@@ -1100,9 +1110,10 @@ def _attach_text_oracles() -> None:
     ORACLES["ngram_jaccard_pairs"] = jaccard_pairs_sql(0.1)
     ORACLES["simhash_near_dup"] = simhash_near_dup_sql(3)
     ORACLES["dup_clusters"] = dup_clusters_sql(0.2)
-    from ult_spark.ops.textops import tfidf_top_terms_sql
+    from ult_spark.ops.textops import dup_keep_best_sql, tfidf_top_terms_sql
 
     ORACLES["tfidf_top_terms"] = tfidf_top_terms_sql(3)
+    ORACLES["dup_keep_best"] = dup_keep_best_sql(0.2)
 
 
 _attach_text_oracles()
