@@ -2271,6 +2271,39 @@ def session_trips_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _attach_trip_oracles()
 
+
+@q(
+    "session_window_counts_b",
+    # Exact-microsecond gap rule (F.session_window compares raw timestamps,
+    # NOT floored seconds — an exact 1800.000000s gap merges, 1800.000001
+    # splits); only the OUTPUT seconds are floored, matching Spark's
+    # unix_timestamp truncation. epoch_us keeps the comparison integer-exact
+    # (epoch() doubles lose the last microsecond bit at 2024 epochs).
+    "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+    "d AS (SELECT user_id, us, "
+    "CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us ASC) IS NULL "
+    "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us ASC) > 1800000000 "
+    "THEN 1 ELSE 0 END AS new_s FROM e), "
+    "s AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us ASC "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d) "
+    "SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS sess_start, "
+    "CAST(max(us) // 1000000 + 1800 AS BIGINT) AS sess_end, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM s GROUP BY user_id, sid",
+)
+def session_window_counts_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of the streaming session-window composition (r6, verdict
+    #7): the exact F.session_window program streaming/session_window_counts
+    runs (same merge-adjacent gap semantics, same watermark call — a no-op
+    on batch input), driven through the DuckDB oracle so the exact-gap
+    boundary is certified cross-engine, not just stream≡batch."""
+    from ult_spark.streaming import session_window_counts
+
+    return session_window_counts(
+        load(spark, sf_dir, "events").select("user_id", "ts"), gap="30 minutes"
+    )
+
+
 _SNAPDIFF_SQL = """
 WITH old AS (
   SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
