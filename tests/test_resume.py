@@ -219,3 +219,61 @@ def test_read_table_refuses_mixed_backends(spark, tmp_path, monkeypatch):
             catalog.read_table(spark, t)
     finally:
         spark.conf.unset("spark.sql.catalog.ult")
+
+
+def test_runner_snapshot_cell_layout_prunes(spark, pages, tmp_path):
+    """r6 verdict #4: the runner's committed snapshots are Z-order
+    cell-partitioned (catalog.write_units cell layout) — a descendant read
+    of one spatial subtree prunes whole directories (scan numFiles metric,
+    NOT inputFiles — CLAUDE.md) while returning exactly the rows a
+    full-scan range filter returns, with manifest semantics intact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ult_spark.grid import cells as C
+    from ult_spark.io.layout import DIR_LEVEL
+
+    t = str(tmp_path / "zt")
+    assert run_job(spark, pages, t, buckets=4, run_id="r_z") == [
+        f"b{i:04d}" for i in range(4)
+    ]
+    full = catalog.read_table(spark, t)
+    assert "cell_dir" not in full.columns  # layout column stays internal
+
+    def files_read(make_df) -> int:
+        # rebuild the plan per read: the numFiles metric rides the lazy
+        # partition listing, once per plan object (CLAUDE.md r5). read_table
+        # is a union of per-snapshot scans — sum the metric over all leaves.
+        df = make_df()
+        df.collect()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        return sum(
+            int(leaves.apply(i).metrics().apply("numFiles").value())
+            for i in range(leaves.length())
+        )
+
+    total_files = files_read(lambda: catalog.read_table(spark, t))
+
+    # ancestor = the dir-level parent of the most-populated finest cell
+    top = full.groupBy("cell").count().orderBy(F.desc("count"), F.asc("cell")).first()
+    anc = int(C.cell_parent(np.array([top.cell], dtype=np.int64), DIR_LEVEL)[0])
+    lo, hi = (int(x[0]) for x in C.cell_range(np.array([anc], dtype=np.int64)))
+
+    got = catalog.read_table(spark, t, descendants_of=anc)
+    assert "cell_dir" not in got.columns
+    expect = full.where(F.col("cell").between(lo, hi))
+    key = lambda df: sorted((r.level, r.cell, r.cnt) for r in df.collect())
+    assert key(got) == key(expect)
+    assert len(key(got)) > 0  # the subtree actually has data
+    pruned = files_read(lambda: catalog.read_table(spark, t, descendants_of=anc))
+    assert pruned < total_files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+    # a table committed WITHOUT the layout refuses descendant reads loudly
+    t2 = str(tmp_path / "flat")
+    catalog.write_snapshot(spark.range(5).selectExpr("id AS cell"), t2, "u0", "r0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell layout"):
+        catalog.read_table(spark, t2, descendants_of=anc)

@@ -98,7 +98,13 @@ def write_snapshot(
 
 
 def write_units(
-    df: DataFrame, table: str, units: list[str], run_id: str, unit_col: str = "unit"
+    df: DataFrame,
+    table: str,
+    units: list[str],
+    run_id: str,
+    unit_col: str = "unit",
+    cell_col: str | None = None,
+    dir_level: int | None = None,
 ) -> dict[str, dict]:
     """Write EVERY pending unit's output in ONE job (round-2 verdict #1:
     the per-unit loop re-scanned the full input once per bucket — B=8 meant
@@ -110,7 +116,15 @@ def write_units(
     sums. Returns {unit: manifest} — NOT yet committed; callers commit each
     via :func:`commit_unit` (atomic rename, exactly-once). A crash before
     any commit leaves only invisible orphans under the run_id dir.
-    """
+
+    ``cell_col`` (r6, verdict #4): additionally Z-order-cluster each unit's
+    data by the ``dir_level`` ancestor of that cell column (io/layout.py) —
+    sub-directories ``cell_dir=<id>`` under each unit, rows sorted by the
+    full-resolution cell within each directory. Committed snapshots then
+    get planning-time spatial partition pruning via
+    ``read_table(..., descendants_of=...)`` for free; the manifest records
+    ``cell_dir_level`` so readers know the layout. Costs one extra shuffle
+    (the clustering repartition) at write time."""
     overlap = set(units) & committed_units(table)
     if overlap:
         raise ValueError(f"units {sorted(overlap)} already committed to {table}")
@@ -123,15 +137,28 @@ def write_units(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    part_cols = [unit_col]
+    if cell_col is not None:
+        from ult_spark import functions as UF
+        from ult_spark.io.layout import DIR_LEVEL
+
+        dl = DIR_LEVEL if dir_level is None else dir_level
+        df = (
+            df.withColumn("cell_dir", UF.cell_parent(F.col(cell_col), dl))
+            .repartition(unit_col, "cell_dir")
+            .sortWithinPartitions(cell_col)
+        )
+        part_cols.append("cell_dir")
     run_dir = str(Path(table) / "data" / run_id)
     obs = Observation()
     aggs = [
         F.sum(F.when(F.col(unit_col) == u, 1).otherwise(0)).alias(u) for u in units
     ]
-    df.observe(obs, *aggs).write.partitionBy(unit_col).mode("overwrite").parquet(run_dir)
+    df.observe(obs, *aggs).write.partitionBy(*part_cols).mode("overwrite").parquet(run_dir)
     counts = obs.get
     snap_id = int(time.time() * 1000)
     ts = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    extra = {} if cell_col is None else {"cell_dir_level": dl, "cell_col": cell_col}
     return {
         u: {
             "snapshot_id": snap_id,
@@ -140,6 +167,7 @@ def write_units(
             "path": f"{run_dir}/{unit_col}={u}",
             "rows": int(counts[u] or 0),
             "ts": ts,
+            **extra,
         }
         for u in units
     }
@@ -155,8 +183,18 @@ def commit_unit(table: str, manifest: dict) -> None:
     os.rename(tmp, d / f"{manifest['unit']}.json")
 
 
-def read_table(spark: SparkSession, table: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, table: str, descendants_of: int | None = None
+) -> DataFrame:
     """Union of all committed snapshots (uncommitted orphans invisible).
+
+    ``descendants_of`` (r6): on a table whose snapshots were written with a
+    cell layout (``write_units(cell_col=...)``), read only the rows under
+    that ancestor cell — the ``cell_dir`` partition predicate prunes whole
+    directories at planning time (io/layout.py descendant_predicates), so
+    a committed 100-TB snapshot serves a one-city query with one subtree
+    of I/O. Raises on tables without the layout (silently full-scanning
+    would hide the 100-TB mistake) or with mixed dir levels.
 
     Iceberg-committed units carry no path (the Iceberg catalog owns the
     data) — any such manifest routes the read to ``spark.table``. Committed
@@ -183,9 +221,38 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     # skip only rows==0 units (partitionBy writes no files for them); a
     # non-empty unit with a missing path fails LOUDLY in the read below —
     # that's committed data gone, not a case to paper over
-    paths = [s["path"] for s in snaps if s.get("rows", 1) != 0]
-    if not paths:
+    live = [s for s in snaps if s.get("rows", 1) != 0]
+    if not live:
         # every committed unit is empty: no parquet footer exists to infer
         # a schema from, so the honest result is an empty 0-column frame
+        if descendants_of is not None:
+            raise ValueError(f"{table}: empty table has no cell layout to prune")
         return spark.createDataFrame([], schema="struct<>")
-    return spark.read.parquet(*paths)
+    from functools import reduce
+
+    # one scan per snapshot path with ITS OWN basePath: multi-root partition
+    # discovery over nested cell_dir= subdirs otherwise conflicts, and an
+    # explicit basePath keeps cell_dir a proper partition column per scan
+    # (descendant predicates still push into every child of the union)
+    parts = [
+        spark.read.option("basePath", s["path"]).parquet(s["path"]) for s in live
+    ]
+    if descendants_of is None:
+        # the physical layout column is an internal detail — hide it so the
+        # logical schema is identical with and without the cell layout
+        return reduce(
+            lambda a, b: a.unionByName(b), [p.drop("cell_dir") for p in parts]
+        )
+    layouts = {(s.get("cell_dir_level"), s.get("cell_col")) for s in live}
+    if len(layouts) > 1 or next(iter(layouts))[0] is None:
+        raise ValueError(
+            f"{table}: descendants_of needs a uniform cell layout; "
+            f"snapshot layouts = {sorted(map(str, layouts))} — rewrite the "
+            "non-conforming units via write_units(cell_col=...) first"
+        )
+    dl, cell_col = next(iter(layouts))
+    from ult_spark.io.layout import descendant_predicates
+
+    dir_pred, cell_pred = descendant_predicates(descendants_of, cell_col, dl)
+    df = reduce(lambda a, b: a.unionByName(b), parts)
+    return df.where(dir_pred).where(cell_pred).drop("cell_dir")

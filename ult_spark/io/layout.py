@@ -45,6 +45,30 @@ def write_cell_partitioned(
     )
 
 
+def descendant_predicates(
+    ancestor_cell: int, cell: str = "cell", dir_level: int = DIR_LEVEL
+):
+    """(dir_pred, cell_pred) for reading only rows under ``ancestor_cell``
+    from a cell-partitioned layout: one BETWEEN on the ``cell_dir``
+    partition column prunes directories at planning time, and the same
+    range on ``cell`` exact-filters inside surviving partitions.
+
+    Directory predicate: an ancestor at a level <= ``dir_level`` covers
+    whole directories, whose ids fall inside its descendant range; a
+    DEEPER ancestor lives inside ONE directory whose id is OUTSIDE that
+    range (a parent id never lies in a child's range), so the partition
+    filter clamps to that single covering directory instead. Shared by
+    :func:`read_descendants` and the snapshot catalog's descendant read
+    (io/catalog.py read_table)."""
+    a = np.array([ancestor_cell], dtype=np.int64)
+    lo, hi = (int(x[0]) for x in C.cell_range(a))
+    if int(C.cell_level(a)[0]) <= dir_level:
+        dir_pred = F.col("cell_dir").between(lo, hi)
+    else:
+        dir_pred = F.col("cell_dir") == int(C.cell_parent(a, dir_level)[0])
+    return dir_pred, F.col(cell).between(lo, hi)
+
+
 def read_descendants(
     spark: SparkSession,
     path: str,
@@ -53,23 +77,6 @@ def read_descendants(
     dir_level: int = DIR_LEVEL,
 ) -> DataFrame:
     """Read only the rows under ``ancestor_cell`` (any level <= the data's
-    level): one BETWEEN on the partition column prunes directories, and
-    the same range on ``cell`` exact-filters inside surviving partitions.
-
-    Directory predicate: an ancestor at a level <= ``dir_level`` covers
-    whole directories, whose ids fall inside its descendant range; a
-    DEEPER ancestor lives inside ONE directory whose id is OUTSIDE that
-    range (a parent id never lies in a child's range), so the partition
-    filter clamps to that single covering directory instead.
-    """
-    a = np.array([ancestor_cell], dtype=np.int64)
-    lo, hi = (int(x[0]) for x in C.cell_range(a))
-    if int(C.cell_level(a)[0]) <= dir_level:
-        dir_pred = F.col("cell_dir").between(lo, hi)
-    else:
-        dir_pred = F.col("cell_dir") == int(C.cell_parent(a, dir_level)[0])
-    return (
-        spark.read.parquet(path)
-        .where(dir_pred)
-        .where(F.col(cell).between(lo, hi))
-    )
+    level); see :func:`descendant_predicates` for the pruning rule."""
+    dir_pred, cell_pred = descendant_predicates(ancestor_cell, cell, dir_level)
+    return spark.read.parquet(path).where(dir_pred).where(cell_pred)

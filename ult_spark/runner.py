@@ -59,6 +59,7 @@ def run_job(
     run_id: str | None = None,
     levels: tuple[int, ...] = (12, 10, 8),
     fail_after: int | None = None,
+    cell_col: str | None = "cell",
 ) -> list[str]:
     """Process all uncommitted units in ONE input scan; returns the units
     committed this run.
@@ -67,6 +68,12 @@ def run_job(
     simulate a mid-job crash (resume test, SURVEY §5.7). Data for the
     remaining units is already written but uncommitted (invisible orphans);
     the rerun recomputes and rewrites them under its own run_id.
+
+    ``cell_col`` (r6, verdict #4): snapshots are Z-order cell-partitioned
+    by default (io/layout.py via catalog.write_units), so committed output
+    supports planning-time spatial pruning through
+    ``catalog.read_table(..., descendants_of=...)``; pass None to skip the
+    clustering shuffle.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
     done = catalog.committed_units(out_table)
@@ -75,7 +82,9 @@ def run_job(
         return []
     tiles = units_plan(pages, pending, buckets, levels)
     tiles_m, acc = L.instrumented(tiles, unit_col="unit")
-    manifests = catalog.write_units(tiles_m, out_table, pending, run_id)
+    manifests = catalog.write_units(
+        tiles_m, out_table, pending, run_id, cell_col=cell_col
+    )
     committed: list[str] = []
     for unit in pending:
         catalog.commit_unit(out_table, manifests[unit])
