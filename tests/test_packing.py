@@ -326,3 +326,45 @@ def test_asof_keyed_inclusive_at_equal_ts(spark):
         for r in asof_join_keyed(left, versions, "k", "ts", "vts", "version_id").collect()
     }
     assert got == {100: None, 101: 10, 102: 11, 200: 20}
+
+
+def test_asof_keyed_equal_ts_version_tie_is_deterministic(spark):
+    """ADVICE r5: two versions sharing (key, ts) must carry a DETERMINISTIC
+    value — the max version_id (final window tiebreak), not a
+    partition-dependent pick."""
+    from ult_spark.ops.relational import asof_join_keyed
+
+    versions = spark.createDataFrame(
+        [(1, 10, "2026-01-05 00:00:00"), (1, 13, "2026-01-05 00:00:00"),
+         (1, 11, "2026-01-05 00:00:00")],
+        "k long, version_id long, vts string",
+    ).select("k", "version_id", F.to_timestamp("vts").alias("vts"))
+    left = spark.createDataFrame(
+        [(1, 100, "2026-01-06 00:00:00"), (1, 101, "2026-01-05 00:00:00")],
+        "k long, row_id long, ts string",
+    ).select("k", "row_id", F.to_timestamp("ts").alias("ts"))
+    for _ in range(3):  # stable across plans/retries
+        got = {
+            r.row_id: r.version_id
+            for r in asof_join_keyed(
+                left.repartition(7), versions.repartition(5), "k", "ts", "vts", "version_id"
+            ).collect()
+        }
+        assert got == {100: 13, 101: 13}
+
+
+def test_asof_keyed_refuses_ver_col_collision(spark):
+    """ADVICE r5: a left table already carrying ver_col would pollute the
+    ignorenulls carry — refused loudly."""
+    import pytest
+
+    from ult_spark.ops.relational import asof_join_keyed
+
+    versions = spark.createDataFrame(
+        [(1, 10, "2026-01-05 00:00:00")], "k long, version_id long, vts string"
+    ).select("k", "version_id", F.to_timestamp("vts").alias("vts"))
+    left = spark.createDataFrame(
+        [(1, 99, "2026-01-06 00:00:00")], "k long, version_id long, ts string"
+    ).select("k", "version_id", F.to_timestamp("ts").alias("ts"))
+    with pytest.raises(ValueError, match="version_id"):
+        asof_join_keyed(left, versions, "k", "ts", "vts", "version_id")

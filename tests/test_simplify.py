@@ -85,3 +85,34 @@ def test_raster_bilinear_planted(spark):
     assert got[2] == 25_000_000
     assert got[3] == 17_500_000
     assert got[4] == 10_000_000
+
+
+def test_raster_bilinear_sparse_raster_emits_null(spark):
+    """ADVICE r5: a missing corner pixel must NOT silently bias the sample
+    — points whose 2x2 stencil touches a hole return val_e6 NULL (no
+    renormalization), even when the missing corner's weight is 0, and
+    every input point keeps its row."""
+    from ult_spark.geom.raster import GeoRef
+    from ult_spark.ops.zonal import raster_bilinear
+
+    ref = GeoRef(origin_lat=0.0, origin_lon=0.0, cell_deg=1.0, nrows=4, ncols=4)
+    # pixel (0,0) is a hole
+    raster = spark.createDataFrame(
+        [(r, c, float(10 * r + c)) for r in range(4) for c in range(4) if (r, c) != (0, 0)],
+        "row int, col int, value double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),  # stencil (0..1, 0..1): touches the hole → NULL
+            (2, 0.5, 1.0),  # stencil (0..1, 0..1) with zero weight on the
+                            # hole (wx puts 0 on col 0? no: fx=0.5 → c0=0,
+                            # wx=0.5) — still touches → NULL
+            (3, 2.0, 2.0),  # stencil (1..2, 1..2): away from hole → exact
+        ],
+        "event_id long, lat double, lon double",
+    )
+    got = {r.event_id: r.val_e6 for r in raster_bilinear(pts, raster, ref).collect()}
+    assert len(got) == 3
+    assert got[1] is None and got[2] is None
+    # mean of pixels 11, 12, 21, 22 at wy=wx=0.5 → 16.5
+    assert got[3] == 16_500_000

@@ -654,3 +654,80 @@ def test_stream_session_trips_equals_batch_closed_sessions(spark, tmp_path, sf_s
         if r.session_id != last[r.user_id]
     }
     assert stream_set == expect and len(expect) > 0
+
+
+def test_stream_session_trips_out_of_order_detection(spark, tmp_path):
+    """ADVICE r5: an event older than the open session's last timestamp
+    must fail loudly (the per-key in-order precondition is enforced), and
+    on_out_of_order='ignore' restores the permissive behavior."""
+    import pytest
+
+    from ult_spark.streaming import stream_session_trips
+
+    schema = "user_id long, event_id long, es long, lat double, lon double"
+    src = str(tmp_path / "oo_src")
+    spark.createDataFrame(
+        [(1, 1, 5000, 0.0, 0.0), (1, 2, 6000, 0.0, 0.0)], schema
+    ).write.mode("append").parquet(src)
+
+    def run(ck, **kw):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_session_trips(stream, **kw)
+            .writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck_oo")  # seeds state: open session, last_es=6000
+    spark.createDataFrame([(1, 3, 1000, 0.0, 0.0)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception, match="out-of-order input for key 1"):
+        run("ck_oo")
+    # permissive mode completes on the same feed (fresh checkpoint)
+    run("ck_oo_ignore", on_out_of_order="ignore")
+
+
+def test_stream_session_trips_idle_timeout_flushes(spark, tmp_path):
+    """ADVICE r5: with idle_timeout_ms, a user that stops appearing gets
+    their open session FLUSHED (emitted as closed) by a processing-time
+    timeout and their state removed — state stays bounded. Runs under a
+    processing-time trigger: an armed timeout keeps scheduling no-data
+    batches, so availableNow would never self-terminate (documented)."""
+    import time
+
+    from ult_spark.streaming import stream_session_trips
+
+    schema = "user_id long, event_id long, es long, lat double, lon double"
+    src = str(tmp_path / "idle_src")
+    spark.createDataFrame(
+        [(1, 1, 5000, 0.0, 0.0), (1, 2, 6000, 0.0, 0.0)], schema
+    ).write.mode("append").parquet(src)
+    batches = []
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_session_trips(stream, idle_timeout_ms=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: batches.append(df.toPandas()))
+        .option("checkpointLocation", str(tmp_path / "idle_ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            got = pd.concat([b for b in batches if len(b)], ignore_index=True) \
+                if any(len(b) for b in batches) else pd.DataFrame()
+            if len(got):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    flushed = got[got.user_id == 1]
+    assert len(flushed) == 1
+    row = flushed.iloc[0]
+    assert (row.session_id, row.n_events, row.dur_s) == (1, 2, 1000)

@@ -399,7 +399,19 @@ def asof_join_keyed(
     theta join, no broadcast — versions stream through the same sort as
     the data. Returns ``left``'s columns + ``ver_col`` (NULL when no
     version precedes).
+
+    Determinism (ADVICE r5): the window order is (_ts, _is_left,
+    ver_col) — the final ver_col tiebreak makes the carried value the MAX
+    ``ver_col`` among versions sharing (key, ts), a total order instead of
+    a partition-dependent pick. ``left`` must not already carry a column
+    named ``ver_col`` (its values would pollute the ignorenulls carry and
+    the output would duplicate the name) — refused loudly.
     """
+    if ver_col in left.columns:
+        raise ValueError(
+            f"left already has a column named {ver_col!r} — it would be "
+            "read by the ignorenulls carry as version data; rename it first"
+        )
     lcols = left.columns
     l = left.select(
         F.col(key).alias("_k"),
@@ -416,7 +428,7 @@ def asof_join_keyed(
     u = l.unionByName(v, allowMissingColumns=True)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_is_left")
+        .orderBy("_ts", "_is_left", F.col(ver_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # left rows carry NULL in ver_col, so last-ignore-nulls reads the

@@ -345,6 +345,14 @@ def raster_bilinear(
     equi-joins the raster on (row, col) — at production raster sizes this
     is a plain shuffle join keyed by pixel, then one point-keyed
     aggregation; no window, nothing quadratic.
+
+    Sparse rasters (ADVICE r5): a corner pixel absent from ``raster`` does
+    NOT silently bias the sample — the corner join is a LEFT join and any
+    point with fewer than 4 matched corners returns ``val_e6 = NULL``
+    (no renormalization: a weight-rescaled partial sample would be a
+    different estimator than bilinear, silently). Every input point keeps
+    its output row. Dense grids (the synthetic raster, any gapless tile)
+    are unaffected.
     """
     fy = (F.col(lat) - F.lit(ref.origin_lat)) / F.lit(ref.cell_deg) - F.lit(0.5)
     fx = (F.col(lon) - F.lit(ref.origin_lon)) / F.lit(ref.cell_deg) - F.lit(0.5)
@@ -380,16 +388,20 @@ def raster_bilinear(
         ).alias("_w"),
     )
     return (
-        corners.join(raster.select("row", "col", value), ["row", "col"])
+        corners.join(raster.select("row", "col", value), ["row", "col"], "left")
         .groupBy("_id")
         .agg(
             F.sum(
                 F.floor(F.col("_w") * F.col(value) * F.lit(1000000.0)).cast("long")
             )
             .cast("long")
-            .alias("val_e6")
+            .alias("_s"),
+            F.count(value).alias("_n"),
         )
-        .select(F.col("_id").alias(id_col), "val_e6")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_n") == 4, F.col("_s")).cast("long").alias("val_e6"),
+        )
     )
 
 

@@ -2944,8 +2944,11 @@ _ASOF_KEYED_SQL = (
     "CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders), "
     "u AS (SELECT k, ts, 1 AS is_left, o_orderkey, NULL AS version_id FROM l "
     "UNION ALL SELECT k, vts, 0, NULL, version_id FROM v), "
+    # version_id tiebreak (ADVICE r5): equal-(k, ts) versions carry the MAX
+    # id — same total order as the operator's window (nulls group together:
+    # only version rows have ids, so null placement cannot reorder them)
     "c AS (SELECT *, last_value(version_id IGNORE NULLS) OVER "
-    "(PARTITION BY k ORDER BY ts ASC, is_left ASC "
+    "(PARTITION BY k ORDER BY ts ASC, is_left ASC, version_id ASC NULLS FIRST "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vcur FROM u) "
     "SELECT o_orderkey, CAST(vcur AS BIGINT) AS version_id FROM c WHERE is_left = 1"
 )

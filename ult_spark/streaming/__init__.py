@@ -419,7 +419,12 @@ def session_window_counts(
     )
 
 
-def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def stream_session_trips(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    idle_timeout_ms: int | None = None,
+    on_out_of_order: str = "error",
+) -> DataFrame:
     """Stateful incremental session trajectories (r5): the streaming twin
     of ops/relational.py ``session_trips`` as a CUSTOM stateful operator
     (``applyInPandasWithState``) — per-user state carries the open
@@ -429,19 +434,40 @@ def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFram
     stays in state across batches/restarts (checkpointed).
 
     Input columns: user_id, event_id, es (epoch seconds, precompute with
-    unix_timestamp — native side), lat, lon. Precondition (documented):
-    per-key event-time arrival order across batches — true of
-    chronological file/commit ingest; out-of-order feeds need a
-    watermark + reorder stage in front. Session ids and all stats match
-    the batch operator for every closed session (equivalence-tested);
-    per CLAUDE.md the pandas closure is self-contained (math/pandas
-    only, haversine inlined with the same formula structure, floor per
-    leg before the integer sum).
+    unix_timestamp — native side), lat, lon. Precondition: per-key
+    event-time arrival order across batches — true of chronological
+    file/commit ingest; out-of-order feeds need a watermark + reorder
+    stage in front. The precondition is ENFORCED, not assumed (ADVICE
+    r5): an event older than the open session's last seen timestamp
+    raises a ValueError naming the key (``on_out_of_order='ignore'``
+    restores the old silent behavior for feeds known to be only
+    batch-internally unordered). Session ids and all stats match the
+    batch operator for every closed session (equivalence-tested); per
+    CLAUDE.md the pandas closure is self-contained (math/pandas only,
+    haversine inlined with the same formula structure, floor per leg
+    before the integer sum).
+
+    ``idle_timeout_ms`` (ADVICE r5): without it, a user that stops
+    appearing keeps their final session in state forever and it never
+    emits. With it, a ProcessingTimeTimeout flushes the open session as
+    closed and REMOVES the key's state after that much processing-time
+    idleness — state stays bounded by genuinely active keys. After a
+    flush the user's session numbering restarts at 1 (the state is
+    gone); consumers needing globally unique ids should key by
+    (user_id, session start), which the flush preserves. Deployment
+    note (measured): with an armed processing-time timeout Spark keeps
+    scheduling no-data microbatches, so ``Trigger.AvailableNow`` runs
+    never self-terminate — use idle_timeout_ms only with a continuous
+    (processing-time) trigger, the natural deployment for a stream that
+    needs idle flushing in the first place.
 
     Scale shape: one shuffle keyed by user; state is O(active users) ×
     one open session row — no history accumulates.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if on_out_of_order not in ("error", "ignore"):
+        raise ValueError(f"on_out_of_order must be 'error' or 'ignore', got {on_out_of_order!r}")
 
     out_schema = (
         "user_id long, session_id long, n_events long, dur_s long, "
@@ -452,11 +478,17 @@ def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFram
         "last_lon double, n long, dist long, maxleg long"
     )
     gap = int(gap_seconds)
+    idle_ms = int(idle_timeout_ms) if idle_timeout_ms else 0
+    oo_error = on_out_of_order == "error"
 
     def fn(key, pdfs, state):
         import math
 
         import pandas as _pd
+
+        _cols = [
+            "user_id", "session_id", "n_events", "dur_s", "dist_m", "max_leg_m",
+        ]
 
         def leg_m(lat1, lon1, lat2, lon2):
             dlat = math.radians(lat2 - lat1) / 2.0
@@ -476,9 +508,26 @@ def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFram
             sess, first_es, last_es, last_lat, last_lon, n, dist, maxleg = (
                 0, 0, 0, 0.0, 0.0, 0, 0, 0
             )
+        if state.hasTimedOut:
+            # idle flush: the key saw no data for idle_timeout_ms — emit the
+            # open session as closed and drop the state (bounded memory)
+            flushed = (
+                [(key[0], sess, n, last_es - first_es, dist, maxleg)] if n > 0 else []
+            )
+            state.remove()
+            yield _pd.DataFrame(flushed, columns=_cols)
+            return
         closed = []
         rows = _pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["es", "event_id"])
+        if oo_error and n > 0 and len(rows) and int(rows["es"].iloc[0]) < last_es:
+            raise ValueError(
+                f"out-of-order input for key {key[0]}: event at es="
+                f"{int(rows['es'].iloc[0])} arrived after the open session "
+                f"already saw es={last_es} — feed violates the per-key "
+                "in-order precondition (reorder upstream, or pass "
+                "on_out_of_order='ignore')"
+            )
         for es, lat, lon in zip(rows["es"], rows["lat"], rows["lon"]):
             es, lat, lon = int(es), float(lat), float(lon)
             if n == 0:
@@ -493,13 +542,13 @@ def stream_session_trips(events: DataFrame, gap_seconds: int = 1800) -> DataFram
                 dist, maxleg, n = dist + lg, max(maxleg, lg), n + 1
             last_es, last_lat, last_lon = es, lat, lon
         state.update((sess, first_es, last_es, last_lat, last_lon, n, dist, maxleg))
-        yield _pd.DataFrame(
-            closed,
-            columns=[
-                "user_id", "session_id", "n_events", "dur_s", "dist_m", "max_leg_m",
-            ],
-        )
+        if idle_ms:
+            state.setTimeoutDuration(idle_ms)
+        yield _pd.DataFrame(closed, columns=_cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if idle_ms else GroupStateTimeout.NoTimeout
+    )
     return events.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout
     )
