@@ -1,0 +1,63 @@
+"""Bucketed co-located joins (r6 io/bucketing.py): the one-time write
+shuffle buys exchange-free joins and aggs on the bucket key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ult_spark.io.bucketing import assert_colocated, bucket_join, write_bucketed
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("v")
+    )
+    labels = spark.range(0, 2000, 2).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("cluster")
+    )
+    write_bucketed(docs, "b_docs", "doc_id", 8, path=str(tmp_path / "b_docs"))
+    write_bucketed(labels, "b_labels", "doc_id", 8, path=str(tmp_path / "b_labels"))
+    yield "b_docs", "b_labels"
+    for t in ("b_docs", "b_labels", "b_labels16"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucket_join_has_no_exchange_and_exact_rows(spark, bucketed_pair):
+    l, r = bucketed_pair
+    # force the merge-join path (a broadcast would hide the property)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucket_join(spark, l, r, "doc_id")
+        assert_colocated(j)  # no Exchange on either side
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        got = sorted((r_.doc_id, r_.v, r_.cluster) for r_ in j.collect())
+        assert len(got) == 1000
+        assert got[0] == (0, 0, 0) and all(d % 2 == 0 for d, _, _ in got)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_agg_skips_exchange(spark, bucketed_pair):
+    l, _ = bucketed_pair
+    agg = spark.table(l).groupBy("doc_id").agg(F.sum("v").alias("s"))
+    assert_colocated(agg)
+    assert agg.count() == 2000
+
+
+def test_mismatched_bucket_counts_are_detected(spark, bucketed_pair, tmp_path):
+    l, _ = bucketed_pair
+    labels16 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("cluster")
+    )
+    write_bucketed(labels16, "b_labels16", "doc_id", 16, path=str(tmp_path / "b16"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucket_join(spark, l, "b_labels16", "doc_id")
+        with pytest.raises(AssertionError, match="Exchange"):
+            assert_colocated(j)
+        assert j.count() == 100  # still correct, just not co-located
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
