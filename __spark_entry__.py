@@ -50,7 +50,8 @@ _PRIORITY = [
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # new in round 6
-    "dup_keep_best", "session_window_counts_b",
+    "dup_keep_best", "session_window_counts_b", "funnel_steps",
+    "scd2_orders_intervals", "kernel_smooth_l6", "host_quality_stats",
     # round-4-green backfill to fill the 50-slot window
     "ann_cosine_topk", "ann_lsh_topk", "asof_orders_version",
     "audio_chunk_plan", "buffer_cells_dist", "cell_encode_l12",

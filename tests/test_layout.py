@@ -254,3 +254,23 @@ def test_cell_partitioned_layout_prunes_directories(spark, sf_smoke, tmp_path):
     )
     # one file per directory at this scale
     assert files_read(lambda: read_descendants(spark, path, anc5)) == 1
+
+
+def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Round-6 operators stay native Column programs: cluster-canonical
+    retention, the batch session-window twin, the ordered funnel, SCD-2
+    intervals, kernel smoothing, and per-host quality stats."""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "dup_keep_best",
+        "session_window_counts_b",
+        "funnel_steps",
+        "scd2_orders_intervals",
+        "kernel_smooth_l6",
+        "host_quality_stats",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name

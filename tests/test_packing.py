@@ -368,3 +368,89 @@ def test_asof_keyed_refuses_ver_col_collision(spark):
     ).select("k", "version_id", F.to_timestamp("ts").alias("ts"))
     with pytest.raises(ValueError, match="version_id"):
         asof_join_keyed(left, versions, "k", "ts", "vts", "version_id")
+
+
+def test_funnel_counts_order_semantics(spark):
+    """r6 funnel_counts: a user whose purchase precedes their first click
+    does NOT reach step 3; the inclusive same-instant boundary completes
+    adjacent steps; counts are monotone."""
+    from ult_spark.ops.relational import funnel_counts
+
+    rows = [
+        # u1: proper order view→click→purchase
+        (1, "view", "2026-01-01 00:00:00"), (1, "click", "2026-01-01 00:01:00"),
+        (1, "purchase", "2026-01-01 00:02:00"),
+        # u2: purchase BEFORE click — reaches step 2 only
+        (2, "view", "2026-01-01 00:00:00"), (2, "purchase", "2026-01-01 00:00:30"),
+        (2, "click", "2026-01-01 00:01:00"),
+        # u3: click at the SAME instant as view — inclusive boundary counts
+        (3, "view", "2026-01-01 00:00:00"), (3, "click", "2026-01-01 00:00:00"),
+        # u4: only an error event — step 0 only
+        (4, "error", "2026-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.step: r.users for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert got == {0: 4, 1: 3, 2: 3, 3: 1}
+
+
+def test_scd2_intervals_chain_and_ties(spark):
+    """r6 scd2_intervals: intervals chain per key; equal-ts versions order
+    by the tiebreak (zero-length interval kept); last version open."""
+    from ult_spark.ops.relational import scd2_intervals
+
+    rows = [
+        (1, 10, "2026-01-01 00:00:00"), (1, 11, "2026-01-02 00:00:00"),
+        (1, 12, "2026-01-02 00:00:00"),  # ties v11 — supersedes instantly
+        (2, 20, "2026-01-05 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, vid long, vts string"
+    ).withColumn("vts", F.to_timestamp("vts"))
+    got = {r.vid: (r.eff_from, r.eff_to) for r in scd2_intervals(df, "k", "vts", "vid").collect()}
+    t1 = got[10][0]
+    t2 = got[11][0]
+    assert got[10] == (t1, t2)
+    assert got[11] == (t2, t2)  # zero-length: superseded at the same instant
+    assert got[12] == (t2, None)
+    assert got[20][1] is None
+
+
+def test_kernel_smooth_matches_brute_force(spark):
+    """r6 kernel_smooth: planted points vs a numpy brute-force of the
+    binomial stencil with x-wrap and y-clamp."""
+    import numpy as np
+
+    from ult_spark.ops.tiles import _binomial_weights, kernel_smooth
+    from ult_spark.grid import cells as C
+
+    level, n = 3, 8
+    rng = [(0.0, 0.0), (80.0, 170.0), (-80.0, -170.0), (10.0, 20.0), (10.0, 20.0)]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(rng)],
+        "event_id long, lat double, lon double",
+    )
+    got = {r.cell: r.smooth for r in kernel_smooth(df, level=level, k=1).collect()}
+    # brute force
+    grid = np.zeros((n, n), dtype=np.int64)
+    for la, lo in rng:
+        x = min(int((lo + 180.0) / 360.0 * n), n - 1)
+        y = min(int((la + 90.0) / 180.0 * n), n - 1)
+        grid[y, x] += 1
+    w = _binomial_weights(1)
+    exp = {}
+    for y in range(n):
+        for x in range(n):
+            s = 0
+            for (dx, dy), wt in w.items():
+                sy, sx = y - dy, (x - dx) % n
+                if 0 <= sy < n:
+                    s += wt * grid[sy, sx]
+            if s:
+                exp[(x, y)] = s
+    got_xy = {}
+    for cell, v in got.items():
+        cx, cy, _ = C.cell_to_xy(np.array([cell], dtype=np.int64))
+        got_xy[(int(cx[0]), int(cy[0]))] = v
+    assert got_xy == exp

@@ -466,3 +466,114 @@ def cell_range_join_anchored(
         cells.select(F.col("cell").alias("_anchor"), *[c for c in cells.columns if c != "cell"]),
         "_anchor",
     ).drop("_anchor")
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis (r6): how many users reach each step of
+    ``steps`` IN ORDER — step k counts users with an event of type
+    steps[k] at-or-after their earliest completion of step k-1 (the
+    classic product-analytics funnel, windowless formulation).
+
+    Exact boundary (pinned): comparisons are on epoch MICROSECONDS
+    (integer, both engines) and at-or-after is inclusive (>=) — an event
+    can complete two adjacent steps at the same instant only if both
+    types occur at that timestamp. Returns (step, users): step 0 = users
+    with ANY event, step k = users whose step-k time exists; every step's
+    count is <= the previous (monotone by construction).
+
+    Scale shape: one tiny filtered agg per step (shuffles keyed by user,
+    partial aggs map-side), chained through |steps| broadcast-size joins
+    — input is scanned once per step but each scan prunes to one event
+    type (predicate pushdown); nothing quadratic, no window over the
+    full input.
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp")).alias("_us")
+    e = events.select(F.col(key).alias("_k"), F.col(type_col).alias("_t"), us)
+    reached = e.select("_k").distinct().select("_k")
+    counts = [("0", reached)]
+    prev = None  # DataFrame (_k, _tk): earliest completion of previous step
+    for i, step in enumerate(steps, start=1):
+        s = e.where(F.col("_t") == step)
+        if prev is not None:
+            s = s.join(prev, "_k").where(F.col("_us") >= F.col("_tk")).drop("_tk")
+        cur = s.groupBy("_k").agg(F.min("_us").alias("_tk"))
+        counts.append((str(i), cur.select("_k")))
+        prev = cur
+    frames = [
+        df.groupBy().agg(
+            F.lit(int(lbl)).alias("step"), F.count(F.lit(1)).cast("long").alias("users")
+        )
+        for lbl, df in counts
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def funnel_counts_sql(steps: list[str], table: str = "events") -> str:
+    """DuckDB mirror of :func:`funnel_counts` (same inclusive integer-
+    microsecond boundary, same step chaining)."""
+    ctes = [
+        f"e AS (SELECT user_id AS k, event_type AS t, epoch_us(ts) AS us FROM {table})",
+        "s0 AS (SELECT DISTINCT k FROM e)",
+    ]
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        src = "e"
+        cond = f"t = '{step}'"
+        if prev is not None:
+            ctes.append(
+                f"s{i} AS (SELECT e.k, min(us) AS tk FROM e JOIN {prev} p ON e.k = p.k "
+                f"WHERE {cond} AND us >= p.tk GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT k, min(us) AS tk FROM e WHERE {cond} GROUP BY 1)"
+            )
+        prev = f"s{i}"
+    selects = ["SELECT 0 AS step, CAST(count(*) AS BIGINT) AS users FROM s0"] + [
+        f"SELECT {i} AS step, CAST(count(*) AS BIGINT) AS users FROM s{i}"
+        for i in range(1, len(steps) + 1)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+def scd2_intervals(
+    versions: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """SCD-2 validity intervals (r6): turn a stream of version rows into
+    slowly-changing-dimension intervals — each row becomes effective at
+    its own timestamp and expires at the NEXT version's timestamp of the
+    same key (NULL = still current). The interval table is what an as-of
+    join materializes; building it once makes point-in-time lookups a
+    plain BETWEEN.
+
+    Total order (pinned): versions of a key are ordered by
+    (ts, tiebreak) — equal-timestamp versions chain deterministically,
+    the later tiebreak superseding instantly (an equal-ts pair yields a
+    zero-length interval, kept: it is the honest record of the
+    supersession). Timestamps are floored epoch seconds in the output.
+
+    Scale shape: ONE window keyed by ``key`` (one shuffle); no join.
+    """
+    eff = F.unix_timestamp(F.col(ts)).alias("eff_from")
+    return versions.select(key, tiebreak, eff).select(
+        key,
+        tiebreak,
+        "eff_from",
+        F.lead("eff_from").over(
+            Window.partitionBy(key).orderBy(
+                F.col("eff_from").asc(), F.col(tiebreak).asc()
+            )
+        ).alias("eff_to"),
+    )

@@ -118,6 +118,100 @@ def focal_agg(
     )
 
 
+def _binomial_weights(k: int) -> dict[tuple[int, int], int]:
+    """Separable integer binomial kernel over a (2k+1)² neighborhood —
+    row k of Pascal's triangle squared outer-product (k=1 → the classic
+    1-2-1 / 2-4-2 / 1-2-1 smoothing stencil). Integer weights keep the
+    weighted sum addition-order-free (CLAUDE.md), hence engine-exact."""
+    row = [1]
+    for _ in range(2 * k):
+        row = [a + b for a, b in zip([0] + row, row + [0])]
+    return {
+        (dx, dy): row[dx + k] * row[dy + k]
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+    }
+
+
+def kernel_smooth(
+    points: DataFrame,
+    level: int,
+    k: int = 1,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Kernel-density smoothing over the tile grid (r6): the weighted
+    generalization of :func:`focal_agg` — every tile's smoothed value is
+    the binomial-weighted sum of its Chebyshev-``k`` neighborhood counts
+    (a discrete Gaussian approximation, the standard heatmap kernel).
+
+    Same geometry contract as focal_agg: x wraps across the antimeridian
+    with the dx span capped so each wrapped column is reached at most
+    once, y clamps at the poles (no wrap, mass at the edge is simply not
+    scattered outside). The kernel weight belongs to the RELATIVE offset
+    and the stencil is symmetric, so scatter (source → target) and gather
+    (target ← source) are the same program — we scatter, keeping the plan
+    aggregate-first: tile counts (one input-sized shuffle), then a
+    (2k+1)²-way literal explode of the tiny tile set, then the weighted
+    re-aggregate. Returns (cell, smooth) with integer smooth; empty
+    neighborhoods don't appear (pinned, as focal_agg).
+    """
+    n = 1 << level
+    rlo = min(k, n // 2)  # keep in sync with kernel_smooth_sql / focal_agg
+    rhi = min(k, (n - 1) // 2)
+    wts = _binomial_weights(k)
+    tiles = points.groupBy(
+        UF.grid_x(lon, level).alias("_x"), UF.grid_y(lat, level).alias("_y")
+    ).agg(F.count("*").alias("_c"))
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(wts[(dx, dy)]).alias("w"),
+            )
+            for dx in range(-rlo, rhi + 1)
+            for dy in range(-k, k + 1)
+        ]
+    )
+    return (
+        tiles.withColumn("_o", F.explode(offsets))
+        .withColumn("_tx", F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)))
+        .withColumn("_ty", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy("_tx", "_ty")
+        .agg(F.sum(F.col("_c") * F.col("_o.w")).cast("long").alias("smooth"))
+        .select(
+            UF.xy_to_cell(F.col("_tx"), F.col("_ty"), level).alias("cell"),
+            "smooth",
+        )
+    )
+
+
+def kernel_smooth_sql(
+    lat_sql: str, lon_sql: str, level: int, k: int = 1, table: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`kernel_smooth` (same grid arithmetic, same
+    dx cap, same integer binomial weights)."""
+    n = 1 << level
+    rlo = min(k, n // 2)  # keep in sync with kernel_smooth
+    rhi = min(k, (n - 1) // 2)
+    wts = _binomial_weights(k)
+    offs = ",".join(
+        f"({dx},{dy},{wts[(dx, dy)]})"
+        for dx in range(-rlo, rhi + 1)
+        for dy in range(-k, k + 1)
+    )
+    return (
+        f"WITH t AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y, count(*) AS c FROM {table} GROUP BY 1, 2), "
+        f"o(dx, dy, w) AS (VALUES {offs}), "
+        f"f AS (SELECT (x + dx + {n}) % {n} AS tx, y + dy AS ty, "
+        f"CAST(sum(c * w) AS BIGINT) AS smooth "
+        f"FROM t, o WHERE y + dy >= 0 AND y + dy < {n} GROUP BY 1, 2) "
+        f"SELECT {UF.xy_cell_sql('tx', 'ty', level)} AS cell, smooth FROM f"
+    )
+
+
 def focal_agg_sql(lat_sql: str, lon_sql: str, level: int, k: int = 1, table: str = "events") -> str:
     """DuckDB mirror of :func:`focal_agg` (same grid arithmetic, same dx cap)."""
     n = 1 << level

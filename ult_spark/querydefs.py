@@ -3017,3 +3017,121 @@ def _attach_anchored_oracle() -> None:
 
 
 _attach_anchored_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 6: ordered funnel, SCD-2 intervals, kernel-smoothed tiles,
+# per-host quality stats, cluster-canonical retention (dup_keep_best and
+# session_window_counts_b are registered beside their families above).
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@q("funnel_steps", None)
+def funnel_steps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (r6, ops/relational.py
+    funnel_counts): users reaching each step at-or-after their earliest
+    completion of the previous one; integer-microsecond boundary."""
+    from ult_spark.ops.relational import funnel_counts
+
+    return funnel_counts(load(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+def _attach_funnel_oracle() -> None:
+    from ult_spark.ops.relational import funnel_counts_sql
+
+    ORACLES["funnel_steps"] = funnel_counts_sql(_FUNNEL_STEPS)
+
+
+_attach_funnel_oracle()
+
+
+@q(
+    "scd2_orders_intervals",
+    # same total order: (eff_from, orderkey) — equal-ts versions chain
+    # deterministically; NULL eff_to = current version
+    "SELECT o_custkey, o_orderkey, eff_from, "
+    "lead(eff_from) OVER (PARTITION BY o_custkey "
+    "ORDER BY eff_from ASC, o_orderkey ASC) AS eff_to FROM ("
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS eff_from "
+    "FROM orders)",
+)
+def scd2_orders_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals (r6, ops/relational.py scd2_intervals):
+    each order becomes the customer's effective version until the next
+    one — ONE window keyed by customer, no join; the interval table that
+    turns point-in-time lookups into a BETWEEN."""
+    from ult_spark.ops.relational import scd2_intervals
+
+    versions = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("vts")
+    )
+    return scd2_intervals(versions, "o_custkey", "vts", "o_orderkey").select(
+        "o_custkey", "o_orderkey",
+        F.col("eff_from").cast("long").alias("eff_from"),
+        F.col("eff_to").cast("long").alias("eff_to"),
+    )
+
+
+@q("kernel_smooth_l6", None)
+def kernel_smooth_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial kernel-density smoothing over the L6 tile grid (r6,
+    ops/tiles.py kernel_smooth): the weighted focal generalization —
+    integer 1-2-1 stencil weights keep the sum engine-exact; x wraps
+    (dx-capped), y clamps."""
+    from ult_spark.ops.tiles import kernel_smooth
+
+    return kernel_smooth(events_points(spark, sf_dir), level=6, k=1)
+
+
+def _attach_kernel_oracle() -> None:
+    from ult_spark.ops.tiles import kernel_smooth_sql
+
+    ORACLES["kernel_smooth_l6"] = kernel_smooth_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6, k=1
+    )
+
+
+_attach_kernel_oracle()
+
+
+@q(
+    "host_quality_stats",
+    # domain-level curation stats: the aggregation a corpus pipeline runs
+    # before domain filtering/reweighting — host synthesized from doc_id
+    # exactly as the hash-green url family does from event_id
+    "SELECT host, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_char) AS BIGINT) AS sum_char, "
+    "CAST(sum(n_tok) AS BIGINT) AS sum_tok, "
+    "CAST(sum(stop_ratio_e4) AS BIGINT) AS sum_stop_e4 FROM ("
+    "SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host, "
+    "CAST(length(text) AS BIGINT) AS n_char, CAST(n_tok AS BIGINT) AS n_tok, "
+    "CAST(stop * 10000 // n_tok AS BIGINT) AS stop_ratio_e4 FROM ("
+    "SELECT doc_id, text, len(toks) AS n_tok, "
+    "len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of'))) AS stop FROM ("
+    "SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x != '') "
+    "AS toks FROM documents))) GROUP BY host",
+)
+def host_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quality aggregation (r6): the domain-level stats a corpus
+    pipeline computes before domain filtering/reweighting — quality_score
+    (pinned e4 integers) rolled up by host. One groupBy keyed by host
+    (partial aggs make popular domains a non-issue)."""
+    from ult_spark.ops.textops import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+    )
+    return (
+        quality_score(docs)
+        .join(docs.select("doc_id", host.alias("host")), "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_char").cast("long").alias("sum_char"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum("stop_ratio_e4").cast("long").alias("sum_stop_e4"),
+        )
+    )
