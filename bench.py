@@ -117,6 +117,30 @@ def ensure_pages() -> None:
         spark.stop()
 
 
+def materialize(df) -> int:
+    """Execute a query for TIMING: noop sink + row-count observation.
+
+    ``df.count()`` is NOT a valid timing action for arbitrary queries:
+    Catalyst prunes everything count() doesn't need — a final Project's
+    expressions, and (Spark 4 propagates distinct keys from aggregates)
+    even a whole left-join branch whose right side is an aggregate. Found
+    in round 6: `decontam_fuzzy.count()` optimized to a bare filtered
+    parquet scan, skipping the entire MinHash/band-join path the wall was
+    supposed to measure (its honest wall is ~6x the count() wall at
+    sf0.1). The noop sink materializes every output column of every row
+    with zero collect cost; the Observation carries the row count out
+    without a second execution.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return int(obs.get["n"])
+
+
 def run_pipeline(spark, cache=CACHE) -> float:
     from ult_spark.pipeline import pages_pipeline
 
@@ -255,7 +279,7 @@ def main() -> None:
             # run carries codegen-compile + worker-spawn noise that made
             # round-over-round deltas meaningless at these data sizes
             t0 = time.time()
-            out_n = qs[name](spark, SF_DIR).count()
+            out_n = materialize(qs[name](spark, SF_DIR))
             walls.append(time.time() - t0)
         qtimes[name] = round(min(walls), 3)
         # per-query input/output volume (round-2 verdict #10): lets a

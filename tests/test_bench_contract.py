@@ -105,3 +105,24 @@ def test_settle_bounded_wait(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
     la = bench.settle(threshold=1.0, max_wait=40.0, step=10.0)
     assert la == 9.9 and sum(slept) == 40.0
+
+
+def test_materialize_executes_pruned_branches(spark):
+    """r6: count() lets Catalyst eliminate a left join whose right side
+    is an aggregate with distinct keys — the bug that made
+    decontam_fuzzy's bench wall measure a bare scan. materialize() must
+    return the same row count while executing the full plan."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(100).select(F.col("id").alias("k"))
+    right = (
+        spark.range(50)
+        .select((F.col("id") * 2).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = left.join(right, "k", "left")
+    # the premise: count() prunes the join entirely
+    pruned = joined.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in pruned
+    assert bench.materialize(left.join(right, "k", "left")) == 100

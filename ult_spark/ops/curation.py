@@ -488,8 +488,11 @@ def decontaminate_fuzzy(
     tb = bands.where(F.col("h") >= bench_e4).select(F.col("doc_id").alias("a"), "band")
     bb = bands.where(F.col("h") < bench_e4).select(F.col("doc_id").alias("b"), "band")
     cand = tb.join(bb, "band").select("a", "b").distinct()
+    # hashed sets (r6, same rationale as textops.jaccard_pairs): equality-
+    # only verify carries the 56-bit shingle hash, not the string
     docsets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shs"), F.count(F.lit(1)).alias("sz")
+        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
     )
     hits = (
         jaccard_pairs_from_sets(docsets, cand, threshold)

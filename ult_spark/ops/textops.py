@@ -261,8 +261,14 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None, threshold: floa
             .where(F.col("jacc_e4") >= int(threshold * 10000))
         )
         return out.select("a", "b", "inter", "jacc_e4")
+    # hashed sets (r6): the verify only needs set EQUALITY, so carry the
+    # 56-bit shingle hash instead of the string — ~6x less array memory
+    # traffic in the pair join/intersect (measured -20% on the 30x corpus).
+    # sz counts the STRING-distinct shingles; a 2^-56 collision would shrink
+    # shs only, and the oracle (which joins on the string) would surface it.
     docsets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+        F.count("*").alias("sz"),
     )
     return jaccard_pairs_from_sets(docsets, pairs, threshold)
 
@@ -271,8 +277,10 @@ def jaccard_pairs_from_sets(
     docsets: DataFrame, pairs: DataFrame, threshold: float = 0.2
 ) -> DataFrame:
     """Exact Jaccard for candidate ``pairs`` given per-doc shingle-set rows
-    (doc_id, shs array<string>, sz) — the zero-shuffle input shape produced
-    by :func:`shingle_array`."""
+    (doc_id, shs, sz). The kernel only uses element EQUALITY, so ``shs``
+    may carry the raw shingle strings or (the r6 default in every caller)
+    their 56-bit hashes — ~6x less array memory traffic through the pair
+    join; ``sz`` always counts the string-distinct shingles."""
     a = docsets.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"), F.col("sz").alias("sza"))
     b = docsets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"), F.col("sz").alias("szb"))
     return (
@@ -349,8 +357,14 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     reps = groups.select("doc_id", "text").repartition(n_part)
     sh = shingles(reps)
     cand = lsh_candidates(minhash_signature(sh))
+    # hashed sets (r6): the verify only needs set EQUALITY, so carry the
+    # 56-bit shingle hash instead of the string — ~6x less array memory
+    # traffic in the pair join/intersect (measured -20% on the 30x corpus).
+    # sz counts the STRING-distinct shingles; a 2^-56 collision would shrink
+    # shs only, and the oracle (which joins on the string) would surface it.
     docsets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+        F.count("*").alias("sz"),
     )
     rep_pairs = jaccard_pairs_from_sets(docsets, cand, threshold)
     cross = _expand_group_pairs(rep_pairs, groups, ["inter", "jacc_e4"])

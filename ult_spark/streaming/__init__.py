@@ -201,6 +201,7 @@ def stream_minhash_pairs(
     text (re-verify downstream if contents can mutate)."""
     from ult_spark.io import catalog
     from ult_spark.ops.textops import (
+        _h56,
         band_rows,
         jaccard_pairs_from_sets,
         minhash_signature,
@@ -219,8 +220,13 @@ def stream_minhash_pairs(
         new_bands = band_rows(minhash_signature(sh)).withColumn(
             "_batch", F.lit(batch_id)
         )
+        # hashed sets (r6, same rationale as textops.jaccard_pairs): the
+        # persisted signature store carries 56-bit shingle hashes, ~6x
+        # smaller than the strings (store format owned by this module;
+        # batch-id-keyed overwrite makes mixed-format replays impossible)
         new_sets = sh.groupBy("doc_id").agg(
-            F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+            F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+            F.count("*").alias("sz"),
         ).withColumn("_batch", F.lit(batch_id))
         # (2) store first, keyed by batch id: overwrite makes replays no-ops
         new_bands.write.mode("overwrite").parquet(f"{bands_dir}/{unit}")
