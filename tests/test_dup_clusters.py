@@ -200,3 +200,46 @@ def test_dup_keep_best_planted_clusters(spark):
 
     per_cluster = Counter(r.cluster_id for r in rows.values() if r.keep == 1)
     assert per_cluster == {c: 1 for c in set(labels.values())}
+
+
+def test_cluster_safe_split_is_cluster_atomic(spark):
+    """r6 cluster_safe_split: every near-dup cluster lands wholly in ONE
+    split; the output partitions the corpus; doc-id hashing (split_assign)
+    would straddle at least one planted cluster under the same thresholds
+    — the leakage this operator exists to prevent."""
+    from ult_spark.ops.textops import cluster_safe_split, dup_clusters
+
+    # several 4-copy exact clusters (ids chosen so doc-level h56 buckets
+    # differ within a cluster) + singletons
+    texts = []
+    for c in range(6):
+        texts += [f"cluster {c} shared text one two three four five six seven"] * 4
+    texts += [" ".join(f"w{i}_{j}" for j in range(12)) for i in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    out = {r.doc_id: r for r in cluster_safe_split(
+        df, threshold=0.2, val_e4=3000, test_e4=3000
+    ).collect()}
+    assert set(out) == set(range(len(texts)))  # partition of the corpus
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters(df, threshold=0.2).collect()}
+    # cluster-atomic: one split per cluster
+    per_cluster: dict[int, set[str]] = {}
+    for d, r in out.items():
+        assert r.cluster_id == labels[d]
+        per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # buckets/threshold mapping pinned
+    for r in out.values():
+        exp = "test" if r.bucket_e4 < 3000 else ("val" if r.bucket_e4 < 6000 else "train")
+        assert r.split == exp
+    # the counterfactual: doc-id hashing straddles at least one cluster
+    from ult_spark.ops.textops import split_assign
+
+    doc_split = {r.doc_id: r.split for r in split_assign(df, test_e4=3000).collect()}
+    straddled = [
+        c for c, members in (
+            (c, [d for d, l in labels.items() if l == c]) for c in set(labels.values())
+        ) if len({doc_split[d] for d in members}) > 1
+    ]
+    assert straddled, "fixture too weak: doc-id split never straddled a cluster"

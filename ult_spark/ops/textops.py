@@ -624,6 +624,58 @@ def dup_keep_best_sql(threshold: float = 0.2) -> str:
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    threshold: float = 0.2,
+    rounds: int = 2,
+    val_e4: int = 500,
+    test_e4: int = 500,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/val/test split at the near-dup CLUSTER level
+    (r6): the split key is the hash of the document's :func:`dup_clusters`
+    component id, so near-duplicate documents can NEVER straddle a split
+    boundary — the guarantee :func:`split_assign` (doc-id hashing) cannot
+    give, since a lightly-edited copy of a training doc lands in test with
+    probability test_e4/10000 and silently inflates eval scores.
+
+    Same pinned hash convention as every sampling op (h56 % 10000,
+    engine-exact): bucket < test_e4 → 'test', < test_e4+val_e4 → 'val',
+    else 'train'. Disjoint, exhaustive, stable under reruns/resharding,
+    and cluster-atomic by construction. Output (doc_id, cluster_id,
+    bucket_e4, split) per document.
+
+    Scale: dup_clusters' cost dominates (banded LSH + log-diameter CC);
+    the split itself is one row-local projection on the labels — no
+    additional shuffle."""
+    labels = dup_clusters(df, threshold=threshold, rounds=rounds, id_col=id_col)
+    h = _h56(F.col("cluster_id").cast("string")) % 10000
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        h.alias("bucket_e4"),
+        F.when(h < test_e4, F.lit("test"))
+        .when(h < test_e4 + val_e4, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def cluster_safe_split_sql(
+    threshold: float = 0.2, val_e4: int = 500, test_e4: int = 500
+) -> str:
+    """DuckDB mirror of :func:`cluster_safe_split` (true-fixpoint clusters
+    via WITH RECURSIVE, same h56 bucket and thresholds)."""
+    h = H56_SQL.format(col="cluster_id")
+    return (
+        _cc_ctes(threshold)
+        + f" SELECT doc_id, cluster_id, CAST({h} AS BIGINT) AS bucket_e4, "
+        f"CASE WHEN {h} < {test_e4} THEN 'test' "
+        f"WHEN {h} < {test_e4 + val_e4} THEN 'val' ELSE 'train' END AS split "
+        "FROM labels"
+    )
+
+
 def minhash_lsh_sql(threshold: float = 0.2) -> str:
     """DuckDB mirror of :func:`minhash_lsh_dedup` (same hashes, bands, verify)."""
     r = N_MINHASH // N_BANDS

@@ -1098,6 +1098,17 @@ def dup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_keep_best(load(spark, sf_dir, "documents"), threshold=0.2)
 
 
+@q("cluster_safe_split", None)
+def cluster_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic train/val/test split (r6, ops/textops.py
+    cluster_safe_split): split key = h56 of the near-dup cluster id, so
+    near-duplicates never straddle a split boundary — the leakage doc-id
+    hashing cannot prevent."""
+    from ult_spark.ops.textops import cluster_safe_split
+
+    return cluster_safe_split(load(spark, sf_dir, "documents"), threshold=0.2)
+
+
 def _attach_text_oracles() -> None:
     from ult_spark.ops.textops import (
         dup_clusters_sql,
@@ -1114,6 +1125,9 @@ def _attach_text_oracles() -> None:
 
     ORACLES["tfidf_top_terms"] = tfidf_top_terms_sql(3)
     ORACLES["dup_keep_best"] = dup_keep_best_sql(0.2)
+    from ult_spark.ops.textops import cluster_safe_split_sql
+
+    ORACLES["cluster_safe_split"] = cluster_safe_split_sql(0.2)
 
 
 _attach_text_oracles()
