@@ -161,11 +161,17 @@ def shingle_array(text: str = "text"):
     DataFrame ``.distinct()`` — which keeps the whole shingle derivation
     shuffle-free (round-2 perf: the exploded+distinct variant shuffled the
     full shingle set and was re-executed per consumer branch)."""
+    # zip_with over shifted slices (r6): O(tokens) interpreted-lambda work
+    # instead of an O(SHINGLE_N)-sized slice+join per element — same
+    # speedup as curation._grams (whose docstring has the measurements);
+    # byte-identical strings, and only FULL windows exist by construction
+    # so the old partial-tail filter is structurally unnecessary.
     toks = tokens_col(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)))
-    return F.array_distinct(F.filter(sh, lambda s: F.size(F.split(s, " ")) == SHINGLE_N))
+    k = F.greatest(F.size(toks) - F.lit(SHINGLE_N - 1), F.lit(0))
+    sh = F.slice(toks, 1, k)
+    for i in range(1, SHINGLE_N):
+        sh = F.zip_with(sh, F.slice(toks, i + 1, k), lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(sh)
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
