@@ -3149,3 +3149,25 @@ def host_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("stop_ratio_e4").cast("long").alias("sum_stop_e4"),
         )
     )
+
+
+@q("cell_dbscan_l6", None)
+def cell_dbscan_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (r6, ops/spatial_cluster.py): DBSCAN with
+    eps = one L6 cell, min_pts = 4 — dense cells merged across the
+    8-neighborhood into hotspot clusters via the shared pointer-jumping
+    CC core; oracle = TRUE WITH RECURSIVE fixpoint."""
+    from ult_spark.ops.spatial_cluster import cell_dbscan
+
+    return cell_dbscan(events_points(spark, sf_dir), level=6, min_pts=4)
+
+
+def _attach_dbscan_oracle() -> None:
+    from ult_spark.ops.spatial_cluster import cell_dbscan_sql
+
+    ORACLES["cell_dbscan_l6"] = cell_dbscan_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6, min_pts=4
+    )
+
+
+_attach_dbscan_oracle()
