@@ -237,3 +237,54 @@ def test_token_entropy_planted(spark):
     skew = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) * 1e9
     assert abs(got[3].entropy_e9 - skew) <= 2
     assert got[3].entropy_e9 < got[1].entropy_e9
+
+
+def _h56_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def test_host_boilerplate_strips_frequent_segments(spark):
+    from ult_spark.ops.curation import host_boilerplate
+
+    # host A: "nav bar" opens 3 of 4 docs (boiler at min_docs=3);
+    # "rare tail" appears in only 2 (kept). host B has "nav bar" once.
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar alpha beta rare tail", "A"),
+            (2, "nav bar gamma delta rare tail", "A"),
+            (3, "nav bar epsilon zeta", "A"),
+            (4, "other text here now", "A"),
+            (5, "nav bar solo here", "B"),
+        ],
+        "doc_id long, text string, host string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate(docs, F.col("host"), w=2, min_docs=3).collect()
+    }
+    assert out[1].n_seg == 3 and out[1].n_boiler == 1
+    assert out[1].clean_h56 == _h56_py("alpha beta rare tail")
+    assert out[3].n_seg == 2 and out[3].n_boiler == 1
+    assert out[3].clean_h56 == _h56_py("epsilon zeta")
+    assert out[4].n_boiler == 0
+    assert out[4].clean_h56 == _h56_py("other text here now")
+    # host isolation: B's single "nav bar" is NOT boilerplate
+    assert out[5].n_boiler == 0
+
+
+def test_host_boilerplate_all_boiler_doc_hashes_empty(spark):
+    from ult_spark.ops.curation import host_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, "nav bar", "A") for i in range(3)] + [(9, "nav bar extra words", "A")],
+        "doc_id long, text string, host string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in host_boilerplate(docs, F.col("host"), w=2, min_docs=3).collect()
+    }
+    assert out[0].n_seg == 1 and out[0].n_boiler == 1
+    assert out[0].clean_h56 == _h56_py("")
+    assert out[9].clean_h56 == _h56_py("extra words")

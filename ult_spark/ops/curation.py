@@ -559,3 +559,98 @@ def decontaminate_fuzzy_sql(
         f"FROM (SELECT doc_id FROM hd WHERE h >= {bench_e4}) d "
         "LEFT JOIN hits h ON d.doc_id = h.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-level boilerplate removal (CCNet-style frequent-segment strip)
+
+
+def host_boilerplate(
+    df: DataFrame,
+    host: F.Column,
+    w: int = 2,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Frequent-segment boilerplate removal at the host level — the
+    CCNet-shaped cleanup (Wenzek et al. 2020) a crawl pipeline runs before
+    corpus-wide dedup: a segment appearing in ``>= min_docs`` DISTINCT
+    documents of the SAME host (nav bars, footers, cookie banners) is
+    boilerplate; strip it from every document of that host.
+
+    ``host`` is a Column over ``df``'s columns. Output per document (docs
+    shorter than one full ``w``-token window carry no segments and drop
+    out, same pinned rule as :func:`token_window_segments`):
+
+    - ``n_seg`` / ``n_boiler`` — total and boilerplate-flagged segments;
+    - ``clean_h56`` — 56-bit hash of the segment-stripped text (kept
+      segments joined by one space in segment order; empty string when
+      everything was boilerplate), the cross-engine evidence the strip
+      produced identical bytes.
+
+    Scale shape: segment explode (row-local), one (host, seg)-keyed
+    count-distinct agg (md5-uniform seg values — no skew), one keyed
+    equi-join of the flags back onto the segments, one doc-keyed final
+    agg. Nothing global, nothing all-pairs; popular hosts cost partial
+    aggs, not a funnel.
+    """
+    segs = token_window_segments(df, w, id_col=id_col, text=text).join(
+        df.select(F.col(id_col).alias("doc_id"), host.alias("host")), "doc_id"
+    )
+    boiler = (
+        segs.groupBy("host", "seg")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("host", "seg", F.lit(True).alias("_boiler"))
+    )
+    flagged = segs.join(boiler, ["host", "seg"], "left").withColumn(
+        "_b", F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("_b"), F.struct("seg_idx", "seg"))
+                )
+            ),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum(F.col("_b").cast("long")).cast("long").alias("n_boiler"),
+        _h56(kept_text).alias("clean_h56"),
+    )
+
+
+def host_boilerplate_sql(
+    host_sql: str, w: int = 2, min_docs: int = 3, table: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`host_boilerplate` (host_sql over ``table``)."""
+    h = H56_SQL.format(col="coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (NOT boiler), '')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {host_sql} AS host,
+         list_filter(string_split(text, ' '), x -> x != '') AS ts
+  FROM {table}
+), idx AS (
+  SELECT doc_id, host, ts, unnest(generate_series(1, len(ts) // {w})) AS seg_idx
+  FROM toks
+), segs AS (
+  SELECT doc_id, host, seg_idx,
+         list_aggregate(ts[(seg_idx-1)*{w}+1 : seg_idx*{w}], 'string_agg', ' ') AS seg
+  FROM idx
+), freq AS (
+  SELECT host, seg FROM segs GROUP BY host, seg
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+), flagged AS (
+  SELECT s.doc_id, s.host, s.seg_idx, s.seg, f.seg IS NOT NULL AS boiler
+  FROM segs s LEFT JOIN freq f ON f.host = s.host AND f.seg = s.seg
+)
+SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_seg,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       {h} AS clean_h56
+FROM flagged GROUP BY doc_id, host
+"""

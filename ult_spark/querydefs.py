@@ -3171,3 +3171,28 @@ def _attach_dbscan_oracle() -> None:
 
 
 _attach_dbscan_oracle()
+
+
+@q("boilerplate_strip_w2", None)
+def boilerplate_strip_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level frequent-segment boilerplate removal (r6,
+    ops/curation.py host_boilerplate — the CCNet-shaped cleanup): w=2
+    token windows, segments in >= 3 distinct docs of one host stripped;
+    clean_h56 certifies the stripped bytes cross-engine."""
+    from ult_spark.ops.curation import host_boilerplate
+
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+    )
+    return host_boilerplate(load(spark, sf_dir, "documents"), host, w=2, min_docs=3)
+
+
+def _attach_boilerplate_oracle() -> None:
+    from ult_spark.ops.curation import host_boilerplate_sql
+
+    ORACLES["boilerplate_strip_w2"] = host_boilerplate_sql(
+        "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'", w=2, min_docs=3
+    )
+
+
+_attach_boilerplate_oracle()
