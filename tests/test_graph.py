@@ -1,0 +1,62 @@
+"""Fixed-iteration integer PageRank (ops/graph.py): reference-recurrence
+parity on small planted graphs, self-loop removal, dangling/dst-only nodes."""
+
+from __future__ import annotations
+
+from ult_spark.ops.graph import E9, pagerank
+
+
+def _ref(edges: list[tuple[str, str, int]], iters: int = 3, d: int = 850):
+    """Pure-Python mirror of the pinned integer recurrence."""
+    e = [(s, t, w) for s, t, w in edges if s != t]
+    nodes = sorted({s for s, _, _ in e} | {t for _, t, _ in e})
+    n = len(nodes)
+    outw: dict[str, int] = {}
+    for s, _, w in e:
+        outw[s] = outw.get(s, 0) + w
+    base = (E9 * (1000 - d)) // 1000
+    rank = {v: E9 // n for v in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = {}
+        for u, v, w in e:
+            s[v] = s.get(v, 0) + (rank[u] * w) // outw[u]
+        rank = {v: base // n + (s.get(v, 0) * d) // 1000 for v in nodes}
+    return rank
+
+
+def _run(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()}
+
+
+def test_two_node_cycle_symmetric(spark):
+    edges = [("a", "b", 1), ("b", "a", 1)]
+    got = _run(spark, edges)
+    assert got == _ref(edges)
+    assert got["a"] == got["b"]
+
+
+def test_star_center_accumulates(spark):
+    edges = [("s1", "hub", 2), ("s2", "hub", 1), ("s3", "hub", 5), ("hub", "s1", 1)]
+    got = _run(spark, edges)
+    assert got == _ref(edges)
+    assert got["hub"] == max(got.values())
+
+
+def test_self_loops_dropped_and_dst_only_node_ranks(spark):
+    # c only receives; a's self-loop must not feed itself
+    edges = [("a", "a", 9), ("a", "c", 1), ("b", "c", 1)]
+    got = _run(spark, edges)
+    assert got == _ref(edges)
+    assert set(got) == {"a", "b", "c"}
+    assert got["c"] == max(got.values())
+    # a and b are both pure sources with identical structure
+    assert got["a"] == got["b"]
+
+
+def test_weighted_split_exact_division(spark):
+    # w 3:1 split with a rank not divisible by 4 exercises the div floors
+    edges = [("src", "x", 3), ("src", "y", 1), ("x", "src", 1), ("y", "src", 1)]
+    got = _run(spark, edges, iters=4)
+    assert got == _ref(edges, iters=4)
+    assert got["x"] > got["y"]

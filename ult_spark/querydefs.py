@@ -3196,3 +3196,42 @@ def _attach_boilerplate_oracle() -> None:
 
 
 _attach_boilerplate_oracle()
+
+
+@q("pagerank_hosts_3it", None)
+def pagerank_hosts_3it(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host link graph, 3 damped power
+    iterations in all-integer e9 arithmetic (r6, ops/graph.py). Edges
+    derive deterministically from documents: src = site(doc_id % 20),
+    dst = site(h56(doc_id) % 20), weight = doc count — both engines
+    build the identical graph."""
+    from ult_spark.ops.graph import pagerank
+    from ult_spark.ops.textops import _h56
+
+    docs = load(spark, sf_dir, "documents")
+    site = lambda c: F.concat(F.lit("site"), c.cast("string"))  # noqa: E731
+    edges = (
+        docs.select(
+            site(F.col("doc_id") % 20).alias("src"),
+            site(_h56(F.col("doc_id").cast("string")) % 20).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank(edges, iters=3)
+
+
+def _attach_pagerank_oracle() -> None:
+    from ult_spark.ops.graph import pagerank_sql
+
+    h56 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    edges = (
+        "SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ("
+        "SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+        f"'site' || CAST({h56} % 20 AS VARCHAR) AS dst "
+        "FROM documents) GROUP BY 1, 2"
+    )
+    ORACLES["pagerank_hosts_3it"] = pagerank_sql(edges, iters=3)
+
+
+_attach_pagerank_oracle()
