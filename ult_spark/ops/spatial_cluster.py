@@ -95,11 +95,18 @@ def cell_dbscan(
     lat: str = "lat", lon: str = "lon",
 ) -> DataFrame:
     """Grid DBSCAN: per-cluster (cluster_id, n_cells, n_events, peak_cnt)."""
-    cells = dense_cells(points, level, min_pts, lat, lon)
+    # the dense set is consumed 4× (labels init, both adjacency sides, the
+    # final stats join) and is tiny (≤ 4^level rows) — persist it so the
+    # full-data count agg runs ONCE, not per consumer
+    cells = dense_cells(points, level, min_pts, lat, lon).persist()
     pairs = dense_adjacency(cells, level)
-    # edge endpoints both come from `cells` by construction of the join
+    # edge endpoints both come from `cells` by construction of the join;
+    # jumps=2: a percolated grid (uniform data, low min_pts) has diameter
+    # ~2^level, and each extra pointer jump per round is one tiny keyed
+    # self-join that halves the driver-synchronized round count
     labels = connected_components(
-        cells.select(F.col("cell").alias("doc_id")), pairs, assume_contained=True
+        cells.select(F.col("cell").alias("doc_id")), pairs,
+        assume_contained=True, jumps=2,
     )
     return (
         labels.join(cells.withColumnRenamed("cell", "doc_id"), "doc_id")

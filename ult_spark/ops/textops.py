@@ -446,13 +446,21 @@ class ConvergenceError(RuntimeError):
     """Raised when an iterative operator's round bound was too small."""
 
 
-def _cc_round(labels: DataFrame, edges: DataFrame, track: bool = False) -> DataFrame:
-    """One CC round: min-label edge propagation, then pointer jump.
+def _cc_round(
+    labels: DataFrame, edges: DataFrame, track: bool = False, jumps: int = 1
+) -> DataFrame:
+    """One CC round: min-label edge propagation, then ``jumps`` pointer jumps.
 
     ``track=True`` carries the incoming label through as ``_old`` so the
     caller can fold the fixpoint test into the round's own materialization
     (an observe() metric) — the column rides the round's existing joins,
-    so tracking costs no extra shuffle and no extra job."""
+    so tracking costs no extra shuffle and no extra job.
+
+    ``jumps`` > 1 applies the label := label-of-label shortcut repeatedly
+    within one round; each extra jump is one more tiny keyed self-join in
+    the SAME lazy plan but compounds the chain-shortcut exponent, cutting
+    the number of driver-synchronized rounds on large-diameter graphs
+    (percolated grids). Near-dup corpora (diameter ~1) keep jumps=1."""
     nbr = (
         edges.join(labels.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(F.col("a").alias("doc_id"))
@@ -465,11 +473,15 @@ def _cc_round(labels: DataFrame, edges: DataFrame, track: bool = False) -> DataF
     labels = labels.join(nbr, "doc_id", "left").select(*cols)
     # pointer jump: label := label's own label (labels only decrease,
     # so this shortcuts chains and buys log-diameter convergence)
-    jump = labels.select(F.col("doc_id").alias("label"), F.col("label").alias("_jl"))
     out = [F.col("doc_id"), F.col("_jl").alias("label")]
     if track:
         out.append(F.col("_old"))
-    return labels.join(jump, "label").select(*out)
+    for _ in range(jumps):
+        jump = labels.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("_jl")
+        )
+        labels = labels.join(jump, "label").select(*out)
+    return labels
 
 
 def connected_components(
@@ -479,6 +491,7 @@ def connected_components(
     max_rounds: int = 16,
     check: bool = True,
     assume_contained: bool = False,
+    jumps: int = 1,
 ) -> DataFrame:
     """CC core behind :func:`dup_clusters` (see its docstring for the
     algorithm and the per-round localCheckpoint rationale). ``vertices``
@@ -517,13 +530,13 @@ def connected_components(
     if not check:
         for _ in range(rounds):
             # truncate lineage each round (see docstring)
-            labels = _cc_round(labels, edges).localCheckpoint()
+            labels = _cc_round(labels, edges, jumps=jumps).localCheckpoint()
         edges.unpersist()
         return labels.select("doc_id", F.col("label").alias("cluster_id"))
     done = 0
     while True:
         ob = Observation()
-        stepped = _cc_round(labels, edges, track=True).observe(
+        stepped = _cc_round(labels, edges, track=True, jumps=jumps).observe(
             ob,
             F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
         )
