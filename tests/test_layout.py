@@ -269,6 +269,10 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "scd2_orders_intervals",
         "kernel_smooth_l6",
         "host_quality_stats",
+        "boilerplate_strip_w2",
+        "pagerank_hosts_3it",
+        "getis_ord_l6",
+        "morans_i_l5",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

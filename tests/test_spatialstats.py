@@ -1,0 +1,135 @@
+"""Spatial-statistics planted fixtures (ops/spatialstats.py): Getis-Ord
+Gi* and global Moran's I verified against an independent pure-Python
+integer recompute of the same pinned formulas, plus sign/NULL semantics
+(hotspot positive, constant field NULL, checkerboard negative I)."""
+
+import math
+
+from ult_spark.ops.spatialstats import getis_ord_gi, morans_i
+
+LEVEL = 4
+N = 1 << LEVEL
+
+
+def _center(x: int, y: int) -> tuple[float, float]:
+    return (-90.0 + (y + 0.5) * 180.0 / N, -180.0 + (x + 0.5) * 360.0 / N)
+
+
+def _points(spark, cells: dict[tuple[int, int], int]):
+    rows = []
+    for (x, y), cnt in cells.items():
+        la, lo = _center(x, y)
+        rows += [(la, lo)] * cnt
+    return spark.createDataFrame(rows, "lat double, lon double")
+
+
+def _adj(a: tuple[int, int], b: tuple[int, int]) -> bool:
+    """Directed 8-adjacency with x wrap, y clamp (Chebyshev 1)."""
+    dx = min((a[0] - b[0]) % N, (b[0] - a[0]) % N)
+    dy = abs(a[1] - b[1])
+    return (dx, dy) != (0, 0) and dx <= 1 and dy <= 1
+
+
+def _py_gi(cells: dict[tuple[int, int], int]) -> dict[tuple[int, int], int | None]:
+    """Independent integer recompute of z_e3 per occupied cell."""
+    n, sx = len(cells), sum(cells.values())
+    sx2 = sum(c * c for c in cells.values())
+    v = n * sx2 - sx * sx
+    out = {}
+    for i in cells:
+        hood = [j for j in cells if _adj(i, j)] + [i]
+        s_i, w_i = sum(cells[j] for j in hood), len(hood)
+        den2 = v * (n * w_i - w_i * w_i)
+        if den2 <= 0:
+            out[i] = None
+        else:
+            num = n * s_i - sx * w_i
+            out[i] = math.floor(num * math.sqrt(n - 1) * 1000.0 / math.sqrt(den2))
+    return out
+
+
+def _py_moran(cells: dict[tuple[int, int], int]):
+    """(n, w, num, sum_u2, i_e6) by the same exact-integer formulas."""
+    n, sx = len(cells), sum(cells.values())
+    u = {i: n * c - sx for i, c in cells.items()}
+    pairs = [(i, j) for i in cells for j in cells if _adj(i, j)]
+    w = len(pairs)
+    num = sum(u[i] * u[j] for i, j in pairs)
+    su2 = sum(x * x for x in u.values())
+    i_e6 = (
+        math.floor(1000000.0 * n * num / (w * su2)) if w > 0 and su2 > 0 else None
+    )
+    return n, w, num, su2, i_e6
+
+
+def _xy(cell: int) -> tuple[int, int]:
+    import numpy as np
+
+    from ult_spark.grid.cells import cell_to_xy
+
+    x, y, _ = cell_to_xy(np.array([cell], dtype=np.int64))
+    return int(x[0]), int(y[0])
+
+
+HOTSPOT = {
+    (5, 5): 20, (4, 5): 8, (6, 5): 7, (5, 4): 6, (5, 6): 9,
+    (1, 12): 1, (12, 2): 2, (9, 9): 1, (14, 14): 1, (2, 8): 1,
+}
+
+
+def test_gi_matches_python_recompute(spark):
+    got = {
+        _xy(r["cell"]): (r["cnt"], r["s_i"], r["w_i"], r["z_e3"])
+        for r in getis_ord_gi(_points(spark, HOTSPOT), LEVEL).collect()
+    }
+    want = _py_gi(HOTSPOT)
+    assert set(got) == set(want)
+    for i, z in want.items():
+        assert got[i][3] == z, (i, got[i], z)
+    # the planted hotspot center is strongly positive, isolated cells negative
+    assert got[(5, 5)][3] > 1000
+    assert got[(14, 14)][3] < 0
+    # neighborhood sums are the exact planted integers
+    assert got[(5, 5)][1] == 20 + 8 + 7 + 6 + 9 and got[(5, 5)][2] == 5
+
+
+def test_gi_constant_field_is_null(spark):
+    # V = 0 → every z NULL, never a /0 error (Spark 4 ANSI)
+    flat = {(2, 2): 3, (8, 8): 3, (12, 4): 3}
+    rows = getis_ord_gi(_points(spark, flat), LEVEL).collect()
+    assert len(rows) == 3 and all(r["z_e3"] is None for r in rows)
+
+
+def test_moran_clustered_positive(spark):
+    clustered = {
+        (5, 5): 9, (6, 5): 8, (5, 6): 9, (6, 6): 8,
+        (1, 12): 1, (12, 2): 1, (9, 10): 1, (14, 14): 2, (2, 9): 1, (10, 13): 1,
+    }
+    row = morans_i(_points(spark, clustered), LEVEL).collect()[0]
+    n, w, num, su2, i_e6 = _py_moran(clustered)
+    assert (row["n"], row["w"], row["num"], row["sum_u2"]) == (n, w, num, su2)
+    assert row["i_e6"] == i_e6 and row["i_e6"] > 0
+
+
+def test_moran_checkerboard_negative(spark):
+    board = {(x, y): 9 if (x + y) % 2 == 0 else 1
+             for x in range(4, 8) for y in range(4, 8)}
+    row = morans_i(_points(spark, board), LEVEL).collect()[0]
+    assert row == tuple(_py_moran(board))  # Row unpacks positionally
+    assert row["i_e6"] < 0
+
+
+def test_moran_no_adjacent_pairs_null(spark):
+    sparse = {(1, 1): 5, (8, 8): 2, (14, 3): 7}
+    row = morans_i(_points(spark, sparse), LEVEL).collect()[0]
+    assert row["w"] == 0 and row["i_e6"] is None
+
+
+def test_gi_antimeridian_wrap(spark):
+    # x=0 and x=N-1 are neighbors: each cell's neighborhood includes the other
+    pair = {(0, 7): 10, (N - 1, 7): 10, (8, 2): 1, (4, 12): 2}
+    got = {
+        _xy(r["cell"]): (r["s_i"], r["w_i"])
+        for r in getis_ord_gi(_points(spark, pair), LEVEL).collect()
+    }
+    assert got[(0, 7)] == (20, 2) and got[(N - 1, 7)] == (20, 2)

@@ -3235,3 +3235,40 @@ def _attach_pagerank_oracle() -> None:
 
 
 _attach_pagerank_oracle()
+
+
+@q("getis_ord_l6", None)
+def getis_ord_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over occupied L6 cells (r6,
+    ops/spatialstats.py): exact-integer neighborhood sums (8-adjacent,
+    wrap/clamp), one fixed float expression floored to e3. The classic
+    hotspot-detection statistic a geospatial pipeline runs after tile
+    aggregation."""
+    from ult_spark.ops.spatialstats import getis_ord_gi
+
+    return getis_ord_gi(events_points(spark, sf_dir), level=6)
+
+
+@q("morans_i_l5", None)
+def morans_i_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over occupied L5 cells
+    (r6, ops/spatialstats.py): all ingredients exact integers (n*x - Σx
+    residuals), one float division floored to e6; the oracle certifies
+    every integer term alongside the statistic."""
+    from ult_spark.ops.spatialstats import morans_i
+
+    return morans_i(events_points(spark, sf_dir), level=5)
+
+
+def _attach_spatialstats_oracles() -> None:
+    from ult_spark.ops.spatialstats import getis_ord_gi_sql, morans_i_sql
+
+    ORACLES["getis_ord_l6"] = getis_ord_gi_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6
+    )
+    ORACLES["morans_i_l5"] = morans_i_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5
+    )
+
+
+_attach_spatialstats_oracles()
