@@ -60,3 +60,58 @@ def test_weighted_split_exact_division(spark):
     got = _run(spark, edges, iters=4)
     assert got == _ref(edges, iters=4)
     assert got["x"] > got["y"]
+
+
+# ---------------------------------------------------------------------------
+# HITS
+
+from ult_spark.ops.graph import E6, hits  # noqa: E402
+
+
+def _ref_hits(edges: list[tuple[str, str, int]], iters: int = 3):
+    e = [(s, t, w) for s, t, w in edges if s != t]
+    nodes = sorted({s for s, _, _ in e} | {t for _, t, _ in e})
+    hub = {v: E6 // len(nodes) for v in nodes}
+    auth: dict[str, int] = {}
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for u, v, w in e:
+            ar[v] += hub[u] * w
+        sa = max(sum(ar.values()), 1)
+        auth = {v: (ar[v] * E6) // sa for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for u, v, w in e:
+            hr[u] += auth[v] * w
+        sh = max(sum(hr.values()), 1)
+        hub = {v: (hr[v] * E6) // sh for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+def _run_hits(spark, edges, iters=3):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iters=iters).collect()}
+
+
+def test_hits_bipartite_hubs_vs_authorities(spark):
+    # h1,h2 point at a1,a2: pure hubs get auth 0, pure authorities hub 0
+    edges = [("h1", "a1", 1), ("h1", "a2", 1), ("h2", "a1", 1)]
+    got = _run_hits(spark, edges)
+    assert got == _ref_hits(edges)
+    assert got["h1"][1] == 0 and got["a1"][0] == 0
+    assert got["h1"][0] > got["h2"][0]  # h1 links both authorities
+    assert got["a1"][1] > got["a2"][1]  # a1 has two in-links
+
+
+def test_hits_weighted_and_self_loop(spark):
+    edges = [("u", "u", 7), ("u", "v", 3), ("w", "v", 1), ("v", "w", 1)]
+    got = _run_hits(spark, edges, iters=4)
+    assert got == _ref_hits(edges, iters=4)
+    assert got["u"][0] > got["w"][0]  # weight 3 beats weight 1 into v
+
+
+def test_hits_cycle_symmetry(spark):
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    got = _run_hits(spark, edges)
+    assert got == _ref_hits(edges)
+    vals = set(got.values())
+    assert len(vals) == 1  # perfect symmetry: identical scores

@@ -273,6 +273,10 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "pagerank_hosts_3it",
         "getis_ord_l6",
         "morans_i_l5",
+        "local_moran_l5",
+        "emerging_hotspots_l4",
+        "pmi_cooccurrence",
+        "hits_hosts_3it",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

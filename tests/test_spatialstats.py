@@ -3,9 +3,15 @@ Gi* and global Moran's I verified against an independent pure-Python
 integer recompute of the same pinned formulas, plus sign/NULL semantics
 (hotspot positive, constant field NULL, checkerboard negative I)."""
 
+import datetime as dt
 import math
 
-from ult_spark.ops.spatialstats import getis_ord_gi, morans_i
+from ult_spark.ops.spatialstats import (
+    emerging_hotspots,
+    getis_ord_gi,
+    local_moran,
+    morans_i,
+)
 
 LEVEL = 4
 N = 1 << LEVEL
@@ -123,6 +129,109 @@ def test_moran_no_adjacent_pairs_null(spark):
     sparse = {(1, 1): 5, (8, 8): 2, (14, 3): 7}
     row = morans_i(_points(spark, sparse), LEVEL).collect()[0]
     assert row["w"] == 0 and row["i_e6"] is None
+
+
+def _py_lisa(cells: dict[tuple[int, int], int]):
+    """cell -> (cnt, u, su_nbr, n_nbr, i_e6, quad) by the same formulas."""
+    n, sx = len(cells), sum(cells.values())
+    u = {i: n * c - sx for i, c in cells.items()}
+    su2 = sum(x * x for x in u.values())
+    out = {}
+    for i in cells:
+        nbrs = [j for j in cells if _adj(i, j)]
+        if not nbrs:
+            out[i] = (cells[i], u[i], 0, 0, None, None)
+            continue
+        su_nbr = sum(u[j] for j in nbrs)
+        i_e6 = (
+            math.floor(1000000.0 * (n * u[i] * su_nbr) / su2) if su2 > 0 else None
+        )
+        quad = (
+            "HH" if u[i] >= 0 and su_nbr >= 0
+            else "LL" if u[i] < 0 and su_nbr < 0
+            else "HL" if u[i] >= 0 else "LH"
+        )
+        out[i] = (cells[i], u[i], su_nbr, len(nbrs), i_e6, quad)
+    return out
+
+
+def test_lisa_matches_python_recompute(spark):
+    got = {
+        _xy(r["cell"]): tuple(r)[1:]
+        for r in local_moran(_points(spark, HOTSPOT), LEVEL).collect()
+    }
+    want = _py_lisa(HOTSPOT)
+    assert got == want
+    # hotspot core: high value in a high neighborhood
+    assert got[(5, 5)][5] == "HH" and got[(5, 5)][4] > 0
+    # low cell adjacent to nothing occupied: NULL statistic, 0 neighbors
+    assert got[(14, 14)][3] == 0 and got[(14, 14)][4] is None
+
+
+def test_lisa_outlier_quadrant(spark):
+    # a 1-count cell ringed by heavy cells is a LOW-HIGH spatial outlier
+    field = {
+        (8, 8): 1, (7, 8): 9, (9, 8): 9, (8, 7): 9, (8, 9): 9,
+        (1, 1): 2, (14, 2): 3, (2, 13): 2,
+    }
+    got = {
+        _xy(r["cell"]): (r["quad"], r["i_e6"])
+        for r in local_moran(_points(spark, field), LEVEL).collect()
+    }
+    assert got[(8, 8)][0] == "LH" and got[(8, 8)][1] < 0
+
+
+def _py_emerging(slices: dict[int, dict[tuple[int, int], int]]):
+    """(cell -> (n_slices, mk_s, trend)) by the same exact-integer path."""
+    z: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for sl in sorted(slices):
+        for i, v in _py_gi(slices[sl]).items():
+            if v is not None:
+                z.setdefault(i, []).append((sl, v))
+    out = {}
+    for i, seq in z.items():
+        s = sum(
+            (z2 > z1) - (z2 < z1)
+            for a, (_, z1) in enumerate(seq)
+            for _, z2 in (p for p in seq[a + 1:])
+        )
+        out[i] = (len(seq), s, "rising" if s > 0 else "falling" if s < 0 else "flat")
+    return out
+
+
+def _ts_points(spark, slices: dict[int, dict[tuple[int, int], int]]):
+    rows = []
+    for sl, cells in slices.items():
+        when = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=sl * 86400 + 100)
+        for (x, y), cnt in cells.items():
+            la, lo = _center(x, y)
+            rows += [(when, la, lo)] * cnt
+    return spark.createDataFrame(rows, "ts timestamp, lat double, lon double")
+
+
+def test_emerging_hotspot_trend(spark):
+    base = {(1, 12): 1, (12, 2): 1, (9, 9): 2, (14, 14): 1, (2, 8): 1}
+    slices = {
+        19000: {**base, (5, 5): 4, (6, 5): 2},
+        19001: {**base, (5, 5): 9, (6, 5): 4},
+        19002: {**base, (5, 5): 20, (6, 5): 8},
+    }
+    got = {
+        _xy(r["cell"]): (r["n_slices"], r["mk_s"], r["trend"])
+        for r in emerging_hotspots(_ts_points(spark, slices), LEVEL).collect()
+    }
+    want = _py_emerging(slices)
+    assert got == want
+    assert got[(5, 5)] == (3, 3, "rising")
+    # a constant background cell FALLS relative to the rising global mean
+    assert got[(9, 9)] == (3, -3, "falling")
+
+
+def test_emerging_single_slice_is_flat(spark):
+    slices = {19000: {(5, 5): 6, (1, 1): 1, (10, 10): 2}}
+    rows = emerging_hotspots(_ts_points(spark, slices), LEVEL).collect()
+    assert all(r["n_slices"] == 1 and r["mk_s"] == 0 and r["trend"] == "flat"
+               for r in rows)
 
 
 def test_gi_antimeridian_wrap(spark):

@@ -115,3 +115,112 @@ def pagerank_sql(
         ", ".join(parts)
         + f" SELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
     )
+
+
+E6 = 1_000_000
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """(node, hub, auth) after ``iters`` HITS rounds (Kleinberg 1999) in
+    ALL-INTEGER e6 arithmetic.
+
+    Per round: ``auth_raw(v) = Σ_{u→v} hub(u)·w`` then sum-normalize
+    ``auth = auth_raw · 10^6 div Σauth_raw`` (exact integer division,
+    remainders dropped — pinned); hubs symmetrically from the NEW auths.
+    Init ``hub = 10^6 div N``. Nodes without in-edges (out-edges) carry
+    auth (hub) 0, kept in the output via left joins.
+
+    Determinism: identical integer sequences in both engines; the only
+    divisions are BIGINT ``div``. Overflow bound (documented): scores
+    are ≤ 10^6 after each normalization, so the raw products need
+    ``10^6 · max node degree-weight < 2^63/10^6`` ⇒ per-node weighted
+    degree below ~9·10^9 — far above any real host graph; pre-scale w
+    otherwise.
+
+    Scale shape: same as :func:`pagerank` — every round is two hash
+    equi-joins keyed by src/dst + two partial-agg groupBys; the
+    normalizers are broadcast one-row aggregates chained INSIDE the one
+    lazy plan (rounds are not self-joins, so plan growth is linear in
+    ``iters``; the ivf_train/pagerank precedent)."""
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    hub = (
+        nodes.crossJoin(n1)
+        .withColumn("_e6", F.lit(E6).cast("long"))
+        .select("node", _idiv("_e6", "_n").alias("hub"))
+    )
+    auth = None
+    for _ in range(iters):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("hub") * F.col("w")).cast("long").alias("_hw"))
+            .groupBy("dst")
+            .agg(F.sum("_hw").cast("long").alias("_ar"))
+        )
+        sa = F.broadcast(
+            araw.agg(F.greatest(F.sum("_ar"), F.lit(1)).cast("long").alias("_sa"))
+        )
+        auth = (
+            nodes.join(araw.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(sa)
+            .withColumn(
+                "_num", (F.coalesce(F.col("_ar"), F.lit(0)) * E6).cast("long")
+            )
+            .select("node", _idiv("_num", "_sa").alias("auth"))
+        )
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select("src", (F.col("auth") * F.col("w")).cast("long").alias("_aw"))
+            .groupBy("src")
+            .agg(F.sum("_aw").cast("long").alias("_hr"))
+        )
+        sh = F.broadcast(
+            hraw.agg(F.greatest(F.sum("_hr"), F.lit(1)).cast("long").alias("_sh"))
+        )
+        hub = (
+            nodes.join(hraw.withColumnRenamed("src", "node"), "node", "left")
+            .crossJoin(sh)
+            .withColumn(
+                "_num", (F.coalesce(F.col("_hr"), F.lit(0)) * E6).cast("long")
+            )
+            .select("node", _idiv("_num", "_sh").alias("hub"))
+        )
+    return hub.join(auth, "node").select("node", "hub", "auth")
+
+
+def hits_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB mirror of :func:`hits`: unrolled CTE chain, identical
+    integer sequence."""
+    parts = [
+        f"WITH e0 AS ({edges_sql})",
+        "e AS (SELECT src, dst, w FROM e0 WHERE src != dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"h0 AS (SELECT node, {E6} // (SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"ar{i} AS (SELECT e.dst, CAST(sum(h.hub * e.w) AS BIGINT) AS ar "
+            f"FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1)",
+            f"sa{i} AS (SELECT greatest(CAST(sum(ar) AS BIGINT), 1) AS s FROM ar{i})",
+            f"a{i} AS (SELECT n.node, "
+            f"(coalesce(ar{i}.ar, 0) * {E6}) // (SELECT s FROM sa{i}) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} ON ar{i}.dst = n.node)",
+            f"hr{i} AS (SELECT e.src, CAST(sum(a.auth * e.w) AS BIGINT) AS hr "
+            f"FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1)",
+            f"sh{i} AS (SELECT greatest(CAST(sum(hr) AS BIGINT), 1) AS s FROM hr{i})",
+            f"h{i} AS (SELECT n.node, "
+            f"(coalesce(hr{i}.hr, 0) * {E6}) // (SELECT s FROM sh{i}) AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} ON hr{i}.src = n.node)",
+        ]
+    return (
+        ", ".join(parts)
+        + f" SELECT h.node, CAST(h.hub AS BIGINT) AS hub, "
+        f"CAST(a.auth AS BIGINT) AS auth "
+        f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )

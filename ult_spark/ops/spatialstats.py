@@ -1,7 +1,7 @@
-"""Spatial statistics over the cell grid — Getis-Ord Gi* hotspots and
-global Moran's I autocorrelation.
+"""Spatial statistics over the cell grid — Getis-Ord Gi* hotspots,
+global Moran's I autocorrelation, and emerging-hotspot trends.
 
-Both run on the *occupied-cell universe* (cells holding >= 1 point —
+All run on the *occupied-cell universe* (cells holding >= 1 point —
 pinned variant, documented: including the empty remainder of a global
 grid would swamp the statistics with structural zeros) with binary
 8-neighborhood weights (Chebyshev 1; x wraps across the antimeridian,
@@ -24,16 +24,25 @@ integer inputs, the haversine-chain precedent) floored to e3/e6.
   ``I = n * Σ_{ij adj} u_i u_j / (W * Σu²)`` over DIRECTED adjacent
   pairs (W counts them), emitted ``i_e6`` plus the exact integer
   ingredients so the oracle certifies every term.
+- :func:`emerging_hotspots` — the space-time composite: Gi* per time
+  slice (each slice its own universe + globals), then the Mann-Kendall
+  trend statistic per cell over its non-null z_e3 sequence:
+  ``S = Σ_{t1<t2} sign(z_{t2} − z_{t1})`` — PURE INTEGER (sign
+  comparisons of already-floored e3 ints), so the composite is exact
+  cross-engine end to end. Emits (cell, n_slices, mk_s, trend).
 
 Scale shape: one full-data partial-agg groupBy (points→cells); the
 neighbor join is the same literal 8-offset explode + hash equi-join as
 cell_dbscan (keyed, never theta); global scalars ride along as
-broadcast one-row aggregates, never collected literals.
+broadcast one-row (or one-row-per-slice) aggregates, never collected
+literals. Mann-Kendall's per-cell pair join is quadratic in SLICES
+(never in cells or points) — production runs bound it with a trailing
+time window, exactly like the classic emerging-hotspot tooling.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ult_spark import functions as UF
@@ -41,19 +50,29 @@ from ult_spark.ops.buffer import _offsets
 
 
 def occupied_cells(
-    points: DataFrame, level: int, lat: str = "lat", lon: str = "lon"
+    points: DataFrame,
+    level: int,
+    lat: str = "lat",
+    lon: str = "lon",
+    keys: list[str] | None = None,
 ) -> DataFrame:
-    """(cell, cnt) for every occupied cell."""
+    """(*keys, cell, cnt) for every occupied cell (per key group)."""
     return (
-        points.select(UF.latlon_to_cell(lat, lon, level).alias("cell"))
-        .groupBy("cell")
+        points.select(
+            *(keys or []), UF.latlon_to_cell(lat, lon, level).alias("cell")
+        )
+        .groupBy(*(keys or []), "cell")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def directed_neighbors(cells: DataFrame, level: int) -> DataFrame:
-    """(cell, nbr) DIRECTED pairs of 8-adjacent occupied cells (both
-    orientations; no self pair). Same wrap/clamp rules as cell_dbscan."""
+def directed_neighbors(
+    cells: DataFrame, level: int, keys: list[str] | None = None
+) -> DataFrame:
+    """(*keys, cell, nbr) DIRECTED pairs of 8-adjacent occupied cells
+    (both orientations; no self pair), within each key group. Same
+    wrap/clamp rules as cell_dbscan."""
+    keys = keys or []
     n = 1 << level
     offs = F.array(
         *[
@@ -63,31 +82,76 @@ def directed_neighbors(cells: DataFrame, level: int) -> DataFrame:
         ]
     )
     nbr = (
-        cells.select("cell")
+        cells.select(*keys, "cell")
         .withColumn("_x", UF.cell_x("cell", level))
         .withColumn("_y", UF.cell_y("cell", level))
         .withColumn("_o", F.explode(offs))
         .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
         .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
         .select(
+            *keys,
             "cell",
             UF.xy_to_cell(
                 F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
             ).alias("nbr"),
         )
     )
-    return nbr.join(cells.select(F.col("cell").alias("nbr")), "nbr").select(
-        "cell", "nbr"
-    )
+    return nbr.join(
+        cells.select(*keys, F.col("cell").alias("nbr")), [*keys, "nbr"]
+    ).select(*keys, "cell", "nbr")
 
 
-def _globals(cells: DataFrame) -> DataFrame:
-    """Broadcast one-row frame of the exact global integers."""
+def _globals(cells: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Broadcast frame of the exact global integers (one row per key group)."""
     return F.broadcast(
-        cells.agg(
+        cells.groupBy(*(keys or [])).agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("cnt").cast("long").alias("sx"),
             F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sx2"),
+        )
+    )
+
+
+def _gi_core(cells: DataFrame, level: int, keys: list[str]) -> DataFrame:
+    """(*keys, cell, cnt, s_i, w_i, z_e3) per occupied cell."""
+    pairs = directed_neighbors(cells, level, keys)
+    # neighborhood aggregate INCLUDING self: union the self pair in
+    hood = (
+        pairs.unionByName(cells.select(*keys, "cell", F.col("cell").alias("nbr")))
+        .join(
+            cells.select(
+                *keys, F.col("cell").alias("nbr"), F.col("cnt").alias("_nc")
+            ),
+            [*keys, "nbr"],
+        )
+        .groupBy(*keys, "cell")
+        .agg(
+            F.sum("_nc").cast("long").alias("s_i"),
+            F.count(F.lit(1)).cast("long").alias("w_i"),
+        )
+    )
+    g = _globals(cells, keys)
+    joined = cells.join(hood, [*keys, "cell"])
+    joined = joined.crossJoin(g) if not keys else joined.join(g, keys)
+    num = (F.col("n") * F.col("s_i") - F.col("sx") * F.col("w_i")).cast("long")
+    v = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("long")
+    nw = (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")).cast("long")
+    z = (
+        F.col("_num").cast("double")
+        * F.sqrt((F.col("n") - 1).cast("double"))
+        * F.lit(1000.0)
+        / F.sqrt(F.col("_den2"))
+    )
+    return (
+        joined.withColumn("_num", num)
+        .withColumn("_den2", (v * nw).cast("double"))
+        .select(
+            *keys,
+            "cell",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("s_i"),
+            F.col("w_i"),
+            F.when(F.col("_den2") > 0, F.floor(z)).cast("long").alias("z_e3"),
         )
     )
 
@@ -96,41 +160,7 @@ def getis_ord_gi(
     points: DataFrame, level: int = 6, lat: str = "lat", lon: str = "lon"
 ) -> DataFrame:
     """Per-occupied-cell Gi* hotspot z-score (e3-floored)."""
-    cells = occupied_cells(points, level, lat, lon)
-    pairs = directed_neighbors(cells, level)
-    # neighborhood aggregate INCLUDING self: union the self pair in
-    hood = (
-        pairs.unionByName(cells.select("cell", F.col("cell").alias("nbr")))
-        .join(cells.select(F.col("cell").alias("nbr"), F.col("cnt").alias("_nc")), "nbr")
-        .groupBy("cell")
-        .agg(
-            F.sum("_nc").cast("long").alias("s_i"),
-            F.count(F.lit(1)).cast("long").alias("w_i"),
-        )
-    )
-    num = (F.col("n") * F.col("s_i") - F.col("sx") * F.col("w_i")).cast("long")
-    v = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("long")
-    nw = (F.col("n") * F.col("w_i") - F.col("w_i") * F.col("w_i")).cast("long")
-    den2 = (v * nw).cast("double")
-    z = (
-        F.col("_num").cast("double")
-        * F.sqrt((F.col("n") - 1).cast("double"))
-        * F.lit(1000.0)
-        / F.sqrt(F.col("_den2"))
-    )
-    return (
-        cells.join(hood, "cell")
-        .crossJoin(_globals(cells))
-        .withColumn("_num", num)
-        .withColumn("_den2", den2)
-        .select(
-            "cell",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.col("s_i"),
-            F.col("w_i"),
-            F.when(F.col("_den2") > 0, F.floor(z)).cast("long").alias("z_e3"),
-        )
-    )
+    return _gi_core(occupied_cells(points, level, lat, lon), level, [])
 
 
 def morans_i(
@@ -171,30 +201,175 @@ def morans_i(
     )
 
 
-def _sql_cells(lat_sql: str, lon_sql: str, level: int, table: str) -> str:
+def local_moran(
+    points: DataFrame, level: int = 5, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Local Moran's I (LISA) per occupied cell: with ``u_i = n·x_i − Σx``
+    the classic ``I_i = (x_i − x̄)/m2 · Σ_j w_ij (x_j − x̄)`` reduces to
+    ``I_i = n · u_i · Σ_{j∈nbr} u_j / Σu²`` — every term an exact integer,
+    ONE final division, floored to e6. Emits the integer ingredients
+    (cnt, u, su_nbr, n_nbr) plus i_e6 (NULL for cells with no occupied
+    neighbor or a constant field) and the quadrant label (HH/LL/HL/LH —
+    the hotspot/outlier classification) derived from the SIGNS of the
+    exact integers, so the label is unconditionally cross-engine safe.
+
+    Integer range: ``n·u_i·Σu_j`` stays below 2^63 while
+    ``n²·max_cnt² « 2^63`` — u values are bounded by n·max_cnt; at
+    planet scale run coarser levels or pre-aggregate (documented bound,
+    same shape as the global statistic's Σu_i·u_j)."""
+    cells = occupied_cells(points, level, lat, lon)
+    g = _globals(cells)
+    u = cells.crossJoin(g).select(
+        "cell",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("n") * F.col("cnt") - F.col("sx")).cast("long").alias("u"),
+    )
+    pairs = directed_neighbors(cells, level)
+    nbr_u = (
+        pairs.join(
+            u.select(F.col("cell").alias("nbr"), F.col("u").alias("_uj")), "nbr"
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("_uj").cast("long").alias("su_nbr"),
+            F.count(F.lit(1)).cast("long").alias("n_nbr"),
+        )
+    )
+    su2 = F.broadcast(u.agg(F.sum(F.col("u") * F.col("u")).cast("long").alias("su2")))
+    i_e6 = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n") * F.col("u") * F.col("su_nbr")).cast("double")
+        / F.col("su2").cast("double")
+    ).cast("long")
+    quad = (
+        F.when((F.col("u") >= 0) & (F.col("su_nbr") >= 0), "HH")
+        .when((F.col("u") < 0) & (F.col("su_nbr") < 0), "LL")
+        .when(F.col("u") >= 0, "HL")
+        .otherwise("LH")
+    )
     return (
-        f"pts AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
-        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
-        "occ AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
-        "FROM pts GROUP BY 1, 2), "
-        f"cells AS (SELECT {UF.xy_cell_sql('x', 'y', level)} AS cell, "
-        "x, y, cnt FROM occ), "
-        "g AS (SELECT CAST(count(*) AS BIGINT) AS n, "
-        "CAST(sum(cnt) AS BIGINT) AS sx, "
-        "CAST(sum(cnt * cnt) AS BIGINT) AS sx2 FROM cells)"
+        u.join(nbr_u, "cell", "left")
+        .crossJoin(g.select("n"))
+        .crossJoin(su2)
+        .select(
+            "cell",
+            "cnt",
+            "u",
+            F.coalesce("su_nbr", F.lit(0).cast("long")).alias("su_nbr"),
+            F.coalesce("n_nbr", F.lit(0).cast("long")).alias("n_nbr"),
+            F.when(
+                F.col("su_nbr").isNotNull() & (F.col("su2") > 0), i_e6
+            ).alias("i_e6"),
+            F.when(F.col("su_nbr").isNotNull(), quad).alias("quad"),
+        )
     )
 
 
-def _sql_edges(level: int) -> str:
+def emerging_hotspots(
+    points: DataFrame,
+    level: int = 4,
+    slice_sec: int = 86400,
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend over the per-slice Gi* z-scores:
+    (cell, n_slices, mk_s, trend). n_slices counts the cell's slices
+    with a defined z; mk_s sums sign(z_later − z_earlier) over all
+    ordered slice pairs (0 when fewer than 2 defined slices); trend is
+    the sign label. A cell absent from a slice contributes nothing for
+    that slice (occupied-universe semantics per slice)."""
+    sl = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(slice_sec)).cast("long")
+    pts = points.select(sl.alias("sl"), F.col(lat).alias("lat"),
+                        F.col(lon).alias("lon"))
+    z = _gi_core(
+        occupied_cells(pts, level, keys=["sl"]), level, ["sl"]
+    ).where(F.col("z_e3").isNotNull()).select("sl", "cell", "z_e3")
+    a = z.select("cell", F.col("sl").alias("_s1"), F.col("z_e3").alias("_z1"))
+    b = z.select("cell", F.col("sl").alias("_s2"), F.col("z_e3").alias("_z2"))
+    sign: Column = (
+        F.when(F.col("_z2") > F.col("_z1"), 1)
+        .when(F.col("_z2") < F.col("_z1"), -1)
+        .otherwise(0)
+    )
+    mk = (
+        a.join(b, "cell")
+        .where(F.col("_s2") > F.col("_s1"))
+        .groupBy("cell")
+        .agg(F.sum(sign).cast("long").alias("mk_s"))
+    )
+    per_cell = z.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("n_slices"))
+    out = per_cell.join(mk, "cell", "left").select(
+        "cell",
+        "n_slices",
+        F.coalesce(F.col("mk_s"), F.lit(0).cast("long")).alias("mk_s"),
+    )
+    trend = (
+        F.when(F.col("mk_s") > 0, F.lit("rising"))
+        .when(F.col("mk_s") < 0, F.lit("falling"))
+        .otherwise(F.lit("flat"))
+    )
+    return out.select("cell", "n_slices", "mk_s", trend.alias("trend"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same pinned integer formulas in ANSI SQL)
+
+def _sql_cells(
+    lat_sql: str, lon_sql: str, level: int, table: str, sl_sql: str | None = None
+) -> str:
+    sl_sel = f"{sl_sql} AS sl, " if sl_sql else ""
+    sl_key = "sl, " if sl_sql else ""
+    return (
+        f"pts AS (SELECT {sl_sel}{UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
+        f"occ AS (SELECT {sl_key}x, y, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM pts GROUP BY {'1, 2, 3' if sl_sql else '1, 2'}), "
+        f"cells AS (SELECT {sl_key}{UF.xy_cell_sql('x', 'y', level)} AS cell, "
+        "x, y, cnt FROM occ), "
+        f"g AS (SELECT {sl_key}CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(cnt) AS BIGINT) AS sx, "
+        "CAST(sum(cnt * cnt) AS BIGINT) AS sx2 FROM cells"
+        f"{' GROUP BY 1' if sl_sql else ''})"
+    )
+
+
+def _sql_edges(level: int, keyed: bool = False) -> str:
     n = 1 << level
     offs = ", ".join(
         f"({dx}, {dy})" for dx, dy in _offsets(level, 1) if (dx, dy) != (0, 0)
     )
+    sl_sel = "a.sl AS sl, " if keyed else ""
+    sl_on = " AND b.sl = a.sl" if keyed else ""
     return (
         f"offs(dx, dy) AS (VALUES {offs}), "
-        "e AS (SELECT a.cell AS cell, b.cell AS nbr, b.cnt AS ncnt "
+        f"e AS (SELECT {sl_sel}a.cell AS cell, b.cell AS nbr, b.cnt AS ncnt "
         "FROM cells a, offs o, cells b "
-        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy)"
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy{sl_on})"
+    )
+
+
+def _sql_gi_select(keyed: bool = False) -> str:
+    """hood CTE + final Gi* select list (keyed: per-slice universe)."""
+    sl_sel = "sl, " if keyed else ""
+    sl_on = " AND h.sl = c.sl" if keyed else ""
+    g_join = "JOIN g ON g.sl = c.sl" if keyed else "CROSS JOIN g"
+    return (
+        f"hood AS (SELECT {sl_sel}cell, CAST(sum(ncnt) AS BIGINT) AS s_i, "
+        "CAST(count(*) AS BIGINT) AS w_i FROM ("
+        f"SELECT {sl_sel}cell, ncnt FROM e "
+        f"UNION ALL SELECT {sl_sel}cell, cnt AS ncnt FROM cells) "
+        f"GROUP BY {'1, 2' if keyed else '1'}), "
+        f"zt AS (SELECT {'c.sl AS sl, ' if keyed else ''}c.cell, c.cnt, "
+        "h.s_i, h.w_i, "
+        "CASE WHEN CAST((g.n * g.sx2 - g.sx * g.sx) * "
+        "(g.n * h.w_i - h.w_i * h.w_i) AS DOUBLE) > 0 THEN "
+        "CAST(floor(CAST(g.n * h.s_i - g.sx * h.w_i AS DOUBLE) "
+        "* sqrt(CAST(g.n - 1 AS DOUBLE)) * 1000.0 "
+        "/ sqrt(CAST((g.n * g.sx2 - g.sx * g.sx) * "
+        "(g.n * h.w_i - h.w_i * h.w_i) AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS z_e3 "
+        f"FROM cells c JOIN hood h ON h.cell = c.cell{sl_on} {g_join})"
     )
 
 
@@ -203,20 +378,8 @@ def getis_ord_gi_sql(
 ) -> str:
     return (
         f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
-        f"{_sql_edges(level)}, "
-        "hood AS (SELECT cell, CAST(sum(ncnt) AS BIGINT) AS s_i, "
-        "CAST(count(*) AS BIGINT) AS w_i FROM ("
-        "SELECT cell, ncnt FROM e "
-        "UNION ALL SELECT cell, cnt AS ncnt FROM cells) GROUP BY 1) "
-        "SELECT c.cell, c.cnt, h.s_i, h.w_i, "
-        "CASE WHEN CAST((g.n * g.sx2 - g.sx * g.sx) * "
-        "(g.n * h.w_i - h.w_i * h.w_i) AS DOUBLE) > 0 THEN "
-        "CAST(floor(CAST(g.n * h.s_i - g.sx * h.w_i AS DOUBLE) "
-        "* sqrt(CAST(g.n - 1 AS DOUBLE)) * 1000.0 "
-        "/ sqrt(CAST((g.n * g.sx2 - g.sx * g.sx) * "
-        "(g.n * h.w_i - h.w_i * h.w_i) AS DOUBLE))) AS BIGINT) "
-        "ELSE NULL END AS z_e3 "
-        "FROM cells c JOIN hood h ON h.cell = c.cell CROSS JOIN g"
+        f"{_sql_edges(level)}, {_sql_gi_select()} "
+        "SELECT cell, cnt, s_i, w_i, z_e3 FROM zt"
     )
 
 
@@ -238,4 +401,63 @@ def morans_i_sql(
         "/ (CAST(p.w AS DOUBLE) * CAST(su.sum_u2 AS DOUBLE))) AS BIGINT) "
         "ELSE NULL END AS i_e6 "
         "FROM prod p CROSS JOIN su CROSS JOIN g"
+    )
+
+
+def local_moran_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"{_sql_edges(level)}, "
+        "u AS (SELECT c.cell, c.cnt, "
+        "CAST(g.n * c.cnt - g.sx AS BIGINT) AS u FROM cells c CROSS JOIN g), "
+        "nbru AS (SELECT e.cell, CAST(sum(uj.u) AS BIGINT) AS su_nbr, "
+        "CAST(count(*) AS BIGINT) AS n_nbr "
+        "FROM e JOIN u uj ON uj.cell = e.nbr GROUP BY 1), "
+        "su AS (SELECT CAST(sum(u * u) AS BIGINT) AS su2 FROM u) "
+        "SELECT u.cell, u.cnt, u.u, "
+        "COALESCE(nbru.su_nbr, CAST(0 AS BIGINT)) AS su_nbr, "
+        "COALESCE(nbru.n_nbr, CAST(0 AS BIGINT)) AS n_nbr, "
+        "CASE WHEN nbru.su_nbr IS NOT NULL AND su.su2 > 0 THEN "
+        "CAST(floor(1000000.0 * CAST(g.n * u.u * nbru.su_nbr AS DOUBLE) "
+        "/ CAST(su.su2 AS DOUBLE)) AS BIGINT) ELSE NULL END AS i_e6, "
+        "CASE WHEN nbru.su_nbr IS NULL THEN NULL "
+        "WHEN u.u >= 0 AND nbru.su_nbr >= 0 THEN 'HH' "
+        "WHEN u.u < 0 AND nbru.su_nbr < 0 THEN 'LL' "
+        "WHEN u.u >= 0 THEN 'HL' ELSE 'LH' END AS quad "
+        "FROM u LEFT JOIN nbru ON nbru.cell = u.cell "
+        "CROSS JOIN g CROSS JOIN su"
+    )
+
+
+def emerging_hotspots_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    slice_sec: int = 86400,
+    ts_sql: str = "ts",
+    table: str = "events",
+) -> str:
+    # the hash-green retention day-bucket pattern: floor(epoch) to integer
+    # seconds FIRST (epoch() doubles can dip just under integral boundaries
+    # at 2024 epochs), then floor-divide by the slice width
+    sl = (
+        f"CAST(floor(CAST(floor(epoch({ts_sql})) AS BIGINT) / {slice_sec}) "
+        "AS BIGINT)"
+    )
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table, sl_sql=sl)}, "
+        f"{_sql_edges(level, keyed=True)}, {_sql_gi_select(keyed=True)}, "
+        "z AS (SELECT sl, cell, z_e3 FROM zt WHERE z_e3 IS NOT NULL), "
+        "mk AS (SELECT a.cell, CAST(sum(CASE WHEN b.z_e3 > a.z_e3 THEN 1 "
+        "WHEN b.z_e3 < a.z_e3 THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
+        "FROM z a JOIN z b ON b.cell = a.cell AND b.sl > a.sl GROUP BY 1), "
+        "pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_slices "
+        "FROM z GROUP BY 1) "
+        "SELECT pc.cell, pc.n_slices, "
+        "COALESCE(mk.mk_s, CAST(0 AS BIGINT)) AS mk_s, "
+        "CASE WHEN COALESCE(mk.mk_s, 0) > 0 THEN 'rising' "
+        "WHEN COALESCE(mk.mk_s, 0) < 0 THEN 'falling' ELSE 'flat' END AS trend "
+        "FROM pc LEFT JOIN mk ON mk.cell = pc.cell"
     )

@@ -1044,3 +1044,83 @@ def split_counts_sql(test_e4: int = 1000) -> str:
         "lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars "
         "FROM documents GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence (corpus analysis: which term pairs travel together)
+
+def pmi_pairs(
+    df: DataFrame,
+    top_v: int = 40,
+    min_pair: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information over term pairs from a CAPPED
+    vocabulary: (tok1, tok2, c_ab, pmi_e6) with tok1 < tok2.
+
+    Doc-level co-occurrence on DISTINCT (doc, term) incidences.
+    Vocabulary = the ``top_v`` terms by document frequency (ties → term
+    ascending — a total order, so the cap is deterministic), taken with
+    orderBy+limit (Spark plans TakeOrderedAndProject: distributed
+    partial top-k, no single-partition window) and broadcast. The
+    within-doc pair self-join is bounded by ``top_v`` terms per doc, so
+    the pair space is <= V²/2 regardless of corpus size — the cap is
+    what makes this 100-TB-safe; raising it trades pairs for cost, and
+    an uncapped run is a deliberate caller choice.
+
+    Exact cross-engine: all counts integers; pmi = ln of ONE double
+    division of two exact integer products (n_docs·c_ab ≤ ~1e12 « 2^53,
+    so both products are exactly representable), floored to e6 — the
+    tfidf/token_entropy ln-parity precedent.
+    """
+    dt = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok")
+    ).distinct()
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+    vocab = dfreq.orderBy(F.desc("dfreq"), F.asc("tok")).limit(top_v)
+    ft = dt.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "dfreq")
+    a = ft.select("doc_id", F.col("tok").alias("tok1"), F.col("dfreq").alias("c_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok2"), F.col("dfreq").alias("c_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok1") < F.col("tok2"))
+        .groupBy("tok1", "tok2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab"),
+            F.first("c_a").alias("_ca"),
+            F.first("c_b").alias("_cb"),
+        )
+        .where(F.col("c_ab") >= min_pair)
+    )
+    nd = F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    pmi = F.floor(
+        F.log(
+            (F.col("n_docs") * F.col("c_ab")).cast("double")
+            / (F.col("_ca") * F.col("_cb")).cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return pairs.crossJoin(nd).select("tok1", "tok2", "c_ab", pmi.alias("pmi_e6"))
+
+
+def pmi_pairs_sql(top_v: int = 40, min_pair: int = 2) -> str:
+    return (
+        "WITH dt AS (SELECT DISTINCT doc_id, unnest(list_filter("
+        "string_split(text, ' '), x -> x != '')) AS tok FROM documents), "
+        "dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfreq "
+        "FROM dt GROUP BY 1), "
+        f"vocab AS (SELECT tok, dfreq FROM dfreq "
+        f"ORDER BY dfreq DESC, tok ASC LIMIT {top_v}), "
+        "ft AS (SELECT doc_id, tok, dfreq FROM dt JOIN vocab USING (tok)), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), "
+        "pr AS (SELECT a.tok AS tok1, b.tok AS tok2, "
+        "CAST(count(*) AS BIGINT) AS c_ab, "
+        "any_value(a.dfreq) AS _ca, any_value(b.dfreq) AS _cb "
+        "FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_pair}) "
+        "SELECT tok1, tok2, c_ab, "
+        "CAST(floor(ln(CAST(n_docs * c_ab AS DOUBLE) "
+        "/ CAST(_ca * _cb AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_e6 "
+        "FROM pr CROSS JOIN nd"
+    )

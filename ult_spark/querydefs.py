@@ -3272,3 +3272,114 @@ def _attach_spatialstats_oracles() -> None:
 
 
 _attach_spatialstats_oracles()
+
+
+@q("emerging_hotspots_l4", None)
+def emerging_hotspots_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot analysis (r6, ops/spatialstats.py): Gi* per daily
+    slice (each day its own occupied-cell universe + broadcast globals),
+    then the per-cell Mann-Kendall trend S over the e3-floored z
+    sequence — S is pure integer sign counting, so the whole space-time
+    composite is exact cross-engine. The MK pair join is quadratic only
+    in SLICES (30 days here; production bounds it with a trailing
+    window), never in cells or points."""
+    from ult_spark.ops.spatialstats import emerging_hotspots
+
+    return emerging_hotspots(
+        load(spark, sf_dir, "events").select(
+            "ts", UF.event_lat().alias("lat"), UF.event_lon().alias("lon")
+        ),
+        level=4,
+    )
+
+
+def _attach_emerging_oracle() -> None:
+    from ult_spark.ops.spatialstats import emerging_hotspots_sql
+
+    ORACLES["emerging_hotspots_l4"] = emerging_hotspots_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=4
+    )
+
+
+_attach_emerging_oracle()
+
+
+def _attach_pmi() -> None:
+    from ult_spark.ops.textops import pmi_pairs, pmi_pairs_sql
+
+    def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PMI term-pair co-occurrence over a capped vocabulary (r6,
+        ops/textops.py pmi_pairs): distinct doc-term incidences, top-40
+        terms by doc frequency (deterministic total-order cap via
+        TakeOrderedAndProject + broadcast), within-doc pair join bounded
+        by the cap; integer counts, one double division inside ln, e6
+        floor (the tfidf ln-parity precedent)."""
+        return pmi_pairs(load(spark, sf_dir, "documents"), top_v=40, min_pair=2)
+
+    QUERIES["pmi_cooccurrence"] = pmi_cooccurrence
+    ORACLES["pmi_cooccurrence"] = pmi_pairs_sql(top_v=40, min_pair=2)
+
+
+_attach_pmi()
+
+
+@q("local_moran_l5", None)
+def local_moran_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I / LISA per occupied L5 cell (r6,
+    ops/spatialstats.py local_moran): exact-integer residual products,
+    one final division floored to e6, sign-derived HH/LL/HL/LH quadrant
+    labels — the per-cell hotspot/outlier classification that
+    complements the global statistic."""
+    from ult_spark.ops.spatialstats import local_moran
+
+    return local_moran(events_points(spark, sf_dir), level=5)
+
+
+def _attach_local_moran_oracle() -> None:
+    from ult_spark.ops.spatialstats import local_moran_sql
+
+    ORACLES["local_moran_l5"] = local_moran_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5
+    )
+
+
+_attach_local_moran_oracle()
+
+
+@q("hits_hosts_3it", None)
+def hits_hosts_3it(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same deterministic host link graph
+    as pagerank_hosts_3it (r6, ops/graph.py hits): 3 rounds of the
+    Kleinberg recurrence in all-integer e6 arithmetic with sum
+    normalization by exact integer division — bit-identical across
+    engines, unrolled-CTE oracle."""
+    from ult_spark.ops.graph import hits
+    from ult_spark.ops.textops import _h56
+
+    docs = load(spark, sf_dir, "documents")
+    site = lambda c: F.concat(F.lit("site"), c.cast("string"))  # noqa: E731
+    edges = (
+        docs.select(
+            site(F.col("doc_id") % 20).alias("src"),
+            site(_h56(F.col("doc_id").cast("string")) % 20).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return hits(edges, iters=3)
+
+
+def _attach_hits_oracle() -> None:
+    from ult_spark.ops.graph import hits_sql
+
+    h56 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT"
+    edges = (
+        "SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ("
+        "SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+        f"'site' || CAST({h56} % 20 AS VARCHAR) AS dst "
+        "FROM documents) GROUP BY 1, 2"
+    )
+    ORACLES["hits_hosts_3it"] = hits_sql(edges, iters=3)
+
+
+_attach_hits_oracle()
