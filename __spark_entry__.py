@@ -55,7 +55,8 @@ _PRIORITY = [
     "cluster_safe_split", "cell_dbscan_l6", "boilerplate_strip_w2",
     "pagerank_hosts_3it", "getis_ord_l6", "morans_i_l5",
     "local_moran_l5", "emerging_hotspots_l4", "pmi_cooccurrence",
-    "hits_hosts_3it",
+    "hits_hosts_3it", "overlap_near_dups", "quadrat_chi2_l5",
+    "cocitation_hosts",
     # round-4-green backfill to fill the 50-slot window
     "ann_cosine_topk", "ann_lsh_topk", "asof_orders_version",
     "audio_chunk_plan", "buffer_cells_dist", "cell_encode_l12",

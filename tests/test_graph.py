@@ -115,3 +115,31 @@ def test_hits_cycle_symmetry(spark):
     assert got == _ref_hits(edges)
     vals = set(got.values())
     assert len(vals) == 1  # perfect symmetry: identical scores
+
+
+# ---------------------------------------------------------------------------
+# Co-citation / bibliographic coupling
+
+from ult_spark.ops.graph import cocitation  # noqa: E402
+
+
+def test_cocitation_counts_and_weights(spark):
+    # s1 -> {a(2), b(3)}, s2 -> {a(1), c(4)}, s3 -> {b(5), c(1)}
+    edges = [
+        ("s1", "a", 2), ("s1", "b", 3),
+        ("s2", "a", 1), ("s2", "c", 4),
+        ("s3", "b", 5), ("s3", "c", 1),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {(r["u"], r["v"]): (r["common"], r["w_prod"])
+           for r in cocitation(df, by="dst").collect()}
+    assert got == {("a", "b"): (1, 6), ("a", "c"): (1, 4), ("b", "c"): (1, 5)}
+
+
+def test_bibliographic_coupling(spark):
+    # s1 and s2 both cite a (w 2*1) and nothing else shared
+    edges = [("s1", "a", 2), ("s2", "a", 1), ("s2", "b", 7), ("s3", "b", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {(r["u"], r["v"]): (r["common"], r["w_prod"])
+           for r in cocitation(df, by="src").collect()}
+    assert got == {("s1", "s2"): (1, 2), ("s2", "s3"): (1, 7)}

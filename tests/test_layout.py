@@ -277,6 +277,9 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "emerging_hotspots_l4",
         "pmi_cooccurrence",
         "hits_hosts_3it",
+        "overlap_near_dups",
+        "quadrat_chi2_l5",
+        "cocitation_hosts",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

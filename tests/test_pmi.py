@@ -75,3 +75,45 @@ def test_pmi_min_pair_floor(spark):
     out = pmi_pairs(_docs(spark, TEXTS), top_v=40, min_pair=3).collect()
     assert all(r["c_ab"] >= 3 for r in out)
     assert {(r["tok1"], r["tok2"]) for r in out} == {("cat", "the")}
+
+
+# ---------------------------------------------------------------------------
+# Overlap-coefficient (containment) near-dups
+
+
+def test_overlap_containment_pair(spark):
+    from ult_spark.ops.textops import overlap_pairs, shingle_array
+
+    import pyspark.sql.functions as F
+
+    # doc 1 = doc 0 + a one-word tail: shingle sets nearly identical
+    # (j ~ 0.95 -> banding deterministic-in-md5, pinned observed below),
+    # overlap of the smaller set = 100% exactly
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    docs = spark.createDataFrame(
+        [(0, base.strip()), (1, base.strip() + " omega"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", shingle_array("text").alias("sh")).collect()
+    }
+    inter = len(sets[0] & sets[1])
+    want_overlap = inter * 10000 // min(len(sets[0]), len(sets[1]))
+    assert want_overlap == 10000  # containment by construction
+    got = {(r["a"], r["b"]): (r["inter"], r["overlap_e4"])
+           for r in overlap_pairs(docs, threshold=0.5).collect()}
+    assert got == {(0, 1): (inter, 10000)}
+
+
+def test_overlap_exact_dups_within_group(spark):
+    from ult_spark.ops.textops import overlap_pairs
+
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(10, t), (20, t), (30, "unrelated text entirely disjoint tokens")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["overlap_e4"]
+           for r in overlap_pairs(docs, threshold=0.5).collect()}
+    assert got == {(10, 20): 10000}

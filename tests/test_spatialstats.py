@@ -242,3 +242,19 @@ def test_gi_antimeridian_wrap(spark):
         for r in getis_ord_gi(_points(spark, pair), LEVEL).collect()
     }
     assert got[(0, 7)] == (20, 2) and got[(N - 1, 7)] == (20, 2)
+
+
+def test_quadrat_closed_form_matches_naive(spark):
+    from ult_spark.ops.spatialstats import quadrat_chi2
+
+    field = {(2, 2): 7, (2, 3): 5, (9, 9): 1, (14, 1): 3}
+    row = quadrat_chi2(_points(spark, field), LEVEL).collect()[0]
+    m, n = (1 << LEVEL) ** 2, sum(field.values())
+    s2 = sum(c * c for c in field.values())
+    assert (row["m"], row["occ"], row["n"], row["s2"]) == (m, len(field), n, s2)
+    assert row["chi2_e6"] == math.floor((m * s2 - n * n) * 1000000.0 / n)
+    # closed form == the naive sum over ALL m cells including empties
+    exp = n / m
+    naive = sum((c - exp) ** 2 / exp for c in field.values())
+    naive += (m - len(field)) * exp  # empty cells contribute exp each
+    assert abs(row["chi2_e6"] / 1e6 - naive) < 1e-3

@@ -224,3 +224,46 @@ def hits_sql(edges_sql: str, iters: int = 3) -> str:
         f"CAST(a.auth AS BIGINT) AS auth "
         f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
     )
+
+
+def cocitation(edges: DataFrame, by: str = "dst") -> DataFrame:
+    """Co-citation and bibliographic coupling (Small 1973 / Kessler 1963).
+    ``by='dst'``: pairs of destinations sharing a SOURCE (cited together
+    by the same page) — co-citation. ``by='src'``: pairs of sources
+    sharing a DESTINATION (citing the same page) — bibliographic
+    coupling. Emits (u, v, common, w_prod) with
+    u < v: ``common`` = number of shared counterpart nodes, ``w_prod`` =
+    Σ over shared nodes of the two edge weights' product (the classic
+    weighted form) — all exact integers.
+
+    One self-join keyed on the SHARED endpoint + one partial-agg groupBy
+    on the pair. Cost is quadratic in per-node degree by definition of
+    the statistic — at web scale feed it an edge list pre-capped to the
+    top-k weighted edges per shared node (the standard practice), which
+    bounds the join fanout at k² per node."""
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    l = edges.select(F.col(share).alias("_s"), F.col(other).alias("u"),
+                     F.col("w").alias("_wu"))
+    r = edges.select(F.col(share).alias("_s"), F.col(other).alias("v"),
+                     F.col("w").alias("_wv"))
+    return (
+        l.join(r, "_s")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum(F.col("_wu") * F.col("_wv")).cast("long").alias("w_prod"),
+        )
+    )
+
+
+def cocitation_sql(edges_sql: str, by: str = "dst") -> str:
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    return (
+        f"WITH e AS ({edges_sql}) "
+        f"SELECT l.{other} AS u, r.{other} AS v, "
+        "CAST(count(*) AS BIGINT) AS common, "
+        "CAST(sum(l.w * r.w) AS BIGINT) AS w_prod "
+        f"FROM e l JOIN e r ON l.{share} = r.{share} "
+        f"AND l.{other} < r.{other} GROUP BY 1, 2"
+    )

@@ -461,3 +461,59 @@ def emerging_hotspots_sql(
         "WHEN COALESCE(mk.mk_s, 0) < 0 THEN 'falling' ELSE 'flat' END AS trend "
         "FROM pc LEFT JOIN mk ON mk.cell = pc.cell"
     )
+
+
+def quadrat_chi2(
+    points: DataFrame, level: int = 5, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Quadrat-count chi-square test statistic for complete spatial
+    randomness over the FULL level-``level`` grid (M = 4^level cells,
+    empty cells included via the closed form — never materialized):
+
+    ``X² = Σ_allcells (obs − n/M)²/(n/M)  ≡  (M·Σobs² − n²) / n``
+
+    so one partial-agg groupBy over occupied cells yields every term as
+    an exact integer; the single division is floored to e6. Emits the
+    ingredients (m, occ, n, s2) so the oracle certifies each. Integer
+    range: needs ``M·Σobs²`` and ``n²`` below 2^63 (n ≲ 3·10⁹ at L5) —
+    beyond that, shard by a coarser parent cell and sum, or pre-scale
+    (documented bound, the morans_i product shape)."""
+    m = 1 << (2 * level)
+    cells = occupied_cells(points, level, lat, lon)
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("occ"),
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    chi2 = F.floor(
+        (F.lit(m).cast("long") * F.col("s2") - F.col("n") * F.col("n")).cast("double")
+        * F.lit(1000000.0)
+        / F.col("n").cast("double")
+    ).cast("long")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "occ",
+        "n",
+        "s2",
+        F.when(F.col("n") > 0, chi2).alias("chi2_e6"),
+    )
+
+
+def quadrat_chi2_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    m = 1 << (2 * level)
+    return (
+        f"WITH pts AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
+        "occ AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM pts GROUP BY 1, 2), "
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS occ, "
+        "CAST(sum(cnt) AS BIGINT) AS n, "
+        "CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM occ) "
+        f"SELECT CAST({m} AS BIGINT) AS m, occ, n, s2, "
+        "CASE WHEN n > 0 THEN "
+        f"CAST(floor(CAST({m} * s2 - n * n AS DOUBLE) * 1000000.0 "
+        "/ CAST(n AS DOUBLE)) AS BIGINT) ELSE NULL END AS chi2_e6 "
+        "FROM agg"
+    )

@@ -1124,3 +1124,89 @@ def pmi_pairs_sql(top_v: int = 40, min_pair: int = 2) -> str:
         "/ CAST(_ca * _cb AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_e6 "
         "FROM pr CROSS JOIN nd"
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlap-coefficient (containment) near-dups — catches truncation/quoting
+# pairs that Jaccard misses (a small doc fully inside a big one has low
+# Jaccard but overlap ~= 1)
+
+def overlap_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by the Szymkiewicz-Simpson overlap coefficient
+    ``|A∩B| / min(|A|, |B|)`` over distinct shingle sets, e4-floored.
+
+    Same 100-TB pipeline shape as :func:`minhash_lsh_dedup` (exact-dup
+    pre-collapse → minhash bands → candidate pairs → exact verify →
+    re-expand; nothing keyed on a raw shingle, no identical-text pair
+    reaches a shuffle) — only the verify statistic differs. NOTE the
+    recall caveat (documented, inherent): candidates come from the
+    symmetric LSH bands, so a SMALL doc buried in a much larger one can
+    miss banding even at overlap 1.0 — this op upgrades precision ranking
+    for pairs the bands do surface; full containment recall needs a
+    dedicated asymmetric index (out of scope, same judgment call as the
+    capped ANN default)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    groups = collapse_exact(df)
+    reps = groups.select("doc_id", "text").repartition(n_part)
+    sh = shingles(reps)
+    cand = lsh_candidates(minhash_signature(sh))
+    docsets = sh.groupBy("doc_id").agg(
+        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+        F.count("*").alias("sz"),
+    )
+    a = docsets.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"), F.col("sz").alias("sza"))
+    b = docsets.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"), F.col("sz").alias("szb"))
+    rep_pairs = (
+        cand.join(a, "a").join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")).cast("long"))
+        .withColumn(
+            "overlap_e4",
+            F.floor(F.col("inter") * 10000 / F.least("sza", "szb")).cast("long"),
+        )
+        .where(F.col("overlap_e4") >= int(threshold * 10000))
+        .select("a", "b", "inter", "overlap_e4")
+    )
+    cross = _expand_group_pairs(rep_pairs, groups, ["inter", "overlap_e4"])
+    within = (
+        groups.join(docsets.select("doc_id", "sz"), "doc_id")
+        .select(F.explode("_members").alias("_xa"), "_members", "sz")
+        .select("_xa", F.explode("_members").alias("_xb"), "sz")
+        .where(F.col("_xa") < F.col("_xb"))
+        .select(
+            F.col("_xa").alias("a"),
+            F.col("_xb").alias("b"),
+            F.col("sz").cast("long").alias("inter"),
+            F.lit(10000).cast("long").alias("overlap_e4"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def overlap_pairs_sql(threshold: float = 0.5) -> str:
+    """DuckDB mirror (uncollapsed plan — result-identical by the same
+    argument as minhash_lsh_sql)."""
+    r = N_MINHASH // N_BANDS
+    mh = ", ".join(f"min(h1 + {j} * h2) AS mh{j}" for j in range(N_MINHASH))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, md5(concat_ws('_', '{b}', "
+        + ", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + ")) AS band FROM sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"WITH sh AS ({SHINGLES_SQL}), "
+        "hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1, "
+        "('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2 FROM sh), "
+        f"sig AS (SELECT doc_id, {mh} FROM hs GROUP BY 1), "
+        f"bands AS ({bands}), "
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l "
+        "JOIN bands r USING (band) WHERE l.doc_id < r.doc_id), "
+        "inters AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS inter FROM sh sa "
+        "JOIN sh sb USING (shingle) WHERE sa.doc_id < sb.doc_id GROUP BY 1, 2), "
+        "sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1) "
+        "SELECT c.a, c.b, i.inter, "
+        "CAST(floor(i.inter * 10000 / least(za.sz, zb.sz)) AS BIGINT) AS overlap_e4 "
+        "FROM cand c JOIN inters i ON c.a = i.a AND c.b = i.b "
+        "JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b "
+        f"WHERE floor(i.inter * 10000 / least(za.sz, zb.sz)) >= {int(threshold * 10000)}"
+    )

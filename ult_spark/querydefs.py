@@ -3383,3 +3383,91 @@ def _attach_hits_oracle() -> None:
 
 
 _attach_hits_oracle()
+
+
+@q("overlap_near_dups", None)
+def overlap_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups by the overlap coefficient (r6,
+    ops/textops.py overlap_pairs): |A∩B|/min(|A|,|B|) over distinct
+    shingle sets, the statistic that catches truncation/quoting pairs
+    Jaccard misses; same collapse→band→verify→expand pipeline shape as
+    the hash-green minhash_lsh_pairs."""
+    from ult_spark.ops.textops import overlap_pairs
+
+    return overlap_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _attach_overlap_oracle() -> None:
+    from ult_spark.ops.textops import overlap_pairs_sql
+
+    ORACLES["overlap_near_dups"] = overlap_pairs_sql(threshold=0.5)
+
+
+_attach_overlap_oracle()
+
+
+@q("quadrat_chi2_l5", None)
+def quadrat_chi2_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count chi-square CSR statistic over the full L5 grid (r6,
+    ops/spatialstats.py quadrat_chi2): empty cells enter via the closed
+    form (M·Σobs² − n²)/n — one partial-agg groupBy, exact integer
+    ingredients, single e6-floored division."""
+    from ult_spark.ops.spatialstats import quadrat_chi2
+
+    return quadrat_chi2(events_points(spark, sf_dir), level=5)
+
+
+def _attach_quadrat_oracle() -> None:
+    from ult_spark.ops.spatialstats import quadrat_chi2_sql
+
+    ORACLES["quadrat_chi2_l5"] = quadrat_chi2_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5
+    )
+
+
+_attach_quadrat_oracle()
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic host link graph shared by the graph queries."""
+    from ult_spark.ops.textops import _h56
+
+    docs = load(spark, sf_dir, "documents")
+    site = lambda c: F.concat(F.lit("site"), c.cast("string"))  # noqa: E731
+    return (
+        docs.select(
+            site(F.col("doc_id") % 20).alias("src"),
+            site(_h56(F.col("doc_id").cast("string")) % 20).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+_HOST_EDGES_SQL = (
+    "SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ("
+    "SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS src, "
+    "'site' || CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))"
+    "::BIGINT % 20 AS VARCHAR) AS dst "
+    "FROM documents) GROUP BY 1, 2"
+)
+
+
+@q("cocitation_hosts", None)
+def cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation over the host link graph (r6, ops/graph.py
+    cocitation): destination pairs sharing a source, with the classic
+    weighted form Σ w_u·w_v — one self-join on the shared endpoint +
+    one pair-keyed groupBy, all exact integers."""
+    from ult_spark.ops.graph import cocitation
+
+    return cocitation(_host_edges(spark, sf_dir), by="dst")
+
+
+def _attach_cocitation_oracle() -> None:
+    from ult_spark.ops.graph import cocitation_sql
+
+    ORACLES["cocitation_hosts"] = cocitation_sql(_HOST_EDGES_SQL, by="dst")
+
+
+_attach_cocitation_oracle()
