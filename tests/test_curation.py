@@ -288,3 +288,46 @@ def test_host_boilerplate_all_boiler_doc_hashes_empty(spark):
     assert out[0].n_seg == 1 and out[0].n_boiler == 1
     assert out[0].clean_h56 == _h56_py("")
     assert out[9].clean_h56 == _h56_py("extra words")
+
+
+# ---------------------------------------------------------------------------
+# host language-mix KL divergence
+
+
+def test_host_lang_divergence_exact(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from ult_spark.ops.curation import host_lang_divergence
+
+    rows = [
+        # host A: 3 en, 1 fr; host B: 2 fr; corpus: en 3, fr 3
+        (1, "A", "en"), (2, "A", "en"), (3, "A", "en"), (4, "A", "fr"),
+        (5, "B", "fr"), (6, "B", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, h string, lang string")
+    got = {r["host"]: (r["n_docs"], r["n_langs"], r["kl_e9"])
+           for r in host_lang_divergence(df, F.col("h")).collect()}
+
+    def term(c_hl, c_h, n_l, n=6):
+        return math.floor(1e9 * (c_hl / c_h) * math.log((c_hl * n) / (c_h * n_l)))
+
+    want_a = term(3, 4, 3) + term(1, 4, 3)
+    want_b = term(2, 2, 3)
+    assert got == {"A": (4, 2, want_a), "B": (2, 1, want_b)}
+    # B is single-language in a half-fr corpus: ln(2) exactly
+    assert want_b == math.floor(1e9 * math.log(2.0))
+
+
+def test_host_lang_divergence_uniform_host_is_zero(spark):
+    import pyspark.sql.functions as F
+
+    from ult_spark.ops.curation import host_lang_divergence
+
+    # a host whose mix equals the corpus mix has KL 0 (every term ln(1))
+    rows = [(i, "H" + str(i % 2), ["en", "fr"][i % 2]) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, h string, lang string")
+    out = host_lang_divergence(df, F.col("h")).collect()
+    # hosts H0 (all en) and H1 (all fr) in an even corpus: ln(2) each
+    assert all(r["kl_e9"] == 693147180 for r in out)

@@ -280,6 +280,8 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "overlap_near_dups",
         "quadrat_chi2_l5",
         "cocitation_hosts",
+        "semivariogram_l5",
+        "host_lang_divergence",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -258,3 +258,45 @@ def test_quadrat_closed_form_matches_naive(spark):
     naive = sum((c - exp) ** 2 / exp for c in field.values())
     naive += (m - len(field)) * exp  # empty cells contribute exp each
     assert abs(row["chi2_e6"] / 1e6 - naive) < 1e-3
+
+
+def _py_semivar(cells: dict[tuple[int, int], int], max_h: int):
+    out = {}
+    for h in range(1, max_h + 1):
+        prs = [
+            (cells[a], cells[b])
+            for a in cells
+            for b in cells
+            if a != b
+            and max(min((a[0] - b[0]) % N, (b[0] - a[0]) % N), abs(a[1] - b[1])) == h
+            # ring membership must respect direction for x (dx in [-h, h])
+        ]
+        if prs:
+            ss = sum((ci - cj) ** 2 for ci, cj in prs)
+            out[h] = (len(prs), ss, math.floor(ss * 1000000.0 / (2.0 * len(prs))))
+    return out
+
+
+def test_semivariogram_matches_python(spark):
+    from ult_spark.ops.spatialstats import semivariogram
+
+    field = {
+        (5, 5): 9, (6, 5): 7, (5, 6): 8, (7, 5): 3,
+        (9, 9): 1, (2, 12): 2, (12, 2): 4,
+    }
+    got = {
+        r["h"]: (r["n_pairs"], r["ss"], r["gamma_e6"])
+        for r in semivariogram(_points(spark, field), LEVEL, max_h=3).collect()
+    }
+    assert got == _py_semivar(field, 3)
+    # adjacent (lag-1) cells are similar, lag-2 less so: rising variogram
+    assert got[1][2] < got[2][2]
+
+
+def test_semivariogram_wrap_pair(spark):
+    from ult_spark.ops.spatialstats import semivariogram
+
+    field = {(0, 7): 5, (N - 1, 7): 2}
+    got = {r["h"]: (r["n_pairs"], r["ss"]) for r in
+           semivariogram(_points(spark, field), LEVEL, max_h=2).collect()}
+    assert got == {1: (2, 18)}  # the antimeridian pair, both directions

@@ -42,7 +42,7 @@ aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ult_spark.ops.textops import _h56, tokens_col
@@ -654,3 +654,72 @@ SELECT doc_id, host, CAST(count(*) AS BIGINT) AS n_seg,
        {h} AS clean_h56
 FROM flagged GROUP BY doc_id, host
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain language-mix divergence (curation: flag hosts whose language
+# distribution diverges from the corpus — mixed-lang spam, scraped UI chrome)
+
+def host_lang_divergence(df: DataFrame, host: Column, lang: str = "lang") -> DataFrame:
+    """Per-host KL divergence of the host's language mix from the corpus
+    mix: ``KL(host) = Σ_l (c_hl/c_h)·ln((c_hl·N)/(c_h·N_l))`` — emitted
+    as (host, n_docs, n_langs, kl_e9).
+
+    Cross-engine exactness: counts are exact integers; each term is the
+    SAME pinned double chain in both engines — one ln of one division of
+    two exact integer products (c_hl·N ≤ N² « 2^63 and both < 2^53 for
+    any realistic host), times the ratio c_hl/c_h — floored to e9 PER
+    TERM before the integer sum (order-free; the token_entropy
+    precedent). Zero-count langs contribute nothing (inner groupBy), so
+    no log-of-zero branch exists.
+
+    Scale: two partial-agg groupBys ((host, lang) then host) + one
+    broadcast join of the ≤ #langs corpus marginals + a broadcast 1-row
+    total. Popular hosts are one group each — partial aggregation does
+    the heavy lifting."""
+    hl = df.select(host.alias("host"), F.col(lang).alias("_l")).groupBy(
+        "host", "_l"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_hl"))
+    nl = F.broadcast(
+        hl.groupBy("_l").agg(F.sum("c_hl").cast("long").alias("n_l"))
+    )
+    tot = F.broadcast(hl.agg(F.sum("c_hl").cast("long").alias("n_all")))
+    ch = hl.groupBy("host").agg(F.sum("c_hl").cast("long").alias("c_h"))
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("c_hl").cast("double") / F.col("c_h").cast("double"))
+        * F.log(
+            (F.col("c_hl") * F.col("n_all")).cast("double")
+            / (F.col("c_h") * F.col("n_l")).cast("double")
+        )
+    ).cast("long")
+    return (
+        hl.join(ch, "host")
+        .join(nl, "_l")
+        .crossJoin(tot)
+        .withColumn("_t", term)
+        .groupBy("host")
+        .agg(
+            F.any_value("c_h").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum("_t").cast("long").alias("kl_e9"),
+        )
+    )
+
+
+def host_lang_divergence_sql(host_sql: str, lang: str = "lang") -> str:
+    return (
+        f"WITH hl AS (SELECT {host_sql} AS host, {lang} AS l, "
+        "CAST(count(*) AS BIGINT) AS c_hl FROM documents GROUP BY 1, 2), "
+        "nl AS (SELECT l, CAST(sum(c_hl) AS BIGINT) AS n_l FROM hl GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c_hl) AS BIGINT) AS n_all FROM hl), "
+        "ch AS (SELECT host, CAST(sum(c_hl) AS BIGINT) AS c_h FROM hl GROUP BY 1) "
+        "SELECT hl.host, any_value(ch.c_h) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_langs, "
+        "CAST(sum(CAST(floor(1000000000.0::DOUBLE "
+        "* (CAST(hl.c_hl AS DOUBLE) / CAST(ch.c_h AS DOUBLE)) "
+        "* ln(CAST(hl.c_hl * tot.n_all AS DOUBLE) "
+        "/ CAST(ch.c_h * nl.n_l AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_e9 "
+        "FROM hl JOIN ch USING (host) JOIN nl USING (l) CROSS JOIN tot "
+        "GROUP BY 1"
+    )

@@ -517,3 +517,89 @@ def quadrat_chi2_sql(
         "/ CAST(n AS DOUBLE)) AS BIGINT) ELSE NULL END AS chi2_e6 "
         "FROM agg"
     )
+
+
+def semivariogram(
+    points: DataFrame,
+    level: int = 5,
+    max_h: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Empirical semivariogram of the occupied-cell count surface:
+    one row per Chebyshev lag ``h = 1..max_h`` with the DIRECTED pair
+    count ``n_pairs``, the exact integer ``ss = Σ (cnt_i − cnt_j)²``,
+    and ``gamma_e6 = floor(10⁶·ss/(2·n_pairs))`` (directed double-counts
+    cancel: ss_d/(2·n_d) ≡ ss_u/(2·n_u)). Occupied-universe semantics
+    (pinned, documented — empty-cell pairs excluded). One explode of the
+    4·max_h·(max_h+1) ring offsets (h rides in the struct) + the
+    standard wrap/clamp hash equi-join + one groupBy h."""
+    n = 1 << level
+    assert 2 * max_h + 1 <= n, "rings would wrap onto themselves"
+    cells = occupied_cells(points, level, lat, lon)
+    offs = F.array(
+        *[
+            F.struct(F.lit(h).alias("h"), F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for h in range(1, max_h + 1)
+            for dx in range(-h, h + 1)
+            for dy in range(-h, h + 1)
+            if max(abs(dx), abs(dy)) == h
+        ]
+    )
+    pairs = (
+        cells.withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            F.col("_o.h").alias("h"),
+            F.col("cnt").alias("_ci"),
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
+            ).alias("nbr"),
+        )
+        .join(cells.select(F.col("cell").alias("nbr"), F.col("cnt").alias("_cj")), "nbr")
+    )
+    d = (F.col("_ci") - F.col("_cj")).cast("long")
+    agg = pairs.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d * d).cast("long").alias("ss"),
+    )
+    gamma = F.floor(
+        F.col("ss").cast("double") * F.lit(1000000.0)
+        / (F.lit(2.0) * F.col("n_pairs").cast("double"))
+    ).cast("long")
+    return agg.select(
+        F.col("h").cast("long").alias("h"), "n_pairs", "ss",
+        F.when(F.col("n_pairs") > 0, gamma).alias("gamma_e6"),
+    )
+
+
+def semivariogram_sql(
+    lat_sql: str, lon_sql: str, level: int, max_h: int = 3, table: str = "events"
+) -> str:
+    n = 1 << level
+    offs = ", ".join(
+        f"({h}, {dx}, {dy})"
+        for h in range(1, max_h + 1)
+        for dx in range(-h, h + 1)
+        for dy in range(-h, h + 1)
+        if max(abs(dx), abs(dy)) == h
+    )
+    return (
+        f"WITH pts AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
+        "occ AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM pts GROUP BY 1, 2), "
+        f"offs(h, dx, dy) AS (VALUES {offs}), "
+        "pr AS (SELECT o.h AS h, a.cnt AS ci, b.cnt AS cj "
+        "FROM occ a, offs o, occ b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy) "
+        "SELECT CAST(h AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(sum((ci - cj) * (ci - cj)) AS BIGINT) AS ss, "
+        "CASE WHEN count(*) > 0 THEN CAST(floor(CAST(sum((ci - cj) * (ci - cj)) "
+        "AS DOUBLE) * 1000000.0 / (2.0 * CAST(count(*) AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS gamma_e6 "
+        "FROM pr GROUP BY 1"
+    )

@@ -3471,3 +3471,51 @@ def _attach_cocitation_oracle() -> None:
 
 
 _attach_cocitation_oracle()
+
+
+@q("semivariogram_l5", None)
+def semivariogram_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of the L5 occupied-cell count surface
+    (r6, ops/spatialstats.py semivariogram): exact integer pair counts
+    and squared-difference sums per Chebyshev lag 1..3, one e6-floored
+    division per lag; one ring-offset explode + hash equi-join + one
+    groupBy."""
+    from ult_spark.ops.spatialstats import semivariogram
+
+    return semivariogram(events_points(spark, sf_dir), level=5, max_h=3)
+
+
+def _attach_semivariogram_oracle() -> None:
+    from ult_spark.ops.spatialstats import semivariogram_sql
+
+    ORACLES["semivariogram_l5"] = semivariogram_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5, max_h=3
+    )
+
+
+_attach_semivariogram_oracle()
+
+
+@q("host_lang_divergence", None)
+def host_lang_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language-mix KL divergence from the corpus mix (r6,
+    ops/curation.py host_lang_divergence): the domain-level curation
+    signal that flags mixed-language spam hosts; per-term e9 floors
+    before the order-free integer sum (token_entropy precedent)."""
+    from ult_spark.ops.curation import host_lang_divergence
+
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+    )
+    return host_lang_divergence(load(spark, sf_dir, "documents"), host)
+
+
+def _attach_lang_div_oracle() -> None:
+    from ult_spark.ops.curation import host_lang_divergence_sql
+
+    ORACLES["host_lang_divergence"] = host_lang_divergence_sql(
+        "'site' || CAST(doc_id % 20 AS VARCHAR) || '.example'"
+    )
+
+
+_attach_lang_div_oracle()
