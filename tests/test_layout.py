@@ -282,6 +282,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "cocitation_hosts",
         "semivariogram_l5",
         "host_lang_divergence",
+        "geohash_counts_p4",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -245,3 +245,53 @@ def quadkey_sql(px: str, py: str, level: int) -> str:
         for i in range(1, level + 1)
     )
     return f"concat({digits})"
+
+
+# ---------------------------------------------------------------------------
+# Geohash interop (public spec: base32 of interleaved lon/lat bisection bits,
+# lon first — https://en.wikipedia.org/wiki/Geohash). Unlike H3's geometric
+# half, geohash needs NO library anchor tables: its lat/lon mapping is the
+# same plate-carrée floor/clamp this grid already pins, so encode is pure
+# bit math. EVEN precisions only (odd flips the interleave parity; out of
+# scope). Edge pin: lat=+90 / lon=+180 clamp to the max cell (the grid rule).
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column | str, lon: Column | str, precision: int = 6) -> Column:
+    """Geohash string of (lat, lon) at an even ``precision`` — native.
+
+    ``5·p`` bits, lon at odd positions from the LSB (= leading bit), so the
+    combined integer is this grid's Morton spread with x=lat, y=lon at
+    level ``5·p/2``; each 5-bit group indexes the base32 alphabet."""
+    assert precision % 2 == 0 and 2 <= precision <= 12, "even precision only"
+    bits = 5 * precision // 2
+    g = _spread(grid_y(lat, bits)).bitwiseOR(
+        F.shiftleft(_spread(grid_x(lon, bits)), 1)
+    )
+    alphabet = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            alphabet,
+            (F.shiftright(g, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + 1)
+            .cast("int"),
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_sql: str, lon_sql: str, precision: int = 6) -> str:
+    """DuckDB mirror of :func:`geohash_encode`."""
+    assert precision % 2 == 0 and 2 <= precision <= 12
+    bits = 5 * precision // 2
+    g = (
+        f"({_spread_sql(grid_y_sql(lat_sql, bits))} | "
+        f"({_spread_sql(grid_x_sql(lon_sql, bits))} << 1))"
+    )
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', CAST((({g} >> {5 * (precision - 1 - i)}) & 31) "
+        "AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"({chars})"

@@ -3519,3 +3519,22 @@ def _attach_lang_div_oracle() -> None:
 
 
 _attach_lang_div_oracle()
+
+
+@q(
+    "geohash_counts_p4",
+    "SELECT " + UF.geohash_sql(UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, 4)
+    + " AS gh, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
+    "FROM events GROUP BY 1",
+)
+def geohash_counts_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash interop (r6, functions.geohash_encode): events bucketed by
+    precision-4 geohash — the third external grid key (after quadkey and
+    H3 structural) users bring; pure native bit math + base32 lookup, one
+    partial-agg groupBy."""
+    ev = events_points(spark, sf_dir)
+    return ev.groupBy(UF.geohash_encode("lat", "lon", 4).alias("gh")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.countDistinct("user_id").cast("long").alias("users"),
+    )
