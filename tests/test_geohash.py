@@ -52,3 +52,25 @@ def test_edge_clamps_to_max_cell(spark):
     # lat=90 / lon=180 pin to the max cell: all bits 1 -> 'z' * p
     assert _spark_gh(spark, [(90.0, 180.0)], 4)[0] == "zzzz"
     assert _spark_gh(spark, [(-90.0, -180.0)], 4)[0] == "0000"
+
+
+def test_bridge_round_trip_equals_direct_cell(spark):
+    df = spark.createDataFrame(COORDS, "lat double, lon double")
+    for p in (4, 6):
+        bits = 5 * p // 2
+        out = df.select(
+            UF.geohash_to_cell(UF.geohash_encode("lat", "lon", p), p).alias("via"),
+            UF.latlon_to_cell("lat", "lon", bits).alias("direct"),
+        ).collect()
+        assert all(r["via"] == r["direct"] for r in out), (p, out)
+
+
+def test_bridge_parses_external_strings(spark):
+    # strings produced by the REFERENCE bisection, not our encoder
+    rows = [(_ref_geohash(la, lo, 6), la, lo) for la, lo in COORDS]
+    df = spark.createDataFrame(rows, "gh string, lat double, lon double")
+    out = df.select(
+        UF.geohash_to_cell("gh", 6).alias("via"),
+        UF.latlon_to_cell("lat", "lon", 15).alias("direct"),
+    ).collect()
+    assert all(r["via"] == r["direct"] for r in out)

@@ -283,6 +283,8 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "semivariogram_l5",
         "host_lang_divergence",
         "geohash_counts_p4",
+        "geohash_bridge_p4",
+        "source_js_divergence",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

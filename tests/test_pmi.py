@@ -117,3 +117,58 @@ def test_overlap_exact_dups_within_group(spark):
     got = {(r["a"], r["b"]): r["overlap_e4"]
            for r in overlap_pairs(docs, threshold=0.5).collect()}
     assert got == {(10, 20): 10000}
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon source divergence
+
+
+def _py_js(docs_a: list[str], docs_b: list[str]):
+    import math
+
+    def dfreq(docs):
+        out = {}
+        for t in docs:
+            for tok in set(t.split()) - {""}:
+                out[tok] = out.get(tok, 0) + 1
+        return out
+
+    da, db = dfreq(docs_a), dfreq(docs_b)
+    na, nb = sum(da.values()), sum(db.values())
+    sa = sb = 0
+    toks = set(da) | set(db)
+    for t in toks:
+        ca, cb = da.get(t, 0), db.get(t, 0)
+        den = ca * nb + cb * na
+        if ca > 0:
+            sa += math.floor(1e9 * (ca / na) * math.log(2.0 * ca * nb / den))
+        if cb > 0:
+            sb += math.floor(1e9 * (cb / nb) * math.log(2.0 * cb * na / den))
+    return len(toks), na, nb, sa, sb, max(sa + sb, 0) // 2
+
+
+def test_js_matches_python(spark):
+    from ult_spark.ops.textops import source_token_js
+
+    docs_a = ["the cat sat", "the dog ran", "a cat and a dog"]
+    docs_b = ["le chat", "the cat sat", "fish and chips daily"]
+    rows = [(i, t, "A") for i, t in enumerate(docs_a)] + [
+        (100 + i, t, "B") for i, t in enumerate(docs_b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    row = source_token_js(df, "A", "B").collect()[0]
+    assert tuple(row) == _py_js(docs_a, docs_b)
+    assert row["js_e9"] > 0
+
+
+def test_js_identical_sources_zero(spark):
+    from ult_spark.ops.textops import source_token_js
+
+    docs = ["alpha beta gamma", "beta delta", "gamma alpha"]
+    rows = [(i, t, "A") for i, t in enumerate(docs)] + [
+        (100 + i, t, "B") for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    row = source_token_js(df, "A", "B").collect()[0]
+    # identical distributions: every ln is ln(1) = 0 exactly
+    assert row["sum_a_e9"] == 0 and row["sum_b_e9"] == 0 and row["js_e9"] == 0

@@ -295,3 +295,56 @@ def geohash_sql(lat_sql: str, lon_sql: str, precision: int = 6) -> str:
         for i in range(precision)
     )
     return f"({chars})"
+
+
+_EVEN_BITS = 0x5555555555555555
+
+
+def geohash_to_cell(gh: Column | str, precision: int = 6) -> Column:
+    """Bridge an (even-precision) geohash string onto this grid: the cell
+    id at level ``5·p/2`` covering exactly the geohash's bbox — geohash
+    cells at even precision ARE plate-carrée grid cells, so external
+    geohash-keyed tables hash-join the cell universe directly (the same
+    interop shape as the H3 ancestor join). Native: per-char index via a
+    map literal, bit reassembly, then ONE adjacent-bit-plane swap — the
+    geohash integer interleaves lat-at-even/lon-at-odd while this grid's
+    Morton core is lon-at-even/lat-at-odd, so no de/re-interleave is
+    needed (a nested ``_unspread``→``_spread`` round trip doubles the
+    Catalyst subtree per iteration, 32× each, and the composition with
+    ``geohash_encode`` blows the analyzer past tens of millions of tree
+    nodes — measured as a 32 GB driver-heap GC spiral). Precision caps at 10:
+    level 5·p/2 must fit MAX_LEVEL=29."""
+    assert precision % 2 == 0 and 2 <= precision <= 10
+    gh = F.col(gh) if isinstance(gh, str) else gh
+    bits = 5 * precision // 2
+    idx_map = F.create_map(
+        *[x for i, c in enumerate(GEOHASH32) for x in (F.lit(c), F.lit(i))]
+    )
+    g = F.lit(0).cast("long")
+    for i in range(precision):
+        ch = F.substring(gh, i + 1, 1)
+        g = g.bitwiseOR(
+            F.shiftleft(
+                F.element_at(idx_map, ch).cast("long"), 5 * (precision - 1 - i)
+            )
+        )
+    m = F.shiftleft(g.bitwiseAND(F.lit(_EVEN_BITS)), 1).bitwiseOR(
+        F.shiftright(g, 1).bitwiseAND(F.lit(_EVEN_BITS))
+    )
+    return F.shiftleft(
+        F.shiftleft(m, 1).bitwiseOR(F.lit(1)), 2 * (MAX_LEVEL - bits)
+    )
+
+
+def geohash_to_cell_sql(gh_sql: str, precision: int = 6) -> str:
+    """DuckDB mirror of :func:`geohash_to_cell` (same plane-swap form —
+    the de/re-interleave mirror would also square the SQL text size)."""
+    assert precision % 2 == 0 and 2 <= precision <= 10
+    bits = 5 * precision // 2
+    g = "(" + " | ".join(
+        f"((strpos('{GEOHASH32}', substr({gh_sql}, {i + 1}, 1)) - 1) "
+        f"<< {5 * (precision - 1 - i)})"
+        for i in range(precision)
+    ) + ")"
+    m = f"((({g} & {_EVEN_BITS}) << 1) | (({g} >> 1) & {_EVEN_BITS}))"
+    return f"((({m} << 1) | 1) << {2 * (MAX_LEVEL - bits)})"

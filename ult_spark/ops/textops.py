@@ -1210,3 +1210,121 @@ def overlap_pairs_sql(threshold: float = 0.5) -> str:
         "JOIN sz za ON za.doc_id = c.a JOIN sz zb ON zb.doc_id = c.b "
         f"WHERE floor(i.inter * 10000 / least(za.sz, zb.sz)) >= {int(threshold * 10000)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between two sources' vocabulary distributions
+# (corpus comparison: drift between crawls / sources / snapshots)
+
+def source_token_js(
+    df: DataFrame,
+    src_a: str,
+    src_b: str,
+    src_col: str = "source",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """One row: JS divergence between the two sources' token DOCUMENT-
+    frequency distributions — (n_terms, n_a, n_b, sum_a_e9, sum_b_e9,
+    js_e9).
+
+    p_t = df_a(t)/N_a against q_t = df_b(t)/N_b where N = Σ_t df(t);
+    ``JS = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q))``. The ln argument
+    reduces to exact integer products: ``2p/(p+q) = 2·df_a·N_b /
+    (df_a·N_b + df_b·N_a)`` — document frequencies keep the products
+    « 2^53 (the PMI bound argument). Each side's terms are e9-floored
+    BEFORE the order-free integer sums; the final halving is an integer
+    div. Zero-count terms on one side contribute ln 2 on the other side
+    only (full outer join, explicit CASE — no log-of-zero branch).
+
+    Scale: one distinct + groupBy per token (partial aggs), one
+    token-keyed full outer join of the two marginal tables, broadcast
+    1-row totals."""
+    dt = (
+        df.where(F.col(src_col).isin(src_a, src_b))
+        .select(F.col(src_col).alias("_s"),
+                F.col(id_col).alias("_d"),
+                F.explode(tokens_col(text)).alias("tok"))
+        .distinct()
+    )
+    cnt = dt.groupBy("_s", "tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ca = cnt.where(F.col("_s") == src_a).select("tok", F.col("c").alias("ca"))
+    cb = cnt.where(F.col("_s") == src_b).select("tok", F.col("c").alias("cb"))
+    na = F.broadcast(ca.agg(F.sum("ca").cast("long").alias("na")))
+    nb = F.broadcast(cb.agg(F.sum("cb").cast("long").alias("nb")))
+    j = (
+        ca.join(cb, "tok", "full_outer")
+        .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb"))
+        .crossJoin(na)
+        .crossJoin(nb)
+    )
+    num_a = (F.col("ca") * F.col("nb")).cast("long")
+    num_b = (F.col("cb") * F.col("na")).cast("long")
+    den = (num_a + num_b).cast("double")
+    term_a = F.when(
+        F.col("ca") > 0,
+        F.floor(
+            F.lit(1000000000.0)
+            * (F.col("ca").cast("double") / F.col("na").cast("double"))
+            * F.log(F.lit(2.0) * num_a.cast("double") / den)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    term_b = F.when(
+        F.col("cb") > 0,
+        F.floor(
+            F.lit(1000000000.0)
+            * (F.col("cb").cast("double") / F.col("nb").cast("double"))
+            * F.log(F.lit(2.0) * num_b.cast("double") / den)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        j.withColumn("_ta", term_a)
+        .withColumn("_tb", term_b)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.any_value(F.col("na")).alias("n_a"),
+            F.any_value(F.col("nb")).alias("n_b"),
+            F.sum("_ta").cast("long").alias("sum_a_e9"),
+            F.sum("_tb").cast("long").alias("sum_b_e9"),
+        )
+        .select(
+            "n_terms", "n_a", "n_b", "sum_a_e9", "sum_b_e9",
+            # clamp before halving: JS >= 0 but per-term floors can push the
+            # integer sums a few ulps negative, and Spark `div` truncates
+            # toward zero while DuckDB `//` floors — they differ on negatives
+            F.expr("greatest(sum_a_e9 + sum_b_e9, 0L) div 2").alias("js_e9"),
+        )
+    )
+
+
+def source_token_js_sql(src_a: str, src_b: str) -> str:
+    return (
+        "WITH dt AS (SELECT DISTINCT source AS s, doc_id, "
+        "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok "
+        f"FROM documents WHERE source IN ('{src_a}', '{src_b}')), "
+        "cnt AS (SELECT s, tok, CAST(count(*) AS BIGINT) AS c "
+        "FROM dt GROUP BY 1, 2), "
+        f"ca AS (SELECT tok, c AS ca FROM cnt WHERE s = '{src_a}'), "
+        f"cb AS (SELECT tok, c AS cb FROM cnt WHERE s = '{src_b}'), "
+        "na AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM ca), "
+        "nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM cb), "
+        "j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+        "FROM ca FULL OUTER JOIN cb USING (tok)), "
+        "t AS (SELECT ca, cb, na, nb, "
+        "CASE WHEN ca > 0 THEN CAST(floor(1000000000.0::DOUBLE "
+        "* (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) "
+        "* ln(2.0::DOUBLE * CAST(ca * nb AS DOUBLE) "
+        "/ CAST(ca * nb + cb * na AS DOUBLE))) AS BIGINT) ELSE 0 END AS ta, "
+        "CASE WHEN cb > 0 THEN CAST(floor(1000000000.0::DOUBLE "
+        "* (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) "
+        "* ln(2.0::DOUBLE * CAST(cb * na AS DOUBLE) "
+        "/ CAST(ca * nb + cb * na AS DOUBLE))) AS BIGINT) ELSE 0 END AS tb "
+        "FROM j CROSS JOIN na CROSS JOIN nb) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+        "any_value(na) AS n_a, any_value(nb) AS n_b, "
+        "CAST(sum(ta) AS BIGINT) AS sum_a_e9, CAST(sum(tb) AS BIGINT) AS sum_b_e9, "
+        "greatest(CAST(sum(ta) AS BIGINT) + CAST(sum(tb) AS BIGINT), 0) // 2 "
+        "AS js_e9 "
+        "FROM t"
+    )

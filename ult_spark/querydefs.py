@@ -3538,3 +3538,44 @@ def geohash_counts_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.countDistinct("user_id").cast("long").alias("users"),
     )
+
+
+@q(
+    "geohash_bridge_p4",
+    # the ORACLE takes the DIRECT lat/lon->cell path at level 10; the Spark
+    # side goes THROUGH the geohash string and back (encode -> base32 ->
+    # parse -> cell), so a hash match certifies the whole string bridge
+    "SELECT " + UF.cell_sql(UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, 10)
+    + " AS cell, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1",
+)
+def geohash_bridge_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash string round-trip bridge (r6, functions.geohash_to_cell):
+    events encoded to precision-4 geohashes, parsed BACK to level-10 grid
+    cells, aggregated — hash-compared against the direct encode path, so
+    external geohash-keyed joins are certified exact."""
+    ev = events_points(spark, sf_dir)
+    gh = UF.geohash_encode("lat", "lon", 4)
+    return ev.groupBy(UF.geohash_to_cell(gh, 4).alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+@q("source_js_divergence", None)
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' vocabulary
+    document-frequency distributions (r6, ops/textops.py
+    source_token_js): the corpus-drift statistic a pipeline runs when
+    comparing crawls/sources; per-term e9 floors before order-free
+    integer sums, clamped integer halving."""
+    from ult_spark.ops.textops import source_token_js
+
+    return source_token_js(load(spark, sf_dir, "documents"), "src0", "src1")
+
+
+def _attach_js_oracle() -> None:
+    from ult_spark.ops.textops import source_token_js_sql
+
+    ORACLES["source_js_divergence"] = source_token_js_sql("src0", "src1")
+
+
+_attach_js_oracle()
