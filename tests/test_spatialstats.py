@@ -300,3 +300,51 @@ def test_semivariogram_wrap_pair(spark):
     got = {r["h"]: (r["n_pairs"], r["ss"]) for r in
            semivariogram(_points(spark, field), LEVEL, max_h=2).collect()}
     assert got == {1: (2, 18)}  # the antimeridian pair, both directions
+
+
+def _py_geary(cells: dict[tuple[int, int], int]):
+    """(n, w, num, sum_u2, c_e6) by the same exact-integer formulas."""
+    n, sx = len(cells), sum(cells.values())
+    u = {i: n * c - sx for i, c in cells.items()}
+    pairs = [(i, j) for i in cells for j in cells if _adj(i, j)]
+    w = len(pairs)
+    num = sum((u[i] - u[j]) ** 2 for i, j in pairs)
+    su2 = sum(x * x for x in u.values())
+    c_e6 = (
+        math.floor(1000000.0 * (n - 1) * num / (2.0 * w * su2))
+        if w > 0 and su2 > 0
+        else None
+    )
+    return n, w, num, su2, c_e6
+
+
+def test_geary_clustered_below_one(spark):
+    from ult_spark.ops.spatialstats import gearys_c
+
+    clustered = {
+        (5, 5): 9, (6, 5): 8, (5, 6): 9, (6, 6): 8,
+        (1, 12): 1, (12, 2): 1, (9, 10): 1, (14, 14): 2, (2, 9): 1, (10, 13): 1,
+    }
+    row = gearys_c(_points(spark, clustered), LEVEL).collect()[0]
+    n, w, num, su2, c_e6 = _py_geary(clustered)
+    assert (row["n"], row["w"], row["num"], row["sum_u2"]) == (n, w, num, su2)
+    # clustering: similar neighbors -> small squared differences -> C < 1
+    assert row["c_e6"] == c_e6 and row["c_e6"] < 1000000
+
+
+def test_geary_checkerboard_above_one(spark):
+    from ult_spark.ops.spatialstats import gearys_c
+
+    board = {(x, y): 9 if (x + y) % 2 == 0 else 1
+             for x in range(4, 8) for y in range(4, 8)}
+    row = gearys_c(_points(spark, board), LEVEL).collect()[0]
+    assert row == tuple(_py_geary(board))
+    assert row["c_e6"] > 1000000
+
+
+def test_geary_no_adjacent_pairs_null(spark):
+    from ult_spark.ops.spatialstats import gearys_c
+
+    sparse = {(1, 1): 5, (8, 8): 2, (14, 3): 7}
+    row = gearys_c(_points(spark, sparse), LEVEL).collect()[0]
+    assert row["w"] == 0 and row["c_e6"] is None

@@ -201,6 +201,55 @@ def morans_i(
     )
 
 
+def gearys_c(
+    points: DataFrame, level: int = 5, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Global Geary's C over the occupied-cell universe: one row of the
+    exact integer ingredients (n, w, num, sum_u2) plus c_e6.
+
+    With ``u_i = n·x_i − Σx``: ``x_i − x_j = (u_i − u_j)/n`` and
+    ``x_i − x̄ = u_i/n``, so the n² factors cancel and
+    ``C = (n−1)·Σ_{ij adj}(u_i − u_j)² / (2W·Σu²)`` — every term an
+    exact integer over the same DIRECTED pairs as :func:`morans_i`,
+    ONE final float division floored to e6. C≈1 means no spatial
+    autocorrelation, <1 positive (clustering), >1 negative — the
+    complementary local-difference statistic to Moran's covariance
+    form. Integer range: (u_i−u_j)² ≤ (2n·max_cnt)², double the
+    documented Moran bound — same coarse-level guidance at scale."""
+    cells = occupied_cells(points, level, lat, lon)
+    g = _globals(cells)
+    u = cells.crossJoin(g).select(
+        "cell", (F.col("n") * F.col("cnt") - F.col("sx")).cast("long").alias("u")
+    )
+    pairs = directed_neighbors(cells, level)
+    d = F.col("_ui") - F.col("_uj")
+    prod = (
+        pairs.join(u.withColumnRenamed("cell", "_c").withColumnRenamed("u", "_ui"),
+                   F.col("cell") == F.col("_c"))
+        .join(u.withColumnRenamed("cell", "_d").withColumnRenamed("u", "_uj"),
+              F.col("nbr") == F.col("_d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum(d * d).cast("long").alias("num"),
+        )
+    )
+    su2 = u.agg(F.sum(F.col("u") * F.col("u")).cast("long").alias("sum_u2"))
+    c_e6 = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n") - 1).cast("double")
+        * F.col("num").cast("double")
+        / (F.lit(2.0) * F.col("w").cast("double") * F.col("sum_u2").cast("double"))
+    ).cast("long")
+    return (
+        prod.crossJoin(F.broadcast(su2))
+        .crossJoin(g)
+        .select(
+            "n", "w", "num", "sum_u2",
+            F.when((F.col("w") > 0) & (F.col("sum_u2") > 0), c_e6).alias("c_e6"),
+        )
+    )
+
+
 def local_moran(
     points: DataFrame, level: int = 5, lat: str = "lat", lon: str = "lon"
 ) -> DataFrame:
@@ -400,6 +449,27 @@ def morans_i_sql(
         "CAST(floor(1000000.0 * CAST(g.n AS DOUBLE) * CAST(p.num AS DOUBLE) "
         "/ (CAST(p.w AS DOUBLE) * CAST(su.sum_u2 AS DOUBLE))) AS BIGINT) "
         "ELSE NULL END AS i_e6 "
+        "FROM prod p CROSS JOIN su CROSS JOIN g"
+    )
+
+
+def gearys_c_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"{_sql_edges(level)}, "
+        "u AS (SELECT c.cell, CAST(g.n * c.cnt - g.sx AS BIGINT) AS u "
+        "FROM cells c CROSS JOIN g), "
+        "prod AS (SELECT CAST(count(*) AS BIGINT) AS w, "
+        "CAST(sum((ui.u - uj.u) * (ui.u - uj.u)) AS BIGINT) AS num "
+        "FROM e JOIN u ui ON ui.cell = e.cell JOIN u uj ON uj.cell = e.nbr), "
+        "su AS (SELECT CAST(sum(u * u) AS BIGINT) AS sum_u2 FROM u) "
+        "SELECT g.n, p.w, p.num, su.sum_u2, "
+        "CASE WHEN p.w > 0 AND su.sum_u2 > 0 THEN "
+        "CAST(floor(1000000.0 * CAST(g.n - 1 AS DOUBLE) * CAST(p.num AS DOUBLE) "
+        "/ (2.0 * CAST(p.w AS DOUBLE) * CAST(su.sum_u2 AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS c_e6 "
         "FROM prod p CROSS JOIN su CROSS JOIN g"
     )
 

@@ -3579,3 +3579,26 @@ def _attach_js_oracle() -> None:
 
 
 _attach_js_oracle()
+
+
+@q("gearys_c_l5", None)
+def gearys_c_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C spatial autocorrelation over occupied L5 cells
+    (r6, ops/spatialstats.py): the local-difference complement to
+    Moran's I — with n-scaled residuals the n² factors cancel, so
+    every ingredient (n, W, Σ(uᵢ−uⱼ)², Σu²) is an exact integer and the
+    statistic is one float division floored to e6."""
+    from ult_spark.ops.spatialstats import gearys_c
+
+    return gearys_c(events_points(spark, sf_dir), level=5)
+
+
+def _attach_geary_oracle() -> None:
+    from ult_spark.ops.spatialstats import gearys_c_sql
+
+    ORACLES["gearys_c_l5"] = gearys_c_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5
+    )
+
+
+_attach_geary_oracle()
