@@ -286,6 +286,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "geohash_bridge_p4",
         "source_js_divergence",
         "gearys_c_l5",
+        "ripley_k_l5",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

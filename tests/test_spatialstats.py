@@ -348,3 +348,55 @@ def test_geary_no_adjacent_pairs_null(spark):
     sparse = {(1, 1): 5, (8, 8): 2, (14, 3): 7}
     row = gearys_c(_points(spark, sparse), LEVEL).collect()[0]
     assert row["w"] == 0 and row["c_e6"] is None
+
+
+def _py_ripley(cells: dict[tuple[int, int], int], max_r: int = 3):
+    """r -> (pairs_r, pairs_cum, k_e6) by the same exact-integer formulas."""
+    npts = sum(cells.values())
+    per = {r: 0 for r in range(max_r + 1)}
+    per[0] = sum(c * (c - 1) for c in cells.values())
+    for a in cells:
+        for b in cells:
+            if a == b:
+                continue
+            dx = min((a[0] - b[0]) % N, (b[0] - a[0]) % N)
+            dy = abs(a[1] - b[1])
+            d = max(dx, dy)
+            if 1 <= d <= max_r:
+                per[d] += cells[a] * cells[b]
+    out, cum = {}, 0
+    for r in range(max_r + 1):
+        cum += per[r]
+        # r=0 always has a row (ungrouped agg); r>=1 only when pairs exist
+        if r == 0 or per[r] > 0:
+            out[r] = (
+                per[r],
+                cum,
+                math.floor(1000000.0 * (N * N) * cum / (npts * npts)),
+            )
+    return out
+
+
+def test_ripley_matches_python(spark):
+    from ult_spark.ops.spatialstats import ripley_k
+
+    got = {
+        r["r"]: (r["pairs_r"], r["pairs_cum"], r["k_e6"])
+        for r in ripley_k(_points(spark, HOTSPOT), LEVEL).collect()
+    }
+    want = _py_ripley(HOTSPOT)
+    # Spark omits distance bins with no pairs; every emitted bin must match
+    for r, v in got.items():
+        assert want[r] == v, (r, v, want[r])
+    # the clustered hotspot raises K above the CSR expectation at r=1:
+    # E[K] under CSR is ~(2r+1)^2 cells = 9e6 at e6 scaling
+    assert got[1][2] > 9 * 1000000
+
+
+def test_ripley_single_cell_only_r0(spark):
+    from ult_spark.ops.spatialstats import ripley_k
+
+    rows = ripley_k(_points(spark, {(4, 4): 5}), LEVEL).collect()
+    assert len(rows) == 1
+    r0 = rows[0]
+    assert r0["r"] == 0 and r0["pairs_r"] == 20 and r0["npts"] == 5

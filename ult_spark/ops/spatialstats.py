@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ult_spark import functions as UF
 from ult_spark.ops.buffer import _offsets
@@ -314,6 +315,88 @@ def local_moran(
     )
 
 
+def ripley_k(
+    points: DataFrame,
+    level: int = 5,
+    max_r: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Grid Ripley's K function: (r, pairs_r, pairs_cum, npts, k_e6) for
+    Chebyshev cell distances r = 0..max_r — the cumulative second-moment
+    point-pattern statistic (K above the CSR expectation ⇒ clustering at
+    that scale, below ⇒ dispersion/inhibition).
+
+    Grid form: pairs_r counts ORDERED point pairs whose cells are at
+    Chebyshev distance exactly r (r=0 is the within-cell term
+    Σ cnt·(cnt−1)); ``K̂(r) = A·pairs_cum/npts²`` with A = 4^level cell
+    units, floored to e6. Every count is an exact integer; the one float
+    expression is a fixed product chain + division (IEEE-identical
+    cross-engine). Same wrap/clamp rules as the neighbor machinery.
+
+    Scale: the pair join is occupied-cells × (2·max_r+1)² literal
+    offsets — an equi-join keyed on the offset cell, never points ×
+    points; the cumulative window runs over max_r+1 rows."""
+    cells = occupied_cells(points, level, lat, lon)
+    n = 1 << level
+    tot = F.broadcast(cells.agg(F.sum("cnt").cast("long").alias("npts")))
+    d0 = cells.agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1))).cast("long").alias("pairs")
+    ).select(F.lit(0).alias("r"), "pairs")
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("d"),
+            )
+            for dx, dy in _offsets(level, max_r)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    cross = (
+        cells.withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
+            ).alias("nbr"),
+            F.col("_o.d").alias("r"),
+            F.col("cnt").alias("_ci"),
+        )
+        .join(cells.select(F.col("cell").alias("nbr"), F.col("cnt").alias("_cj")), "nbr")
+        .groupBy("r")
+        .agg(F.sum(F.col("_ci") * F.col("_cj")).cast("long").alias("pairs"))
+    )
+    per = (
+        d0.unionByName(cross)
+        .groupBy("r")
+        .agg(F.sum("pairs").cast("long").alias("pairs_r"))
+    )
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("r").cast("long").alias("r"),
+        "pairs_r",
+        F.sum("pairs_r").over(w).cast("long").alias("pairs_cum"),
+    )
+    k_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.lit(float(n * n))
+        * F.col("pairs_cum").cast("double")
+        / (F.col("npts").cast("double") * F.col("npts").cast("double"))
+    ).cast("long")
+    return cum.crossJoin(tot).select(
+        "r",
+        "pairs_r",
+        "pairs_cum",
+        "npts",
+        F.when(F.col("npts") > 0, k_e6).alias("k_e6"),
+    )
+
+
 def emerging_hotspots(
     points: DataFrame,
     level: int = 4,
@@ -498,6 +581,44 @@ def local_moran_sql(
         "WHEN u.u >= 0 THEN 'HL' ELSE 'LH' END AS quad "
         "FROM u LEFT JOIN nbru ON nbru.cell = u.cell "
         "CROSS JOIN g CROSS JOIN su"
+    )
+
+
+def ripley_k_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    max_r: int = 3,
+    table: str = "events",
+) -> str:
+    n = 1 << level
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx, dy in _offsets(level, max_r)
+        if (dx, dy) != (0, 0)
+    )
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"offs(dx, dy, d) AS (VALUES {offs}), "
+        "crs AS (SELECT o.d AS r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS pairs "
+        "FROM cells a, offs o, cells b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy "
+        "GROUP BY 1), "
+        "d0 AS (SELECT 0 AS r, "
+        "CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS pairs FROM cells), "
+        "per AS (SELECT r, CAST(sum(pairs) AS BIGINT) AS pairs_r FROM "
+        "(SELECT * FROM d0 UNION ALL SELECT * FROM crs) GROUP BY 1), "
+        "cum AS (SELECT CAST(r AS BIGINT) AS r, pairs_r, "
+        "CAST(sum(pairs_r) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_cum FROM per), "
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS npts FROM cells) "
+        "SELECT c.r, c.pairs_r, c.pairs_cum, t.npts, "
+        "CASE WHEN t.npts > 0 THEN "
+        f"CAST(floor(1000000.0::DOUBLE * {float(n * n)}::DOUBLE "
+        "* CAST(c.pairs_cum AS DOUBLE) "
+        "/ (CAST(t.npts AS DOUBLE) * CAST(t.npts AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS k_e6 "
+        "FROM cum c CROSS JOIN tot t"
     )
 
 

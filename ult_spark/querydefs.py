@@ -3602,3 +3602,26 @@ def _attach_geary_oracle() -> None:
 
 
 _attach_geary_oracle()
+
+
+@q("ripley_k_l5", None)
+def ripley_k_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern function over the L5 grid (r6,
+    ops/spatialstats.py): cumulative ordered pair counts by Chebyshev
+    cell distance 0..3 — the classic multi-scale clustering/dispersion
+    statistic. All counts exact integers; the pair join is
+    occupied-cells x 48 literal offsets (never points x points)."""
+    from ult_spark.ops.spatialstats import ripley_k
+
+    return ripley_k(events_points(spark, sf_dir), level=5, max_r=3)
+
+
+def _attach_ripley_oracle() -> None:
+    from ult_spark.ops.spatialstats import ripley_k_sql
+
+    ORACLES["ripley_k_l5"] = ripley_k_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5, max_r=3
+    )
+
+
+_attach_ripley_oracle()
