@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "pagerank_hosts_3it",
     "getis_ord_l6",
     "morans_i_l5",
+    "gearys_c_l5",
+    "ripley_k_l5",
     # cell_dbscan_l6 is deliberately NOT timed here: at sf0.1 the uniform
     # corpus percolates (every L6 cell dense -> one grid-diameter component,
     # ~17 s of CC rounds) which is the operator's worst-case regime, not its
