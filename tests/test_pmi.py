@@ -172,3 +172,35 @@ def test_js_identical_sources_zero(spark):
     row = source_token_js(df, "A", "B").collect()[0]
     # identical distributions: every ln is ln(1) = 0 exactly
     assert row["sum_a_e9"] == 0 and row["sum_b_e9"] == 0 and row["js_e9"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection
+
+
+def test_mirror_planted_structure(spark):
+    from ult_spark.ops.textops import host_mirror_pairs, planted_mirror_docs
+
+    # planted rows only: ids 1e6..1e6+59, text = id % 12, host = id % 20.
+    # Hosts share a variant iff congruent mod gcd(20,12)=4; each host's 3
+    # variants are exactly its mod-4 residue class, so pairs within a class
+    # share ALL 3 fps: 4 classes x C(5,2) = 40 pairs, shared=3, sizes 3/3.
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = host_mirror_pairs(planted_mirror_docs(empty)).collect()
+    assert len(got) == 40
+    assert all(
+        (r["shared"], r["size_a"], r["size_b"], r["overlap_e4"]) == (3, 3, 3, 10000)
+        for r in got
+    )
+    assert all(
+        int(r["host_a"][4:]) % 4 == int(r["host_b"][4:]) % 4 for r in got
+    )
+
+
+def test_mirror_cap_drops_template_fps(spark):
+    from ult_spark.ops.textops import host_mirror_pairs, planted_mirror_docs
+
+    # every planted fp lives on exactly 5 hosts; cap 4 drops them all
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = host_mirror_pairs(planted_mirror_docs(empty), max_hosts=4).collect()
+    assert got == []

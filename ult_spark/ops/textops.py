@@ -1328,3 +1328,111 @@ def source_token_js_sql(src_a: str, src_b: str) -> str:
         "AS js_e9 "
         "FROM t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mirror-host detection (Bharat & Broder 1999 shape: hosts sharing many
+# exact-content fingerprints are mirrors/aliases of one another)
+
+def planted_mirror_docs(
+    docs: DataFrame, n: int = 60, base: int = 1_000_000, variants: int = 12
+) -> DataFrame:
+    """Append ``n`` synthetic mirror rows (the driver corpus has no
+    cross-host exact duplicates — same degenerate-corpus plant pattern
+    as pii_scrub): doc_id ``base..base+n``, text ``'mirror payload ' ||
+    id % variants`` — pure literals, mirrored verbatim in the SQL twin,
+    so parity is by construction."""
+    spark = docs.sparkSession
+    extra = spark.range(base, base + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("mirror payload "), (F.col("id") % variants).cast("string")
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+def host_mirror_pairs(
+    docs: DataFrame,
+    host_mod: int = 20,
+    max_hosts: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(host_a, host_b, shared, size_a, size_b, overlap_e4) for host
+    pairs sharing >= ``min_shared`` exact-content fingerprints.
+
+    Fingerprint = md5 of the full text; fingerprints present on more
+    than ``max_hosts`` hosts are dropped FIRST as non-discriminative
+    (site chrome/boilerplate — the standard stop-fingerprint trick
+    that keeps the pair join linear in mirrored content instead of
+    quadratic in hosts-sharing-a-template); host sizes are counted on
+    the same capped universe. overlap_e4 floors shared/min(size) —
+    the containment form, robust to one side being a partial mirror.
+
+    Scale: one distinct + one fingerprint-keyed self-join whose fanout
+    is capped at ``max_hosts``² per fingerprint, one pair-keyed groupBy,
+    two broadcast-size host-size joins — never hosts × hosts."""
+    host = F.concat(F.lit("site"), (F.col("doc_id") % host_mod).cast("string"))
+    fps = docs.select(host.alias("host"), F.md5(F.col("text")).alias("fp")).distinct()
+    disc = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .where(F.col("_k") <= max_hosts)
+        .select("fp"),
+        "fp",
+    )
+    sizes = disc.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    pairs = (
+        disc.select("fp", F.col("host").alias("host_a"))
+        .join(disc.select("fp", F.col("host").alias("host_b")), "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("size_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("size_b")),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b", "shared", "size_a", "size_b",
+            F.floor(
+                F.col("shared") * 10000 / F.least("size_a", "size_b")
+            ).cast("long").alias("overlap_e4"),
+        )
+    )
+
+
+def host_mirror_pairs_sql(
+    host_mod: int = 20,
+    max_hosts: int = 8,
+    min_shared: int = 2,
+    n: int = 60,
+    base: int = 1_000_000,
+    variants: int = 12,
+) -> str:
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT range AS doc_id, 'mirror payload ' || "
+        f"CAST(range % {variants} AS VARCHAR) AS text "
+        f"FROM range({base}, {base + n})), "
+        f"fps AS (SELECT DISTINCT 'site' || CAST(doc_id % {host_mod} AS VARCHAR) "
+        "AS host, md5(text) AS fp FROM d), "
+        f"keep AS (SELECT fp FROM fps GROUP BY 1 HAVING count(*) <= {max_hosts}), "
+        "disc AS (SELECT f.host, f.fp FROM fps f JOIN keep USING (fp)), "
+        "sz AS (SELECT host, CAST(count(*) AS BIGINT) AS sz FROM disc GROUP BY 1), "
+        "pr AS (SELECT a.host AS host_a, b.host AS host_b, "
+        "CAST(count(*) AS BIGINT) AS shared "
+        "FROM disc a JOIN disc b ON a.fp = b.fp AND a.host < b.host "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}) "
+        "SELECT p.host_a, p.host_b, p.shared, za.sz AS size_a, zb.sz AS size_b, "
+        "CAST(floor(p.shared * 10000 / least(za.sz, zb.sz)) AS BIGINT) "
+        "AS overlap_e4 "
+        "FROM pr p JOIN sz za ON za.host = p.host_a "
+        "JOIN sz zb ON zb.host = p.host_b"
+    )

@@ -3625,3 +3625,26 @@ def _attach_ripley_oracle() -> None:
 
 
 _attach_ripley_oracle()
+
+
+@q("host_mirror_pairs", None)
+def host_mirror_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection (r6, ops/textops.py host_mirror_pairs —
+    Bharat & Broder 1999 shape): host pairs sharing many exact-content
+    md5 fingerprints, with non-discriminative fingerprints (> max_hosts
+    hosts) dropped first so the pair join is capped, never quadratic in
+    hosts sharing a template. The corpus has no cross-host exact dups,
+    so a deterministic literal mirror plant (same values in both
+    engines) exercises the path — the pii_scrub precedent."""
+    from ult_spark.ops.textops import host_mirror_pairs, planted_mirror_docs
+
+    return host_mirror_pairs(planted_mirror_docs(load(spark, sf_dir, "documents")))
+
+
+def _attach_mirror_oracle() -> None:
+    from ult_spark.ops.textops import host_mirror_pairs_sql
+
+    ORACLES["host_mirror_pairs"] = host_mirror_pairs_sql()
+
+
+_attach_mirror_oracle()
