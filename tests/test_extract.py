@@ -210,3 +210,51 @@ def test_canonical_url_strip_tracking(spark):
         .canon
     )
     assert verbatim == "https://s.example/p?utm_source=a&q=1"
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match URL policy
+
+
+def test_prefix_policy_longest_match_and_default(spark):
+    from pyspark.sql import functions as F
+
+    from ult_spark.extract.url import prefix_policy_match
+
+    rules = spark.createDataFrame(
+        [
+            ("https://a.example/", 1, 1),
+            ("https://a.example/private/", 2, 0),
+            ("https://a.example/private/pub/", 3, 1),
+        ],
+        "prefix string, rule_id long, allow long",
+    )
+    urls = spark.createDataFrame(
+        [
+            (10, "https://a.example/index.html"),      # root rule
+            (11, "https://a.example/private/x"),       # deny beats root
+            (12, "https://a.example/private/pub/y"),   # re-allow beats deny
+            (13, "https://other.example/z"),           # no match -> default
+        ],
+        "event_id long, url string",
+    )
+    got = {
+        r["event_id"]: (r["rule_id"], r["allow"])
+        for r in prefix_policy_match(urls, rules).collect()
+    }
+    assert got == {10: (1, 1), 11: (2, 0), 12: (3, 1), 13: (-1, 1)}
+
+
+def test_prefix_policy_tie_breaks_min_rule_id(spark):
+    from ult_spark.extract.url import prefix_policy_match
+
+    # two rules with the SAME prefix: pinned tiebreak is min rule_id
+    rules = spark.createDataFrame(
+        [("https://a.example/", 7, 0), ("https://a.example/", 4, 1)],
+        "prefix string, rule_id long, allow long",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://a.example/p")], "event_id long, url string"
+    )
+    row = prefix_policy_match(urls, rules).collect()[0]
+    assert (row["rule_id"], row["allow"]) == (4, 1)

@@ -288,6 +288,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "gearys_c_l5",
         "ripley_k_l5",
         "host_mirror_pairs",
+        "url_policy_counts",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

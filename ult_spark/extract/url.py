@@ -115,3 +115,66 @@ def canonical_url_sql(url_expr: str, strip_tracking: bool = False) -> str:
             f"(CASE WHEN {joined} = '' THEN '' ELSE concat('?', {joined}) END)"
         )
     return f"concat({scheme}, '://', {userinfo}, {host}, {path}, {query})"
+
+
+# ---------------------------------------------------------------------------
+# Longest-prefix-match URL policy (r6) — the robots/path-rule primitive: a
+# crawl or curation pipeline matches every URL against a policy table of
+# path prefixes and takes the MOST SPECIFIC (longest) matching rule.
+
+def prefix_policy_match(
+    urls: "DataFrame",
+    rules: "DataFrame",
+    id_col: str = "event_id",
+    url_col: str = "url",
+    default_rule_id: int = -1,
+    default_allow: int = 1,
+):
+    """urls + (rule_id, allow) of each URL's longest matching prefix rule.
+
+    ``rules`` is (prefix string, rule_id long, allow int). The match is
+    string-prefix (robots.txt path-rule semantics, longest-match wins;
+    ties broken by min rule_id — pinned for determinism); unmatched URLs
+    get the defaults.
+
+    Scale shape: the distinct PREFIX LENGTHS are collected to a literal
+    array (driver-bound by construction — a policy table has dozens of
+    distinct depths; the h3interop resolution-collect precedent), each
+    URL explodes into one substring per length, and candidates come from
+    ONE broadcast hash equi-join on the prefix string (string equality
+    implies equal length, so no residual length filter is needed) —
+    never URL × rules. The longest match is a per-URL window argmax."""
+    from pyspark.sql.window import Window
+
+    lens = sorted(
+        r[0] for r in rules.select(F.length("prefix")).distinct().collect()
+    )
+    cand = (
+        urls.select(id_col, url_col)
+        .withColumn("_l", F.explode(F.array(*[F.lit(x) for x in lens])))
+        .select(
+            id_col, F.col(url_col).substr(F.lit(1), F.col("_l")).alias("_pfx")
+        )
+        .join(
+            F.broadcast(
+                rules.select(
+                    F.col("prefix").alias("_pfx"),
+                    F.col("rule_id").cast("long").alias("rule_id"),
+                    F.col("allow").cast("long").alias("allow"),
+                    F.length("prefix").alias("_rl"),
+                )
+            ),
+            "_pfx",
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_rl"), F.asc("rule_id"))
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "rule_id", "allow")
+    )
+    return urls.join(best, id_col, "left").select(
+        urls["*"],
+        F.coalesce("rule_id", F.lit(default_rule_id).cast("long")).alias("rule_id"),
+        F.coalesce("allow", F.lit(default_allow).cast("long")).alias("allow"),
+    )

@@ -3648,3 +3648,72 @@ def _attach_mirror_oracle() -> None:
 
 
 _attach_mirror_oracle()
+
+
+def _policy_rules() -> list[tuple[str, int, int]]:
+    """Deterministic literal policy table (fed verbatim to BOTH engines):
+    per host a root allow rule, a /private/ deny rule, and for even
+    hosts a deeper /private/pub/ re-allow — so longest-match decides."""
+    rules = []
+    for h in range(20):
+        base = f"https://site{h}.example/"
+        rules.append((base, h, 1))
+        rules.append((base + "private/", 100 + h, 0))
+        if h % 2 == 0:
+            rules.append((base + "private/pub/", 200 + h, 1))
+    return rules
+
+
+@q("url_policy_counts", None)
+def url_policy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match URL policy (r6, extract/url.py
+    prefix_policy_match — the robots/path-rule primitive): every event
+    URL matched against a 50-rule literal policy table, most specific
+    rule wins, URL counts per (rule_id, allow). The match is one
+    broadcast hash equi-join on length-exploded prefixes — never
+    URL x rules."""
+    from ult_spark.extract.url import prefix_policy_match
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+    v = F.col("event_id") % 4
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("event_id") % 20).cast("string"),
+        F.lit(".example/"),
+        F.when(v == 1, "private/x")
+        .when(v == 2, "private/pub/y")
+        .when(v == 3, "a/b")
+        .otherwise(""),
+    )
+    urls = ev.select("event_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        _policy_rules(), "prefix string, rule_id long, allow long"
+    )
+    return prefix_policy_match(urls, rules).groupBy("rule_id", "allow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+
+
+def _attach_policy_oracle() -> None:
+    vals = ", ".join(f"('{p}', {rid}, {al})" for p, rid, al in _policy_rules())
+    ORACLES["url_policy_counts"] = (
+        "WITH u AS (SELECT event_id, 'https://site' || "
+        "CAST(event_id % 20 AS VARCHAR) || '.example/' || "
+        "CASE event_id % 4 WHEN 1 THEN 'private/x' "
+        "WHEN 2 THEN 'private/pub/y' WHEN 3 THEN 'a/b' ELSE '' END AS url "
+        "FROM events), "
+        f"r(prefix, rule_id, allow) AS (VALUES {vals}), "
+        "cand AS (SELECT u.event_id, r.rule_id, r.allow, "
+        "length(r.prefix) AS rl FROM u JOIN r "
+        "ON substr(u.url, 1, length(r.prefix)) = r.prefix), "
+        "best AS (SELECT event_id, rule_id, allow FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY event_id "
+        "ORDER BY rl DESC, rule_id) AS rn FROM cand) WHERE rn = 1) "
+        "SELECT CAST(coalesce(b.rule_id, -1) AS BIGINT) AS rule_id, "
+        "CAST(coalesce(b.allow, 1) AS BIGINT) AS allow, "
+        "CAST(count(*) AS BIGINT) AS n_urls "
+        "FROM u LEFT JOIN best b USING (event_id) GROUP BY 1, 2"
+    )
+
+
+_attach_policy_oracle()
