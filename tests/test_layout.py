@@ -289,6 +289,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "ripley_k_l5",
         "host_mirror_pairs",
         "url_policy_counts",
+        "nn_gfunction_l5",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

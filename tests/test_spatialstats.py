@@ -400,3 +400,53 @@ def test_ripley_single_cell_only_r0(spark):
     assert len(rows) == 1
     r0 = rows[0]
     assert r0["r"] == 0 and r0["pairs_r"] == 20 and r0["npts"] == 5
+
+
+def _py_gfunction(cells: dict[tuple[int, int], int], max_r: int = 3):
+    """d -> (cells_d, cum, g_e6) by the same exact-integer formulas."""
+    n_cells = len(cells)
+    dnn = {}
+    for a in cells:
+        best = None
+        for b in cells:
+            if a == b:
+                continue
+            dx = min((a[0] - b[0]) % N, (b[0] - a[0]) % N)
+            dy = abs(a[1] - b[1])
+            d = max(dx, dy)
+            if d <= max_r and (best is None or d < best):
+                best = d
+        if best is not None:
+            dnn[a] = best
+    out, cum = {}, 0
+    for d in sorted(set(dnn.values())):
+        cd = sum(1 for v in dnn.values() if v == d)
+        cum += cd
+        out[d] = (cd, cum, math.floor(1000000.0 * cum / n_cells))
+    return out
+
+
+def test_gfunction_matches_python(spark):
+    from ult_spark.ops.spatialstats import nn_gfunction
+
+    got = {
+        r["d"]: (r["cells_d"], r["cum_cells"], r["g_e6"])
+        for r in nn_gfunction(_points(spark, HOTSPOT), LEVEL).collect()
+    }
+    assert got == _py_gfunction(HOTSPOT)
+    # the 5-cell cross is mutually adjacent -> a d=1 bin always exists
+    assert 1 in got and got[1][0] >= 5
+
+
+def test_gfunction_isolated_cells_saturate_below_one(spark):
+    from ult_spark.ops.spatialstats import nn_gfunction
+
+    # two far cells + two adjacent ones: G caps at 2/4 within max_r=3
+    # (isolated cells chosen clear of the x-wrap: (14,3) would be
+    # Chebyshev 3 from (1,1) across the antimeridian)
+    layout = {(1, 1): 3, (2, 1): 2, (8, 8): 1, (8, 13): 1}
+    rows = nn_gfunction(_points(spark, layout), LEVEL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["d"], r["cells_d"], r["cum_cells"], r["n_cells"]) == (1, 2, 2, 4)
+    assert r["g_e6"] == 500000

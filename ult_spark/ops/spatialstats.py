@@ -397,6 +397,74 @@ def ripley_k(
     )
 
 
+def nn_gfunction(
+    points: DataFrame,
+    level: int = 5,
+    max_r: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Nearest-neighbor G function over the occupied-cell universe:
+    (d, cells_d, cum_cells, n_cells, g_e6) for d = 1..max_r — the
+    empirical CDF of each occupied cell's Chebyshev distance to its
+    nearest OTHER occupied cell (G rising faster than the CSR curve ⇒
+    clustering; slower ⇒ dispersion/inhibition — the event-to-event
+    companion of Ripley's K). Cells with no occupied neighbor within
+    max_r contribute to n_cells but never to a bin, so G saturates
+    below 1e6. All counts exact integers; g_e6 floors cum/n.
+
+    Scale: one occupied-cells × (2·max_r+1)²−1 literal-offset explode,
+    one hash equi-join, a per-cell min + per-d groupBy; the cumulative
+    window runs over ≤ max_r rows."""
+    cells = occupied_cells(points, level, lat, lon)
+    n = 1 << level
+    tot = F.broadcast(cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells")))
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("d"),
+            )
+            for dx, dy in _offsets(level, max_r)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    nn = (
+        cells.withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            "cell",
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
+            ).alias("nbr"),
+            F.col("_o.d").alias("d"),
+        )
+        .join(cells.select(F.col("cell").alias("nbr")), "nbr")
+        .groupBy("cell")
+        .agg(F.min("d").alias("d"))
+    )
+    per = nn.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cells_d"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("d").cast("long").alias("d"),
+        "cells_d",
+        F.sum("cells_d").over(w).cast("long").alias("cum_cells"),
+    )
+    g_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.col("cum_cells").cast("double")
+        / F.col("n_cells").cast("double")
+    ).cast("long")
+    return cum.crossJoin(tot).select(
+        "d", "cells_d", "cum_cells", "n_cells",
+        F.when(F.col("n_cells") > 0, g_e6).alias("g_e6"),
+    )
+
+
 def emerging_hotspots(
     points: DataFrame,
     level: int = 4,
@@ -618,6 +686,39 @@ def ripley_k_sql(
         "* CAST(c.pairs_cum AS DOUBLE) "
         "/ (CAST(t.npts AS DOUBLE) * CAST(t.npts AS DOUBLE))) AS BIGINT) "
         "ELSE NULL END AS k_e6 "
+        "FROM cum c CROSS JOIN tot t"
+    )
+
+
+def nn_gfunction_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    max_r: int = 3,
+    table: str = "events",
+) -> str:
+    n = 1 << level
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx, dy in _offsets(level, max_r)
+        if (dx, dy) != (0, 0)
+    )
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"offs(dx, dy, d) AS (VALUES {offs}), "
+        "nn AS (SELECT a.cell, min(o.d) AS d FROM cells a, offs o, cells b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy "
+        "GROUP BY 1), "
+        "per AS (SELECT d, CAST(count(*) AS BIGINT) AS cells_d "
+        "FROM nn GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells), "
+        "cum AS (SELECT CAST(d AS BIGINT) AS d, cells_d, "
+        "CAST(sum(cells_d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cells FROM per) "
+        "SELECT c.d, c.cells_d, c.cum_cells, t.n_cells, "
+        "CASE WHEN t.n_cells > 0 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(c.cum_cells AS DOUBLE) "
+        "/ CAST(t.n_cells AS DOUBLE)) AS BIGINT) ELSE NULL END AS g_e6 "
         "FROM cum c CROSS JOIN tot t"
     )
 

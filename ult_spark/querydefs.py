@@ -3717,3 +3717,26 @@ def _attach_policy_oracle() -> None:
 
 
 _attach_policy_oracle()
+
+
+@q("nn_gfunction_l5", None)
+def nn_gfunction_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor G function over occupied L5 cells (r6,
+    ops/spatialstats.py nn_gfunction): the empirical CDF of
+    nearest-occupied-neighbor Chebyshev distances — the event-to-event
+    companion of Ripley's K; exact integer bins + one floored division
+    per row."""
+    from ult_spark.ops.spatialstats import nn_gfunction
+
+    return nn_gfunction(events_points(spark, sf_dir), level=5, max_r=3)
+
+
+def _attach_gfunction_oracle() -> None:
+    from ult_spark.ops.spatialstats import nn_gfunction_sql
+
+    ORACLES["nn_gfunction_l5"] = nn_gfunction_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5, max_r=3
+    )
+
+
+_attach_gfunction_oracle()
