@@ -143,3 +143,45 @@ def test_bibliographic_coupling(spark):
     got = {(r["u"], r["v"]): (r["common"], r["w_prod"])
            for r in cocitation(df, by="src").collect()}
     assert got == {("s1", "s2"): (1, 2), ("s2", "s3"): (1, 7)}
+
+
+# ---------------------------------------------------------------------------
+# k-core peel
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, w) for a, b, w in pairs], "src string, dst string, w long"
+    )
+
+
+def test_kcore_peel_cascades(spark):
+    from ult_spark.ops.graph import k_core
+
+    # triangle a-b-c (2-core) + a pendant chain d-e hanging off a:
+    # round 1 drops e (deg 1), round 2 drops d (deg fell to 1) — the
+    # cascade needs BOTH rounds; the triangle survives with deg 2.
+    pairs = [
+        ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+        ("a", "d", 1), ("d", "e", 1),
+    ]
+    got = {r["host"]: r["deg"] for r in
+           k_core(_edges_df(spark, pairs), k=2, rounds=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # one round is NOT enough: d still has deg 2 (a + e) when e is cut
+    one = {r["host"] for r in
+           k_core(_edges_df(spark, pairs), k=2, rounds=1).collect()}
+    assert "d" in one
+
+
+def test_kcore_merges_directions_and_drops_light_edges(spark):
+    from ult_spark.ops.graph import k_core
+
+    # a->b and b->a are ONE undirected edge; w<min_w edges vanish first
+    pairs = [
+        ("a", "b", 5), ("b", "a", 5), ("b", "c", 5), ("c", "a", 5),
+        ("a", "x", 1), ("x", "a", 1),
+    ]
+    got = {r["host"]: r["deg"] for r in
+           k_core(_edges_df(spark, pairs), k=2, rounds=1, min_w=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}

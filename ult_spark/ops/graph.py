@@ -267,3 +267,67 @@ def cocitation_sql(edges_sql: str, by: str = "dst") -> str:
         f"FROM e l JOIN e r ON l.{share} = r.{share} "
         f"AND l.{other} < r.{other} GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (Seidman 1983) — fixed-round degeneracy peeling
+
+def k_core(edges: DataFrame, k: int = 4, rounds: int = 3, min_w: int = 1) -> DataFrame:
+    """(host, deg) of nodes surviving ``rounds`` k-core peels of the
+    UNDIRECTED simple graph (self-loops dropped, directions merged; a
+    directed edge must carry weight >= ``min_w`` to contribute, so the
+    undirected edge survives iff EITHER direction does): each round
+    removes every node with degree < k and the edges touching it, so
+    removals CASCADE — the classic core-decomposition step that
+    isolates the densely interlinked host community from the long tail.
+
+    Fixed ``rounds`` (unrolled identically in the SQL twin) rather than
+    a fixpoint loop: each round's plan references the previous round
+    three times (degree + two endpoint semi-joins), so plan size grows
+    ~3^rounds — fine at the 2-4 rounds a reporting query wants; a true
+    fixpoint version would need the localCheckpoint-per-round pattern
+    (textops dup_clusters). ``deg`` is the degree INSIDE the surviving
+    subgraph after the final peel. Scale: each round is one groupBy +
+    two hash semi-joins on the (already aggregated) edge list."""
+    und = (
+        edges.where((F.col("src") != F.col("dst")) & (F.col("w") >= min_w))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    cur = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("u")
+        )
+        cur = cur.join(keep, "u").join(keep.select(F.col("u").alias("v")), "v")
+    return (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("u").alias("host"), "deg")
+    )
+
+
+def k_core_sql(edges_sql: str, k: int = 4, rounds: int = 3, min_w: int = 1) -> str:
+    parts = [
+        f"WITH e AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e WHERE src <> dst AND w >= {min_w}), "
+        "s0 AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", k{i} AS (SELECT u FROM s{i - 1} GROUP BY 1 "
+            f"HAVING count(*) >= {k}), "
+            f"s{i} AS (SELECT s.u, s.v FROM s{i - 1} s "
+            f"JOIN k{i} a ON a.u = s.u JOIN k{i} b ON b.u = s.v)"
+        )
+    parts.append(
+        f" SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM s{rounds} "
+        "GROUP BY 1"
+    )
+    return "".join(parts)

@@ -3740,3 +3740,24 @@ def _attach_gfunction_oracle() -> None:
 
 
 _attach_gfunction_oracle()
+
+
+@q("k_core_hosts", None)
+def k_core_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the host link graph (r6, ops/graph.py k_core):
+    3 peel rounds at k=4 over the weight>=3 undirected simple graph —
+    removals cascade (20 -> 14 -> 12 -> 11 hosts at sf0.01), isolating
+    the densely interlinked community; rounds unrolled identically in
+    the oracle."""
+    from ult_spark.ops.graph import k_core
+
+    return k_core(_host_edges(spark, sf_dir), k=4, rounds=3, min_w=3)
+
+
+def _attach_kcore_oracle() -> None:
+    from ult_spark.ops.graph import k_core_sql
+
+    ORACLES["k_core_hosts"] = k_core_sql(_HOST_EDGES_SQL, k=4, rounds=3, min_w=3)
+
+
+_attach_kcore_oracle()
