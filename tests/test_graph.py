@@ -185,3 +185,41 @@ def test_kcore_merges_directions_and_drops_light_edges(spark):
     got = {r["host"]: r["deg"] for r in
            k_core(_edges_df(spark, pairs), k=2, rounds=1, min_w=2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+# ---------------------------------------------------------------------------
+# triangles + clustering coefficient
+
+
+def test_triangles_k4_plus_pendant(spark):
+    from ult_spark.ops.graph import triangles
+
+    # K4 on a,b,c,d (every node in 3 of the 4 triangles, cc = 1) plus a
+    # pendant e off a (a's deg rises to 4, cc drops to 3/6; e has deg 1
+    # -> cc NULL; no triangle double-counting across directions)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    pairs = [(u, v, 1) for u, v in k4] + [("e", "a", 1), ("a", "e", 1)]
+    got = {
+        r["host"]: (r["deg"], r["tri"], r["cc_e6"])
+        for r in triangles(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {
+        "a": (4, 3, 500000),
+        "b": (3, 3, 1000000),
+        "c": (3, 3, 1000000),
+        "d": (3, 3, 1000000),
+        "e": (1, 0, None),
+    }
+
+
+def test_triangles_wedge_without_closure_is_zero(spark):
+    from ult_spark.ops.graph import triangles
+
+    # path a-b-c: one wedge at b, never closed -> tri 0 everywhere,
+    # b has deg 2 so its cc is DEFINED and 0 (not NULL)
+    pairs = [("a", "b", 1), ("b", "c", 1)]
+    got = {
+        r["host"]: (r["deg"], r["tri"], r["cc_e6"])
+        for r in triangles(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {"a": (1, 0, None), "b": (2, 0, 0), "c": (1, 0, None)}

@@ -291,6 +291,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "url_policy_counts",
         "nn_gfunction_l5",
         "k_core_hosts",
+        "host_triangles",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

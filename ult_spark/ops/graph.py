@@ -331,3 +331,81 @@ def k_core_sql(edges_sql: str, k: int = 4, rounds: int = 3, min_w: int = 1) -> s
         "GROUP BY 1"
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient
+
+def triangles(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """(host, deg, tri, cc_e6) over the undirected simple graph (same
+    construction as :func:`k_core`): per-node triangle membership count
+    and the local clustering coefficient ``2·tri / (deg·(deg−1))``
+    e6-floored (NULL when deg < 2 — no wedge to close).
+
+    Triangles are enumerated once each as ordered triples u < v < w via
+    two hash equi-joins on the (u < v)-oriented edge list (wedge
+    (u,v)+(v,w) implies u < v < w; the third join checks closure), then
+    exploded to their three corners for the per-node count. At web
+    scale the standard refinement is degree-ordered orientation
+    (orient each edge toward the higher-degree endpoint) so wedge
+    fanout is bounded by arboricity rather than max degree — the
+    id-ordered form here keeps the oracle exactly mirrorable."""
+    und = (
+        edges.where((F.col("src") != F.col("dst")) & (F.col("w") >= min_w))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("u").alias("host"), "deg")
+    )
+    tri = (
+        und.join(
+            und.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+        )
+        .join(und.select(F.col("u"), F.col("v").alias("w")), ["u", "w"])
+        .select(
+            F.explode(F.array("u", "v", "w")).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    cc = F.floor(
+        F.lit(1000000.0)
+        * (F.lit(2) * F.coalesce(F.col("tri"), F.lit(0))).cast("double")
+        / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double")
+    ).cast("long")
+    return (
+        deg.join(tri, "host", "left")
+        .select(
+            "host",
+            "deg",
+            F.coalesce("tri", F.lit(0).cast("long")).alias("tri"),
+            F.when(F.col("deg") >= 2, cc).alias("cc_e6"),
+        )
+    )
+
+
+def triangles_sql(edges_sql: str, min_w: int = 1) -> str:
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e WHERE src <> dst AND w >= {min_w}), "
+        "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u, v FROM und UNION ALL SELECT v, u FROM und) GROUP BY 1), "
+        "t AS (SELECT a.u, a.v, b.v AS w FROM und a "
+        "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v), "
+        "tri AS (SELECT host, CAST(count(*) AS BIGINT) AS tri FROM "
+        "(SELECT u AS host FROM t UNION ALL SELECT v FROM t "
+        "UNION ALL SELECT w FROM t) GROUP BY 1) "
+        "SELECT d.host, d.deg, COALESCE(tri.tri, 0) AS tri, "
+        "CASE WHEN d.deg >= 2 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(2 * COALESCE(tri.tri, 0) AS DOUBLE) "
+        "/ CAST(d.deg * (d.deg - 1) AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS cc_e6 "
+        "FROM deg d LEFT JOIN tri ON tri.host = d.host"
+    )

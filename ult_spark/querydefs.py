@@ -3761,3 +3761,25 @@ def _attach_kcore_oracle() -> None:
 
 
 _attach_kcore_oracle()
+
+
+@q("host_triangles", None)
+def host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per host (r6,
+    ops/graph.py triangles): ordered-triple enumeration via two hash
+    equi-joins on the id-oriented edge list (each triangle counted
+    once), exploded to corners for the per-node count; cc_e6 floors
+    2·tri/(deg·(deg−1)). Weight floor 3 keeps the graph sparse enough
+    to be non-trivial (same threshold as k_core_hosts)."""
+    from ult_spark.ops.graph import triangles
+
+    return triangles(_host_edges(spark, sf_dir), min_w=3)
+
+
+def _attach_triangles_oracle() -> None:
+    from ult_spark.ops.graph import triangles_sql
+
+    ORACLES["host_triangles"] = triangles_sql(_HOST_EDGES_SQL, min_w=3)
+
+
+_attach_triangles_oracle()
