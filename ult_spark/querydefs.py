@@ -3783,3 +3783,59 @@ def _attach_triangles_oracle() -> None:
 
 
 _attach_triangles_oracle()
+
+
+@q(
+    "user_rog",
+    # the same exact-integer moments in ANSI SQL; e3 integer degree units
+    "WITH m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2 "
+    "FROM (SELECT user_id, "
+    "(event_id * 2654435761) % 360000 - 180000 AS x, "
+    "(user_id * 40503 + event_id) % 180000 - 90000 AS y FROM events) "
+    "GROUP BY 1) "
+    "SELECT user_id, n, "
+    "n * (sx2 + sy2) - (sx * sx + sy * sy) AS rog2_num, "
+    "CAST(floor(sqrt(CAST(n * (sx2 + sy2) - (sx * sx + sy * sy) AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE)) AS BIGINT) AS rog_e3 FROM m",
+)
+def user_rog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (r6; the Gonzalez/Hidalgo/Barabasi
+    2008 mobility statistic): RMS planar distance of a user's events
+    from their centroid. The event grid is e3-quantized by construction
+    (FIXTURES.md §A), so every moment is an EXACT integer in e3 degree
+    units: ``RoG² = (n·Σ(x²+y²) − (Σx)² − (Σy)²) / n²`` — one sqrt +
+    one division at the end (both IEEE correctly-rounded), floored.
+
+    Overflow bound (documented): ``n·Σx² ≤ n²·(1.8e5)²`` must stay
+    below 2^63 ⇒ safe to ~8,000 events per user; beyond that,
+    pre-center per user (subtract an integer anchor) or pre-aggregate
+    to cells — the LISA integer-range precedent. Scale: one partial-agg
+    groupBy on user_id, nothing else."""
+    ev = load(spark, sf_dir, "events")
+    x = ((F.col("event_id") * F.lit(2654435761)) % 360000 - 180000).cast("long")
+    y = ((F.col("user_id") * F.lit(40503) + F.col("event_id")) % 180000 - 90000).cast("long")
+    m = (
+        ev.select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        )
+    )
+    num = (
+        F.col("n") * (F.col("sx2") + F.col("sy2"))
+        - (F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy"))
+    ).cast("long")
+    return m.select(
+        "user_id",
+        "n",
+        num.alias("rog2_num"),
+        F.floor(
+            F.sqrt(num.cast("double")) / F.col("n").cast("double")
+        ).cast("long").alias("rog_e3"),
+    )
