@@ -60,6 +60,7 @@ _PRIORITY = [
     "geohash_counts_p4", "geohash_bridge_p4", "source_js_divergence",
     "gearys_c_l5", "ripley_k_l5", "host_mirror_pairs", "url_policy_counts",
     "nn_gfunction_l5", "k_core_hosts", "host_triangles", "user_rog",
+    "user_visit_entropy",
     # round-4-green backfill to fill the 50-slot window
     "ann_cosine_topk", "ann_lsh_topk", "asof_orders_version",
     "audio_chunk_plan", "buffer_cells_dist", "cell_encode_l12",

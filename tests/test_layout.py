@@ -293,6 +293,7 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         "k_core_hosts",
         "host_triangles",
         "user_rog",
+        "user_visit_entropy",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -3839,3 +3839,49 @@ def user_rog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(num.cast("double")) / F.col("n").cast("double")
         ).cast("long").alias("rog_e3"),
     )
+
+
+@q(
+    "user_visit_entropy",
+    "WITH vis AS (SELECT user_id, " + _cell(8) + " AS cell, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS n_cells FROM vis GROUP BY 1), "
+    "t AS (SELECT v.user_id, "
+    "CAST(floor(1000000000.0::DOUBLE * (CAST(v.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) "
+    "* ln(CAST(tot.n AS DOUBLE) / CAST(v.c AS DOUBLE))) AS BIGINT) AS term "
+    "FROM vis v JOIN tot USING (user_id)) "
+    "SELECT tot.user_id, tot.n, tot.n_cells, "
+    "CAST(sum(t.term) AS BIGINT) AS entropy_e9 "
+    "FROM t JOIN tot USING (user_id) GROUP BY 1, 2, 3",
+)
+def user_visit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-location entropy per user (r6; the Song/Qu/Blumm/Barabási
+    2010 predictability statistic): Shannon entropy of the user's
+    visited-L8-cell distribution. ``p_i = c_i/n`` with exact integer
+    counts, so each ``ln`` argument ``n/c_i`` is an exact integer ratio
+    (the PMI bound argument) — per-term e9 floors BEFORE the order-free
+    integer sum (the token_entropy precedent). Scale: two partial-agg
+    groupBys + one user-keyed join, nothing quadratic."""
+    ev = events_points(spark, sf_dir)
+    vis = (
+        ev.groupBy("user_id", UF.latlon_to_cell("lat", "lon", 8).alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = vis.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+    ).cast("long")
+    return (
+        vis.join(tot, "user_id")
+        .select("user_id", term.alias("_t"))
+        .groupBy("user_id")
+        .agg(F.sum("_t").cast("long").alias("entropy_e9"))
+        .join(tot, "user_id")
+        .select("user_id", "n", "n_cells", "entropy_e9")
+    )
