@@ -27,49 +27,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks the FIRST 50 of queries() per round (round-2 verdict
 # #3): order the registry stalest-green-first so every query keeps
-# accumulating driver rows at the current code state. Round-6 cohorts
-# (computed from CORRECTNESS_r01..r05): h3_parent_rollup first (its r5
-# red row was a DuckDB HUGEINT typing bug, fixed in querydefs.py — r5
-# verdict #1), then the 22 queries whose newest green row is round 3,
-# then approx_users_per_tile_l6 (rows-only by design, re-accumulates a
-# rows-green row), then the queries NEW in round 6, then round-4-green
-# backfill up to slot 50. Pure reordering — zero change to the queries;
-# everything past slot 50 stays covered by tests/test_oracle_contract.py.
+# accumulating driver rows at the current code state. Round-7 cohorts
+# (computed from CORRECTNESS_r01..r06): first the 7 late-r6 queries that
+# have NEVER had a driver row (they landed in slots 51-57 last round —
+# r6 verdict "What's wrong #1"), then queries NEW in round 7, then
+# approx_users_per_tile_l6 (rows-only by design, re-accumulates a
+# rows-green row), then round-4-green backfill (the stalest cohort) up
+# to slot 50. Pure reordering — zero change to the queries; everything
+# past slot 50 stays covered by tests/test_oracle_contract.py.
 _PRIORITY = [
-    # red in r5 on an oracle typing bug, fixed — must re-green first
-    "h3_parent_rollup",
-    # last driver-green in round 3 (stalest oracle queries)
-    "ann_ivf_trained", "cell_centroids_l8", "compact_event_cells",
-    "cube_type_bucket", "distinct_user_type", "distinct_users_per_tile_l6",
-    "embedding_near_dup", "event_gaps", "grouping_sets_type_bucket",
-    "haversine_to_origin", "multimodal_features", "multimodal_meta_agg",
-    "near_dup_oversized", "props_json_agg", "range_partitioned_tiles",
-    "rolling_hour_counts", "sessionize_users", "spacetime_rollup",
-    "tile_rank_ntile", "tiles_intersect", "url_host_extract",
-    "video_frame_plan",
+    # never driver-checked (late-r6 window overflow) — must green first
+    "host_mirror_pairs", "url_policy_counts", "nn_gfunction_l5",
+    "k_core_hosts", "host_triangles", "user_rog", "user_visit_entropy",
+    # new in round 7
+    "k_core_fixpoint_hosts", "cocitation_capped", "emerging_hotspots_bounded",
+    "degree_distribution", "label_propagation_hosts", "jaccard_host_links",
+    "adamic_adar_links", "stl_decompose_hourly", "hourly_anomalies",
+    "idf_top_terms", "minwise_host_sim", "shingle_profile_sizes",
+    "dbscan_noise_ratio", "assortativity_hosts",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
-    # new in round 6
-    "dup_keep_best", "session_window_counts_b", "funnel_steps",
-    "scd2_orders_intervals", "kernel_smooth_l6", "host_quality_stats",
-    "cluster_safe_split", "cell_dbscan_l6", "boilerplate_strip_w2",
-    "pagerank_hosts_3it", "getis_ord_l6", "morans_i_l5",
-    "local_moran_l5", "emerging_hotspots_l4", "pmi_cooccurrence",
-    "hits_hosts_3it", "overlap_near_dups", "quadrat_chi2_l5",
-    "cocitation_hosts", "semivariogram_l5", "host_lang_divergence",
-    "geohash_counts_p4", "geohash_bridge_p4", "source_js_divergence",
-    "gearys_c_l5", "ripley_k_l5", "host_mirror_pairs", "url_policy_counts",
-    "nn_gfunction_l5", "k_core_hosts", "host_triangles", "user_rog",
-    "user_visit_entropy",
-    # round-4-green backfill to fill the 50-slot window
-    "ann_cosine_topk", "ann_lsh_topk", "asof_orders_version",
-    "audio_chunk_plan", "buffer_cells_dist", "cell_encode_l12",
-    "cell_range_join", "cust_nation_region", "dedup_exact",
-    "distance_join_errors", "doc_fingerprint", "docs_by_lang_source",
-    "gapfill_hourly", "interval_join_buckets", "knn_events_k5",
-    "lang_id", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "percentiles_by_type", "pip_agg_by_poly", "pip_anti_count",
-    "pip_depth_events", "pip_join_events", "pip_tiles_by_poly_l8",
+    # round-4-green backfill (stalest cohort) to fill the 50-slot window
+    "cell_encode_l12", "tile_agg_l8", "tile_pyramid", "cust_nation_region",
+    "top_customers", "tiles_except", "pip_join_events", "pip_agg_by_poly",
+    "pip_anti_count", "pip_tiles_by_poly_l8", "salted_tile_agg_l8",
+    "pyramid_op", "knn_events_k5", "distance_join_errors",
+    "zonal_stats_pop", "rasterize_tiles_l6", "dedup_exact", "token_count",
+    "doc_fingerprint", "quality_score", "simhash32", "lang_id",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ann_cosine_topk",
+    "ann_lsh_topk", "docs_by_lang_source", "cell_range_join",
+    "asof_orders_version", "interval_join_buckets",
 ]
 
 
