@@ -3807,17 +3807,44 @@ def user_rog(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FIXTURES.md §A), so every moment is an EXACT integer in e3 degree
     units: ``RoG² = (n·Σ(x²+y²) − (Σx)² − (Σy)²) / n²`` — one sqrt +
     one division at the end (both IEEE correctly-rounded), floored.
-
-    Overflow bound (documented): ``n·Σx² ≤ n²·(1.8e5)²`` must stay
-    below 2^63 ⇒ safe to ~8,000 events per user; beyond that,
-    pre-center per user (subtract an integer anchor) or pre-aggregate
-    to cells — the LISA integer-range precedent. Scale: one partial-agg
-    groupBy on user_id, nothing else."""
+    r7: moments via :func:`rog_from_points` (per-user min-anchor
+    pre-centering — see its docstring for the overflow-bound math)."""
     ev = load(spark, sf_dir, "events")
     x = ((F.col("event_id") * F.lit(2654435761)) % 360000 - 180000).cast("long")
     y = ((F.col("user_id") * F.lit(40503) + F.col("event_id")) % 180000 - 90000).cast("long")
+    return rog_from_points(ev.select("user_id", x.alias("x"), y.alias("y")))
+
+
+def rog_from_points(pts: DataFrame) -> DataFrame:
+    """Exact-integer radius-of-gyration moments over (user_id, x, y).
+
+    r7 hardening (r6 verdict "What's wrong #2"): coordinates are
+    PRE-CENTERED at each user's integer (min x, min y) anchor before
+    the moments. ``n·Σx² − (Σx)²`` is exactly translation-invariant
+    over the integers, so the outputs (and the unanchored oracle) are
+    bit-identical — the driver hash-match certifies the invariance —
+    but the overflow bound moves from the GLOBAL coordinate range to
+    the PER-USER SPREAD: ``n²·spread² < 2^63`` ⇒ n < 3.0e9/spread_e3,
+    e.g. ~3e6 events for a 1°-spread user and ~3e8 for a ~1 km-spread
+    user (the raw form capped at ~8,000 for EVERY user regardless of
+    locality, since raw coords always span ±1.8e5). A truly
+    globe-spanning user keeps the old cliff — inherent to the integer
+    ``rog2_num = n²·RoG²`` output definition, not the computation —
+    and Spark 4 ANSI mode raises loudly there instead of wrapping.
+
+    Scale: anchors are a partial-agg groupBy whose tiny per-user
+    output broadcast-joins back onto the points, then one partial-agg
+    moments groupBy — two column-pruned scans, zero full-row
+    shuffles, vs the single-shuffle window alternative that would
+    forfeit map-side combine."""
+    anchors = pts.groupBy("user_id").agg(
+        F.min("x").alias("ax"), F.min("y").alias("ay")
+    )
+    cx = F.col("x") - F.col("ax")
+    cy = F.col("y") - F.col("ay")
     m = (
-        ev.select("user_id", x.alias("x"), y.alias("y"))
+        pts.join(F.broadcast(anchors), "user_id")
+        .select("user_id", cx.alias("x"), cy.alias("y"))
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
