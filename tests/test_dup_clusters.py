@@ -243,3 +243,34 @@ def test_cluster_safe_split_is_cluster_atomic(spark):
         ) if len({doc_split[d] for d in members}) > 1
     ]
     assert straddled, "fixture too weak: doc-id split never straddled a cluster"
+
+
+def test_stats_barrier_bounds_iterative_plan_stats(spark):
+    """r7 regression: Spark 4 localCheckpoint copies origin statistics onto
+    the LogicalRDD, so a self-joining loop compounds sizeInBytes ~k× digits
+    per round (BigInteger explosion in the stats visitor — the cell_dbscan
+    12-round hang). The barrier must pin stats to a constant-size default."""
+    import pyspark.sql.functions as F
+
+    from ult_spark.ops.textops import _stats_barrier
+
+    df = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+
+    def digits(d):
+        return len(str(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+    bare, barred = df, df
+    bare_digits, barred_digits = [], []
+    for _ in range(4):
+        j = bare.join(bare.select(F.col("k"), F.col("v").alias("v2")), "k")
+        bare = j.select("k", "v").localCheckpoint()
+        bare_digits.append(digits(bare))
+        j2 = barred.join(barred.select(F.col("k"), F.col("v").alias("v2")), "k")
+        barred = _stats_barrier(j2.select("k", "v").localCheckpoint())
+        barred_digits.append(digits(barred))
+    # unbarred checkpoints compound (each round ~doubles the digit count)
+    assert bare_digits[-1] > 2 * bare_digits[0]
+    # barrier holds stats at the constant default (Long.MaxValue = 19 digits)
+    assert barred_digits[-1] == barred_digits[0] <= 20
+    # and the data itself is untouched
+    assert barred.count() == 100

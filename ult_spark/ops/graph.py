@@ -142,6 +142,9 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     normalizers are broadcast one-row aggregates chained INSIDE the one
     lazy plan (rounds are not self-joins, so plan growth is linear in
     ``iters``; the ivf_train/pagerank precedent)."""
+    # r7 (r6 ADVICE): iters=0 left auth uninitialized and crashed in the
+    # final join; the SQL twin also assumes at least one round — reject.
+    assert iters >= 1, "hits needs at least one iteration"
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -104,11 +104,15 @@ def cell_dbscan(
     # jumps=2: a percolated grid (uniform data, low min_pts) has diameter
     # ~2^level, and each extra pointer jump per round is one tiny keyed
     # self-join that halves the driver-synchronized round count
+    # max_rounds=64: percolated grids are PATH-shaped, where the min-label
+    # frontier moves a few hops per round (12 rounds measured at sf0.01;
+    # see connected_components docstring) — rounds are cheap (~1 s) now
+    # that the stats barrier stops the per-round sizeInBytes compounding
     labels = connected_components(
         cells.select(F.col("cell").alias("doc_id")), pairs,
-        assume_contained=True, jumps=2,
+        assume_contained=True, jumps=2, max_rounds=64,
     )
-    return (
+    out = (
         labels.join(cells.withColumnRenamed("cell", "doc_id"), "doc_id")
         .groupBy("cluster_id")
         .agg(
@@ -116,7 +120,14 @@ def cell_dbscan(
             F.sum("cnt").cast("long").alias("n_events"),
             F.max("cnt").cast("long").alias("peak_cnt"),
         )
+        # per-cluster stats are tiny; materialize them eagerly so the
+        # persisted dense-cell blocks can be RELEASED before returning
+        # (r6 ADVICE: long sessions — the 155-query oracle contract —
+        # otherwise accumulate cached blocks across queries)
+        .localCheckpoint()
     )
+    cells.unpersist()
+    return out
 
 
 def cell_dbscan_sql(

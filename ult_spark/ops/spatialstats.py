@@ -337,8 +337,9 @@ def ripley_k(
     Scale: the pair join is occupied-cells × (2·max_r+1)² literal
     offsets — an equi-join keyed on the offset cell, never points ×
     points; the cumulative window runs over max_r+1 rows."""
-    cells = occupied_cells(points, level, lat, lon)
     n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    cells = occupied_cells(points, level, lat, lon)
     tot = F.broadcast(cells.agg(F.sum("cnt").cast("long").alias("npts")))
     d0 = cells.agg(
         F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1))).cast("long").alias("pairs")
@@ -416,8 +417,9 @@ def nn_gfunction(
     Scale: one occupied-cells × (2·max_r+1)²−1 literal-offset explode,
     one hash equi-join, a per-cell min + per-d groupBy; the cumulative
     window runs over ≤ max_r rows."""
-    cells = occupied_cells(points, level, lat, lon)
     n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    cells = occupied_cells(points, level, lat, lon)
     tot = F.broadcast(cells.agg(F.count(F.lit(1)).cast("long").alias("n_cells")))
     offs = F.array(
         *[
@@ -660,6 +662,7 @@ def ripley_k_sql(
     table: str = "events",
 ) -> str:
     n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
     offs = ", ".join(
         f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
         for dx, dy in _offsets(level, max_r)
@@ -698,6 +701,7 @@ def nn_gfunction_sql(
     table: str = "events",
 ) -> str:
     n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
     offs = ", ".join(
         f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
         for dx, dy in _offsets(level, max_r)

@@ -446,6 +446,37 @@ class ConvergenceError(RuntimeError):
     """Raised when an iterative operator's round bound was too small."""
 
 
+def _stats_barrier(df: DataFrame) -> DataFrame:
+    """Reset plan STATISTICS at an iteration boundary (r7).
+
+    Spark 4's ``localCheckpoint`` truncates lineage but COPIES the origin
+    plan's estimated statistics onto the new ``LogicalRDD``. In an
+    iterative loop whose round plan references its input k>1 times
+    through joins (propagation + pointer jumps here), join size
+    estimation MULTIPLIES child sizes, so sizeInBytes compounds as
+    stats(round) ~ stats(round-1)^k — a BigInteger whose digit count
+    grows k× per round. Past ~8 rounds the driver burns minutes per
+    round inside SizeInBytesOnlyStatsPlanVisitor doing million-digit
+    BigInteger.multiply (measured: 1.3 s → 13 s → 96 s per round at
+    937 rows; data-size-INDEPENDENT, jstack shows the Karatsuba stack).
+
+    The barrier rebuilds the checkpointed RDD as a fresh LogicalRDD with
+    no origin stats (leaf falls back to spark.sql.defaultSizeInBytes):
+    zero extra jobs, constant 19-digit stats at any round count. Join
+    strategy loses nothing — every session runs AQE, which re-plans
+    joins from ACTUAL runtime shuffle sizes. Falls back to the input
+    unchanged if the internal constructor moves (future pyspark) —
+    correct either way, just slow past ~8 rounds."""
+    try:
+        jdf = df._jdf
+        new_jdf = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return type(df)(new_jdf, df.sparkSession)
+    except Exception:  # pragma: no cover - only on pyspark API drift
+        return df
+
+
 def _cc_round(
     labels: DataFrame, edges: DataFrame, track: bool = False, jumps: int = 1
 ) -> DataFrame:
@@ -506,10 +537,14 @@ def connected_components(
     loop stops at the first round whose output equals its input (a
     fixpoint, since a round is a pure function of its input), so ``rounds``
     is ignored under check=True; a graph still changing at ``max_rounds``
-    raises :class:`ConvergenceError` (pointer jumping makes max_rounds=16
-    cover diameter ~2^16 — a 65k-hop near-dup chain is not a corpus, it's
-    an adversarial input). ``check=False`` runs exactly ``rounds`` blind
-    rounds."""
+    raises :class:`ConvergenceError`. Round-count caveat (measured r7):
+    pointer jumping shortcuts the LABEL forest, not the input graph, so
+    on path-shaped components (percolated grids) the min-label frontier
+    can advance only a few hops per round — the sf0.01 L6 dense grid
+    needed 12 rounds at jumps=2, NOT log2(diameter). Near-dup corpora
+    (star-shaped clusters, diameter ~1-2) converge in 1-2 rounds; grid
+    callers should pass a generous ``max_rounds`` (cell_dbscan uses 64).
+    ``check=False`` runs exactly ``rounds`` blind rounds."""
     from pyspark.sql import Observation
 
     edges = pairs.unionByName(
@@ -529,8 +564,11 @@ def connected_components(
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     if not check:
         for _ in range(rounds):
-            # truncate lineage each round (see docstring)
-            labels = _cc_round(labels, edges, jumps=jumps).localCheckpoint()
+            # truncate lineage each round (see docstring); the stats
+            # barrier stops per-round sizeInBytes compounding (r7)
+            labels = _stats_barrier(
+                _cc_round(labels, edges, jumps=jumps).localCheckpoint()
+            )
         edges.unpersist()
         return labels.select("doc_id", F.col("label").alias("cluster_id"))
     done = 0
@@ -540,7 +578,7 @@ def connected_components(
             ob,
             F.sum((F.col("label") != F.col("_old")).cast("long")).alias("changed"),
         )
-        labels = stepped.select("doc_id", "label").localCheckpoint()
+        labels = _stats_barrier(stepped.select("doc_id", "label").localCheckpoint())
         done += 1
         changed = ob.get["changed"] or 0  # None on an empty vertex set
         if not changed:
