@@ -223,3 +223,52 @@ def test_triangles_wedge_without_closure_is_zero(spark):
         for r in triangles(_edges_df(spark, pairs)).collect()
     }
     assert got == {"a": (1, 0, None), "b": (2, 0, 0), "c": (1, 0, None)}
+
+
+def test_triangles_degree_orientation_bounds_star_wedges(spark):
+    """r7: degree-ordered orientation must probe O(out-degree²) wedges —
+    on a star every edge points INTO the hub (leaf deg 1 < hub deg d),
+    so the wedge candidate count is 0, where id-ordering with the hub id
+    in the middle of the leaf ids probes Θ(d²)."""
+    import pyspark.sql.functions as F
+
+    from ult_spark.ops.graph import _oriented_edges, _wedges, triangles
+
+    d = 40
+    hub = f"h{d // 2:03d}"  # id sorts into the middle of the leaves
+    leaves = [f"h{i:03d}" for i in range(d + 1) if i != d // 2]
+    pairs = [(hub, leaf, 1) for leaf in leaves]
+    und = (
+        _edges_df(spark, pairs)
+        .select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("u").alias("host"), "deg")
+    )
+    # id-ordered wedge join (the pre-r7 form): Θ((d/2)²) candidates
+    id_wedges = und.join(
+        und.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+    ).count()
+    assert id_wedges == (d // 2) ** 2
+    # degree-oriented: zero candidates
+    assert _wedges(_oriented_edges(und, deg)).count() == 0
+    # and the statistic itself is unchanged
+    got = {r["host"]: (r["deg"], r["tri"]) for r in triangles(
+        _edges_df(spark, pairs)).collect()}
+    assert got[hub] == (d, 0)
+    assert all(got[leaf] == (1, 0) for leaf in leaves)
+
+
+def test_triangles_orientation_tie_break_by_id(spark):
+    """All-equal degrees (a triangle): orientation falls back to id order;
+    the triangle must still be counted exactly once per corner."""
+    from ult_spark.ops.graph import triangles
+
+    pairs = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    got = {r["host"]: (r["deg"], r["tri"], r["cc_e6"]) for r in triangles(
+        _edges_df(spark, pairs)).collect()}
+    assert got == {k: (2, 1, 1000000) for k in "abc"}

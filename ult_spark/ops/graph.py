@@ -339,20 +339,58 @@ def k_core_sql(edges_sql: str, k: int = 4, rounds: int = 3, min_w: int = 1) -> s
 # ---------------------------------------------------------------------------
 # Triangle counting + local clustering coefficient
 
+def _oriented_edges(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected (u, v) edge from its lower-(deg, id)
+    endpoint to its higher-(deg, id) endpoint (degree-ordered
+    orientation; strict total order since ids are distinct). Returns
+    (a, b, _db) where a→b and ``_db`` is b's degree (carried so wedge
+    legs can be ordered without another join)."""
+    e = (
+        und.join(deg.select(F.col("host").alias("u"), F.col("deg").alias("_du")), "u")
+        .join(deg.select(F.col("host").alias("v"), F.col("deg").alias("_dv")), "v")
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_db"),
+    )
+
+
+def _wedges(ori: DataFrame) -> DataFrame:
+    """Wedge candidates (x, y) per center ``a`` from the degree-oriented
+    edge list, legs ordered by (deg, id) so each potential triangle is
+    probed exactly once. Per-center fanout is outdeg², and degree
+    orientation bounds outdeg by O(√m) / graph arboricity — on a hub of
+    degree d whose neighbors are leaves, the id-ordered form probes
+    Θ(d²) wedges while this form probes 0 (every edge points INTO the
+    hub). tests/test_graph.py pins that star-graph contrast."""
+    l = ori.select("a", F.col("b").alias("x"), F.col("_db").alias("_dx"))
+    r = ori.select("a", F.col("b").alias("y"), F.col("_db").alias("_dy"))
+    leg_lt = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))
+    )
+    return l.join(r, "a").where(leg_lt).select("a", "x", "y")
+
+
 def triangles(edges: DataFrame, min_w: int = 1) -> DataFrame:
     """(host, deg, tri, cc_e6) over the undirected simple graph (same
     construction as :func:`k_core`): per-node triangle membership count
     and the local clustering coefficient ``2·tri / (deg·(deg−1))``
     e6-floored (NULL when deg < 2 — no wedge to close).
 
-    Triangles are enumerated once each as ordered triples u < v < w via
-    two hash equi-joins on the (u < v)-oriented edge list (wedge
-    (u,v)+(v,w) implies u < v < w; the third join checks closure), then
-    exploded to their three corners for the per-node count. At web
-    scale the standard refinement is degree-ordered orientation
-    (orient each edge toward the higher-degree endpoint) so wedge
-    fanout is bounded by arboricity rather than max degree — the
-    id-ordered form here keeps the oracle exactly mirrorable."""
+    r7: triangles are enumerated once each via DEGREE-ORDERED
+    orientation (Ortmann & Brandes 2014 / the standard compact-forward
+    refinement): orient every edge toward its higher-(deg, id)
+    endpoint, pair out-edges per center with legs ordered by (deg, id),
+    and close each wedge against the oriented edge list — wedge fanout
+    is bounded by out-degree ≤ O(√m) instead of max degree, exactly the
+    skew a web host graph has (hubs). The orientation is a
+    deterministic total order, so the DuckDB twin mirrors it
+    expression-for-expression and the driver hash-match certifies the
+    whole enumeration."""
     und = (
         edges.where((F.col("src") != F.col("dst")) & (F.col("w") >= min_w))
         .select(
@@ -366,13 +404,12 @@ def triangles(edges: DataFrame, min_w: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .select(F.col("u").alias("host"), "deg")
     )
+    ori = _oriented_edges(und, deg)
     tri = (
-        und.join(
-            und.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
-        )
-        .join(und.select(F.col("u"), F.col("v").alias("w")), ["u", "w"])
+        _wedges(ori)
+        .join(ori.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"])
         .select(
-            F.explode(F.array("u", "v", "w")).alias("host")
+            F.explode(F.array("a", "x", "y")).alias("host")
         )
         .groupBy("host")
         .agg(F.count(F.lit(1)).cast("long").alias("tri"))
@@ -394,17 +431,25 @@ def triangles(edges: DataFrame, min_w: int = 1) -> DataFrame:
 
 
 def triangles_sql(edges_sql: str, min_w: int = 1) -> str:
+    """DuckDB twin of :func:`triangles` — mirrors the degree-ordered
+    orientation with row-value comparisons on (deg, id)."""
     return (
         f"WITH e AS ({edges_sql}), "
         "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
         f"FROM e WHERE src <> dst AND w >= {min_w}), "
         "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM "
         "(SELECT u, v FROM und UNION ALL SELECT v, u FROM und) GROUP BY 1), "
-        "t AS (SELECT a.u, a.v, b.v AS w FROM und a "
-        "JOIN und b ON b.u = a.v JOIN und c ON c.u = a.u AND c.v = b.v), "
+        "ori AS (SELECT "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.u ELSE und.v END AS a, "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS b, "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN dv.deg ELSE du.deg END AS db "
+        "FROM und JOIN deg du ON du.host = und.u JOIN deg dv ON dv.host = und.v), "
+        "t AS (SELECT l.a, l.b AS x, r.b AS y FROM ori l "
+        "JOIN ori r ON r.a = l.a AND (l.db, l.b) < (r.db, r.b) "
+        "JOIN ori c ON c.a = l.b AND c.b = r.b), "
         "tri AS (SELECT host, CAST(count(*) AS BIGINT) AS tri FROM "
-        "(SELECT u AS host FROM t UNION ALL SELECT v FROM t "
-        "UNION ALL SELECT w FROM t) GROUP BY 1) "
+        "(SELECT a AS host FROM t UNION ALL SELECT x FROM t "
+        "UNION ALL SELECT y FROM t) GROUP BY 1) "
         "SELECT d.host, d.deg, COALESCE(tri.tri, 0) AS tri, "
         "CASE WHEN d.deg >= 2 THEN "
         "CAST(floor(1000000.0::DOUBLE * CAST(2 * COALESCE(tri.tri, 0) AS DOUBLE) "
