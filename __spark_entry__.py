@@ -40,7 +40,7 @@ _PRIORITY = [
     "host_mirror_pairs", "url_policy_counts", "nn_gfunction_l5",
     "k_core_hosts", "host_triangles", "user_rog", "user_visit_entropy",
     # new in round 7
-    "k_core_fixpoint_hosts", "cocitation_capped", "emerging_hotspots_bounded",
+    "k_core_fixpoint_hosts", "cocitation_oversized_hosts", "emerging_hotspots_bounded",
     "degree_distribution", "label_propagation_hosts", "jaccard_host_links",
     "adamic_adar_links", "stl_decompose_hourly", "hourly_anomalies",
     "idf_top_terms", "minwise_host_sim", "shingle_profile_sizes",

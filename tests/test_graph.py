@@ -272,3 +272,30 @@ def test_triangles_orientation_tie_break_by_id(spark):
     got = {r["host"]: (r["deg"], r["tri"], r["cc_e6"]) for r in triangles(
         _edges_df(spark, pairs)).collect()}
     assert got == {k: (2, 1, 1000000) for k in "abc"}
+
+
+def test_cocitation_cap_bounds_hub_fanout(spark):
+    """r7: the enforced per-shared-node cap keeps the top-k edges by
+    (w DESC, id ASC) and bounds pair candidates at C(k, 2) per node;
+    cocitation_oversized reports exactly the truncated nodes."""
+    from ult_spark.ops.graph import cocitation, cocitation_oversized
+
+    hub_edges = [("portal", f"d{i:02d}", 100 - i) for i in range(20)]
+    pairs = hub_edges + [("tiny", "d00", 1), ("tiny", "d01", 1)]
+    e = _edges_df(spark, pairs)
+
+    capped = cocitation(e, by="dst", max_deg=5).collect()
+    # portal keeps its top-5 weighted dsts (d00..d04) -> C(5,2)=10 pairs,
+    # tiny keeps both -> 1 pair (d00,d01) overlapping portal's
+    got = {(r.u, r.v): (r.common, r.w_prod) for r in capped}
+    assert len(got) == 10
+    kept = [f"d{i:02d}" for i in range(5)]
+    assert set().union(*[{u, v} for u, v in got]) == set(kept)
+    # the overlapping pair aggregates BOTH shared nodes
+    assert got[("d00", "d01")] == (2, 100 * 99 + 1 * 1)
+    # oversized surfacing: portal (deg 20, dropped 15), tiny absent
+    over = {r.node: (r.deg, r.dropped) for r in
+            cocitation_oversized(e, by="dst", max_deg=5).collect()}
+    assert over == {"portal": (20, 15)}
+    # uncapped (max_deg=None) still enumerates all C(20,2)+0 pairs
+    assert cocitation(e, by="dst", max_deg=None).count() == 190 + 1 - 1

@@ -29,7 +29,7 @@ literal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 E9 = 1_000_000_000
@@ -229,7 +229,29 @@ def hits_sql(edges_sql: str, iters: int = 3) -> str:
     )
 
 
-def cocitation(edges: DataFrame, by: str = "dst") -> DataFrame:
+#: Per-shared-node edge cap for :func:`cocitation` — a hub citing k
+#: counterparts contributes C(k, 2) pairs, so the cap bounds self-join
+#: fanout at max_deg² per node. 256 keeps any realistic reporting graph
+#: intact while making the adversarial hub (a portal page linking
+#: 100k hosts → 5·10⁹ pairs) structurally impossible.
+DEFAULT_MAX_DEG = 256
+
+
+def _capped_edges(edges: DataFrame, share: str, other: str, max_deg: int) -> DataFrame:
+    """Top-``max_deg`` edges per shared node by (w DESC, other ASC) — a
+    deterministic total order (``other`` is unique within a shared node
+    on the aggregated edge list), so both engines keep the same rows."""
+    w = Window.partitionBy(share).orderBy(F.col("w").desc(), F.col(other).asc())
+    return (
+        edges.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_deg)
+        .drop("_rn")
+    )
+
+
+def cocitation(
+    edges: DataFrame, by: str = "dst", max_deg: int = DEFAULT_MAX_DEG
+) -> DataFrame:
     """Co-citation and bibliographic coupling (Small 1973 / Kessler 1963).
     ``by='dst'``: pairs of destinations sharing a SOURCE (cited together
     by the same page) — co-citation. ``by='src'``: pairs of sources
@@ -241,10 +263,17 @@ def cocitation(edges: DataFrame, by: str = "dst") -> DataFrame:
 
     One self-join keyed on the SHARED endpoint + one partial-agg groupBy
     on the pair. Cost is quadratic in per-node degree by definition of
-    the statistic — at web scale feed it an edge list pre-capped to the
-    top-k weighted edges per shared node (the standard practice), which
-    bounds the join fanout at k² per node."""
+    the statistic, so the operator ENFORCES a per-shared-node cap (r7,
+    was a docstring suggestion): each shared node keeps its top
+    ``max_deg`` edges by (weight DESC, id ASC) — one window + filter
+    before the self-join, bounding fanout at max_deg² per node. A
+    capped result is a lower bound for hub-adjacent pairs — run
+    :func:`cocitation_oversized` alongside to see exactly which shared
+    nodes were truncated and by how much (the near_dup_oversized
+    protocol). ``max_deg=None`` disables the cap."""
     share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    if max_deg is not None:
+        edges = _capped_edges(edges, share, other, max_deg)
     l = edges.select(F.col(share).alias("_s"), F.col(other).alias("u"),
                      F.col("w").alias("_wu"))
     r = edges.select(F.col(share).alias("_s"), F.col(other).alias("v"),
@@ -260,15 +289,51 @@ def cocitation(edges: DataFrame, by: str = "dst") -> DataFrame:
     )
 
 
-def cocitation_sql(edges_sql: str, by: str = "dst") -> str:
-    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+def cocitation_oversized(
+    edges: DataFrame, by: str = "dst", max_deg: int = DEFAULT_MAX_DEG
+) -> DataFrame:
+    """The surfacing half of the capped co-citation plan: shared nodes
+    whose fanout exceeds ``max_deg`` as (node, deg, dropped) — exactly
+    the edges :func:`cocitation`'s cap pruned. Empty on a healthy graph;
+    one partial-agg groupBy on the shared endpoint."""
+    share = "src" if by == "dst" else "dst"
     return (
-        f"WITH e AS ({edges_sql}) "
+        edges.groupBy(F.col(share).alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .where(F.col("deg") > max_deg)
+        .select("node", "deg", (F.col("deg") - F.lit(max_deg)).cast("long").alias("dropped"))
+    )
+
+
+def cocitation_sql(
+    edges_sql: str, by: str = "dst", max_deg: int | None = DEFAULT_MAX_DEG
+) -> str:
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    cap = (
+        f"(SELECT * FROM e0 QUALIFY row_number() OVER "
+        f"(PARTITION BY {share} ORDER BY w DESC, {other} ASC) <= {max_deg})"
+        if max_deg is not None
+        else "(SELECT * FROM e0)"
+    )
+    return (
+        f"WITH e0 AS ({edges_sql}), e AS {cap} "
         f"SELECT l.{other} AS u, r.{other} AS v, "
         "CAST(count(*) AS BIGINT) AS common, "
         "CAST(sum(l.w * r.w) AS BIGINT) AS w_prod "
         f"FROM e l JOIN e r ON l.{share} = r.{share} "
         f"AND l.{other} < r.{other} GROUP BY 1, 2"
+    )
+
+
+def cocitation_oversized_sql(
+    edges_sql: str, by: str = "dst", max_deg: int = DEFAULT_MAX_DEG
+) -> str:
+    share = "src" if by == "dst" else "dst"
+    return (
+        f"WITH e AS ({edges_sql}) "
+        f"SELECT {share} AS node, CAST(count(*) AS BIGINT) AS deg, "
+        f"CAST(count(*) - {max_deg} AS BIGINT) AS dropped "
+        f"FROM e GROUP BY 1 HAVING count(*) > {max_deg}"
     )
 
 

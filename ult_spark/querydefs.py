@@ -3458,16 +3458,32 @@ def cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-citation over the host link graph (r6, ops/graph.py
     cocitation): destination pairs sharing a source, with the classic
     weighted form Σ w_u·w_v — one self-join on the shared endpoint +
-    one pair-keyed groupBy, all exact integers."""
+    one pair-keyed groupBy, all exact integers. r7: the per-shared-node
+    top-k edge cap is enforced in-operator (window + filter before the
+    self-join; identically mirrored in the oracle), bounding hub fanout
+    at max_deg² — run cocitation_oversized_hosts for what was cut."""
     from ult_spark.ops.graph import cocitation
 
     return cocitation(_host_edges(spark, sf_dir), by="dst")
 
 
+@q("cocitation_oversized_hosts", None)
+def cocitation_oversized_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surfacing half of the capped co-citation plan (r7): source nodes
+    whose out-fanout exceeds the cap, with the dropped edge count —
+    empty on a healthy graph (the near_dup_oversized protocol)."""
+    from ult_spark.ops.graph import cocitation_oversized
+
+    return cocitation_oversized(_host_edges(spark, sf_dir), by="dst")
+
+
 def _attach_cocitation_oracle() -> None:
-    from ult_spark.ops.graph import cocitation_sql
+    from ult_spark.ops.graph import cocitation_oversized_sql, cocitation_sql
 
     ORACLES["cocitation_hosts"] = cocitation_sql(_HOST_EDGES_SQL, by="dst")
+    ORACLES["cocitation_oversized_hosts"] = cocitation_oversized_sql(
+        _HOST_EDGES_SQL, by="dst"
+    )
 
 
 _attach_cocitation_oracle()
