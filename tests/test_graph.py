@@ -299,3 +299,24 @@ def test_cocitation_cap_bounds_hub_fanout(spark):
     assert over == {"portal": (20, 15)}
     # uncapped (max_deg=None) still enumerates all C(20,2)+0 pairs
     assert cocitation(e, by="dst", max_deg=None).count() == 190 + 1 - 1
+
+
+def test_k_core_fixpoint_resolves_deep_cascade(spark):
+    """r7: a pendant chain peels ONE node per round (each removal drops
+    its neighbor to degree 1), so 3 pinned rounds leave tail remnants
+    while the fixpoint resolves to exactly the triangle core."""
+    from ult_spark.ops.graph import k_core, k_core_fixpoint
+
+    chain = [(f"c{i}", f"c{i + 1}", 1) for i in range(8)]
+    tri = [("c8", "t1", 1), ("c8", "t2", 1), ("t1", "t2", 1)]
+    e = _edges_df(spark, chain + tri)
+    fix = {r.host: r.deg for r in k_core_fixpoint(e, k=2).collect()}
+    assert fix == {"c8": 2, "t1": 2, "t2": 2}
+    # the 3-round form still carries chain remnants (cascade too deep);
+    # NOTE a deep Spark-side unroll is NOT usable as the truth here —
+    # each lazy round references its input 3x, so rounds=12 is a 3^12
+    # analyzer blowup (CLAUDE.md r3) — the fixpoint loop exists exactly
+    # because of that wall; driver parity vs the unrolled-24 SQL oracle
+    # covers the equivalence on real data
+    three = {r.host for r in k_core(e, k=2, rounds=3).collect()}
+    assert {"c0", "c1", "c2"}.isdisjoint(three) and len(three) > 3

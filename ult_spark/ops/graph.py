@@ -380,18 +380,82 @@ def k_core(edges: DataFrame, k: int = 4, rounds: int = 3, min_w: int = 1) -> Dat
     )
 
 
+def k_core_fixpoint(
+    edges: DataFrame, k: int = 4, min_w: int = 1, max_rounds: int = 64
+) -> DataFrame:
+    """TRUE-fixpoint k-core (r7, was 3 pinned rounds): peel until no
+    node is removed, so arbitrarily deep cascades (a long pendant chain
+    peels one node per round) resolve exactly.
+
+    Same construction and output as :func:`k_core`; the loop is the
+    dup_clusters discipline — per-round localCheckpoint truncates
+    lineage (each round references its input 3×: degree + two endpoint
+    semi-joins, so a lazy chain grows 3^rounds), the stats barrier
+    stops Spark 4's checkpoint-stats compounding, and the fixpoint test
+    rides the round's own materialization as an observe() row count
+    (edge count unchanged ⇔ the keep-filter removed nothing ⇔ fixpoint,
+    since rounds are monotone deletions). Still changing at
+    ``max_rounds`` raises :class:`ConvergenceError` loudly."""
+    from pyspark.sql import Observation
+
+    from ult_spark.ops.textops import ConvergenceError, _stats_barrier
+
+    und = (
+        edges.where((F.col("src") != F.col("dst")) & (F.col("w") >= min_w))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    cur = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    prev: int | None = None
+    for _ in range(max_rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .where(F.col("_d") >= k)
+            .select("u")
+        )
+        ob = Observation()
+        nxt = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .observe(ob, F.count(F.lit(1)).alias("n"))
+        )
+        cur = _stats_barrier(nxt.localCheckpoint())
+        n = ob.get["n"] or 0
+        if n == prev:
+            break
+        prev = n
+    else:
+        raise ConvergenceError(
+            f"k_core_fixpoint: still peeling after {max_rounds} rounds — "
+            "raise max_rounds for adversarially deep cascades"
+        )
+    return (
+        cur.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("u").alias("host"), "deg")
+    )
+
+
 def k_core_sql(edges_sql: str, k: int = 4, rounds: int = 3, min_w: int = 1) -> str:
+    """Unrolled peel rounds. Every round CTE is AS MATERIALIZED (r7):
+    DuckDB INLINES each CTE reference by default, and a round references
+    its predecessor 3× — an un-materialized unroll re-reads the base
+    parquet 3^rounds times (rounds=8 already ran minutes / exhausted
+    file handles; materialized, rounds=24 runs in 0.09 s)."""
     parts = [
-        f"WITH e AS ({edges_sql}), "
-        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
-        f"FROM e WHERE src <> dst AND w >= {min_w}), "
-        "s0 AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)"
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM e WHERE src <> dst AND w >= {min_w}), "
+        "s0 AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)"
     ]
     for i in range(1, rounds + 1):
         parts.append(
-            f", k{i} AS (SELECT u FROM s{i - 1} GROUP BY 1 "
+            f", k{i} AS MATERIALIZED (SELECT u FROM s{i - 1} GROUP BY 1 "
             f"HAVING count(*) >= {k}), "
-            f"s{i} AS (SELECT s.u, s.v FROM s{i - 1} s "
+            f"s{i} AS MATERIALIZED (SELECT s.u, s.v FROM s{i - 1} s "
             f"JOIN k{i} a ON a.u = s.u JOIN k{i} b ON b.u = s.v)"
         )
     parts.append(

