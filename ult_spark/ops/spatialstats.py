@@ -474,13 +474,20 @@ def emerging_hotspots(
     ts: str = "ts",
     lat: str = "lat",
     lon: str = "lon",
+    max_lag: int | None = None,
 ) -> DataFrame:
     """Per-cell Mann-Kendall trend over the per-slice Gi* z-scores:
     (cell, n_slices, mk_s, trend). n_slices counts the cell's slices
     with a defined z; mk_s sums sign(z_later − z_earlier) over all
     ordered slice pairs (0 when fewer than 2 defined slices); trend is
     the sign label. A cell absent from a slice contributes nothing for
-    that slice (occupied-universe semantics per slice)."""
+    that slice (occupied-universe semantics per slice).
+
+    ``max_lag`` (r7) bounds the pair join to slice pairs at most
+    ``max_lag`` slices apart — the classic TRAILING-WINDOW Mann-Kendall
+    every emerging-hotspot tool ships. Unbounded, per-cell pair count
+    grows as slices²; bounded, it is slices·max_lag, so cost stops
+    growing with history length. None keeps the full-history form."""
     sl = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(slice_sec)).cast("long")
     pts = points.select(sl.alias("sl"), F.col(lat).alias("lat"),
                         F.col(lon).alias("lon"))
@@ -494,9 +501,12 @@ def emerging_hotspots(
         .when(F.col("_z2") < F.col("_z1"), -1)
         .otherwise(0)
     )
+    pair_pred = F.col("_s2") > F.col("_s1")
+    if max_lag is not None:
+        pair_pred = pair_pred & (F.col("_s2") - F.col("_s1") <= F.lit(max_lag))
     mk = (
         a.join(b, "cell")
-        .where(F.col("_s2") > F.col("_s1"))
+        .where(pair_pred)
         .groupBy("cell")
         .agg(F.sum(sign).cast("long").alias("mk_s"))
     )
@@ -734,6 +744,7 @@ def emerging_hotspots_sql(
     slice_sec: int = 86400,
     ts_sql: str = "ts",
     table: str = "events",
+    max_lag: int | None = None,
 ) -> str:
     # the hash-green retention day-bucket pattern: floor(epoch) to integer
     # seconds FIRST (epoch() doubles can dip just under integral boundaries
@@ -742,13 +753,14 @@ def emerging_hotspots_sql(
         f"CAST(floor(CAST(floor(epoch({ts_sql})) AS BIGINT) / {slice_sec}) "
         "AS BIGINT)"
     )
+    lag = f" AND b.sl - a.sl <= {max_lag}" if max_lag is not None else ""
     return (
         f"WITH {_sql_cells(lat_sql, lon_sql, level, table, sl_sql=sl)}, "
         f"{_sql_edges(level, keyed=True)}, {_sql_gi_select(keyed=True)}, "
         "z AS (SELECT sl, cell, z_e3 FROM zt WHERE z_e3 IS NOT NULL), "
         "mk AS (SELECT a.cell, CAST(sum(CASE WHEN b.z_e3 > a.z_e3 THEN 1 "
         "WHEN b.z_e3 < a.z_e3 THEN -1 ELSE 0 END) AS BIGINT) AS mk_s "
-        "FROM z a JOIN z b ON b.cell = a.cell AND b.sl > a.sl GROUP BY 1), "
+        f"FROM z a JOIN z b ON b.cell = a.cell AND b.sl > a.sl{lag} GROUP BY 1), "
         "pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_slices "
         "FROM z GROUP BY 1) "
         "SELECT pc.cell, pc.n_slices, "

@@ -3293,11 +3293,32 @@ def emerging_hotspots_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("emerging_hotspots_bounded", None)
+def emerging_hotspots_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window Mann-Kendall (r7): same per-slice Gi* composite
+    but the pair join keeps only slice pairs ≤ 7 days apart, so per-cell
+    pair count is slices·7 instead of slices² — cost stops growing with
+    history length (the production emerging-hotspot form). Identically
+    bounded in the oracle."""
+    from ult_spark.ops.spatialstats import emerging_hotspots
+
+    return emerging_hotspots(
+        load(spark, sf_dir, "events").select(
+            "ts", UF.event_lat().alias("lat"), UF.event_lon().alias("lon")
+        ),
+        level=4,
+        max_lag=7,
+    )
+
+
 def _attach_emerging_oracle() -> None:
     from ult_spark.ops.spatialstats import emerging_hotspots_sql
 
     ORACLES["emerging_hotspots_l4"] = emerging_hotspots_sql(
         UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=4
+    )
+    ORACLES["emerging_hotspots_bounded"] = emerging_hotspots_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=4, max_lag=7
     )
 
 
