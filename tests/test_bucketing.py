@@ -61,3 +61,41 @@ def test_mismatched_bucket_counts_are_detected(spark, bucketed_pair, tmp_path):
         assert j.count() == 100  # still correct, just not co-located
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_dedup_layout_keep_best_is_colocated_and_exact(spark, tmp_path):
+    """r7 (verdict #7): the dedup working set published as a bucketed
+    layout — the downstream keep-best doc_id join must read committed
+    tables with ZERO Exchange, and the decisions must be identical to
+    the direct dup_keep_best computation."""
+    from ult_spark.ops.textops import (
+        dup_keep_best,
+        keep_best_from_layout,
+        publish_dedup_layout,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lt, qt = publish_dedup_layout(
+            docs, "dedup_t", buckets=4, path=str(tmp_path / "dedup")
+        )
+        got = keep_best_from_layout(spark, "dedup_t")  # asserts colocation
+        # the ONLY Exchange in the full plan is the cluster_id window
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1 and "cluster_id" in plan
+        want = {
+            r.doc_id: (r.cluster_id, r.canon_id, r.keep, r.reason)
+            for r in dup_keep_best(docs).collect()
+        }
+        have = {
+            r.doc_id: (r.cluster_id, r.canon_id, r.keep, r.reason)
+            for r in got.collect()
+        }
+        assert have == want and len(have) == docs.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("dedup_t_labels", "dedup_t_qual"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

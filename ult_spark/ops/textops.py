@@ -642,7 +642,12 @@ def dup_keep_best(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text)).cast("long").alias("n_tok"),
     )
-    j = labels.join(qual, "doc_id")
+    return _keep_best_decisions(labels.join(qual, "doc_id"))
+
+
+def _keep_best_decisions(j: DataFrame) -> DataFrame:
+    """The keep/drop tail shared by :func:`dup_keep_best` and the
+    bucketed-layout path: ``j`` is (doc_id, cluster_id, n_tok)."""
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), F.asc("doc_id"))
     wc = Window.partitionBy("cluster_id")
     canon = F.first("doc_id").over(w)
@@ -658,6 +663,56 @@ def dup_keep_best(
         .otherwise(F.lit("duplicate"))
         .alias("reason"),
     )
+
+
+def publish_dedup_layout(
+    df: DataFrame,
+    prefix: str,
+    buckets: int = 8,
+    threshold: float = 0.2,
+    rounds: int = 2,
+    id_col: str = "doc_id",
+    text: str = "text",
+    path: str | None = None,
+) -> tuple[str, str]:
+    """Persist the dedup working set as a BUCKETED layout (r7): cluster
+    labels and the token-quality projection, both hash-bucketed (and
+    bucket-sorted) by doc_id into ``<prefix>_labels`` / ``<prefix>_qual``.
+
+    Why: every downstream consumer re-joins these on doc_id — keep-best
+    retention, cluster-safe splits, per-cluster audits. Stored flat,
+    each of those queries pays the full doc_id shuffle on 100 TB of
+    labels; bucketed, the shuffle is paid ONCE here and every later
+    join reads bucket i against bucket i with zero Exchange
+    (:func:`keep_best_from_layout` asserts it). ``path`` prefixes
+    external-table locations (catalog metadata carries the bucket spec
+    either way)."""
+    from ult_spark.io.bucketing import write_bucketed
+
+    labels = dup_clusters(df, threshold=threshold, rounds=rounds, id_col=id_col)
+    qual = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text)).cast("long").alias("n_tok"),
+    )
+    lt, qt = f"{prefix}_labels", f"{prefix}_qual"
+    write_bucketed(labels, lt, "doc_id", buckets,
+                   path=None if path is None else f"{path}/labels")
+    write_bucketed(qual, qt, "doc_id", buckets,
+                   path=None if path is None else f"{path}/qual")
+    return lt, qt
+
+
+def keep_best_from_layout(spark, prefix: str) -> DataFrame:
+    """:func:`dup_keep_best` over a :func:`publish_dedup_layout` table
+    pair — the doc_id join is co-located (zero Exchange, ASSERTED: a
+    silently degraded layout would re-shuffle the corpus per query);
+    the only shuffle left is the cluster_id window that the statistic
+    itself requires."""
+    from ult_spark.io.bucketing import assert_colocated, bucket_join
+
+    j = bucket_join(spark, f"{prefix}_labels", f"{prefix}_qual", "doc_id")
+    assert_colocated(j)
+    return _keep_best_decisions(j)
 
 
 def dup_keep_best_sql(threshold: float = 0.2) -> str:
