@@ -586,3 +586,287 @@ def triangles_sql(edges_sql: str, min_w: int = 1) -> str:
         "ELSE NULL END AS cc_e6 "
         "FROM deg d LEFT JOIN tri ON tri.host = d.host"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 link-analysis family: degree distribution, neighbor-set similarity
+# (Jaccard / Adamic-Adar), degree assortativity, label propagation
+
+def _und_simple(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """The shared undirected simple graph: (u, v) with u < v, self-loops
+    dropped, directions merged, light edges (< min_w in BOTH directions)
+    out."""
+    return (
+        edges.where((F.col("src") != F.col("dst")) & (F.col("w") >= min_w))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _und_degrees(und: DataFrame) -> DataFrame:
+    """(host, deg) over the undirected simple graph."""
+    return (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("u").alias("host"), "deg")
+    )
+
+
+def degree_distribution(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """(deg, n_hosts) histogram of undirected simple-graph degrees — the
+    first thing anyone plots about a web graph (power-law check). Two
+    partial-agg groupBys; nothing else."""
+    return (
+        _und_degrees(_und_simple(edges, min_w))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    )
+
+
+def degree_distribution_sql(edges_sql: str, min_w: int = 1) -> str:
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e WHERE src <> dst AND w >= {min_w}), "
+        "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u, v FROM und UNION ALL SELECT v, u FROM und) GROUP BY 1) "
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_hosts FROM deg GROUP BY 1"
+    )
+
+
+def jaccard_links(
+    edges: DataFrame, by: str = "dst", max_deg: int = DEFAULT_MAX_DEG
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs: for ``by='dst'``,
+    N(u) is the set of SOURCES linking to u (in-neighbor sets) and
+    J(u, v) = |N(u)∩N(v)| / |N(u)∪N(v)| — the classic link-based host
+    similarity. Emits (u, v, common, deg_u, deg_v, jaccard_e6) for pairs
+    with common >= 1; jaccard_e6 = floor(1e6·common/(deg_u+deg_v−common)),
+    exact integer ingredients, one floored float expression.
+
+    Same enforced per-shared-node cap as :func:`cocitation` — common AND
+    the degrees are computed from the SAME capped edge list, so the
+    statistic stays a true Jaccard of the truncated neighbor sets (not a
+    mixed-universe ratio)."""
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    e = edges.select(share, other, "w").distinct()
+    if max_deg is not None:
+        e = _capped_edges(e, share, other, max_deg)
+    deg = e.groupBy(other).agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    l = e.select(F.col(share).alias("_s"), F.col(other).alias("u"))
+    r = e.select(F.col(share).alias("_s"), F.col(other).alias("v"))
+    common = (
+        l.join(r, "_s")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    j_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.col("common").cast("double")
+        / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double")
+    ).cast("long")
+    return (
+        common.join(deg.select(F.col(other).alias("u"),
+                               F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col(other).alias("v"),
+                         F.col("deg").alias("deg_v")), "v")
+        .select("u", "v", "common", "deg_u", "deg_v", j_e6.alias("jaccard_e6"))
+    )
+
+
+def jaccard_links_sql(
+    edges_sql: str, by: str = "dst", max_deg: int | None = DEFAULT_MAX_DEG
+) -> str:
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    cap = (
+        f"(SELECT * FROM e0 QUALIFY row_number() OVER "
+        f"(PARTITION BY {share} ORDER BY w DESC, {other} ASC) <= {max_deg})"
+        if max_deg is not None
+        else "(SELECT * FROM e0)"
+    )
+    return (
+        f"WITH e0 AS (SELECT DISTINCT src, dst, w FROM ({edges_sql})), "
+        f"e AS {cap}, "
+        f"deg AS (SELECT {other} AS n, CAST(count(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY 1), "
+        f"c AS (SELECT l.{other} AS u, r.{other} AS v, "
+        "CAST(count(*) AS BIGINT) AS common "
+        f"FROM e l JOIN e r ON l.{share} = r.{share} AND l.{other} < r.{other} "
+        "GROUP BY 1, 2) "
+        "SELECT c.u, c.v, c.common, du.deg AS deg_u, dv.deg AS deg_v, "
+        "CAST(floor(1000000.0::DOUBLE * CAST(c.common AS DOUBLE) "
+        "/ CAST(du.deg + dv.deg - c.common AS DOUBLE)) AS BIGINT) AS jaccard_e6 "
+        "FROM c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame, by: str = "dst", max_deg: int = DEFAULT_MAX_DEG
+) -> DataFrame:
+    """Adamic-Adar link-prediction index (Adamic & Adar 2003): for each
+    node pair, Σ over shared neighbors z of 1/ln(deg(z)) — rare shared
+    neighbors count more than hubs. Emits (u, v, common, aa_e6).
+
+    Cross-engine exactness: the per-z term floor(1e6/ln(deg z)) is
+    floored BEFORE the pair sum, so the sum is an order-free integer
+    (the host_lang_divergence discipline); deg(z) ≥ 2 whenever z is a
+    shared neighbor, so ln is never 0. Same per-shared-node cap as
+    :func:`cocitation`; deg(z) is the CAPPED fanout for consistency."""
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    e = edges.select(share, other, "w").distinct()
+    if max_deg is not None:
+        e = _capped_edges(e, share, other, max_deg)
+    fan = e.groupBy(share).agg(F.count(F.lit(1)).cast("long").alias("_fan"))
+    term = F.floor(
+        F.lit(1000000.0) / F.log(F.col("_fan").cast("double"))
+    ).cast("long")
+    ez = e.join(fan, share).select(
+        F.col(share).alias("_s"), F.col(other).alias("u"), term.alias("_t")
+    )
+    return (
+        ez.join(
+            ez.select(F.col("_s"), F.col("u").alias("v"), F.col("_t").alias("_t2")),
+            "_s",
+        )
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("_t").cast("long").alias("aa_e6"),
+        )
+    )
+
+
+def adamic_adar_sql(
+    edges_sql: str, by: str = "dst", max_deg: int | None = DEFAULT_MAX_DEG
+) -> str:
+    share, other = ("src", "dst") if by == "dst" else ("dst", "src")
+    cap = (
+        f"(SELECT * FROM e0 QUALIFY row_number() OVER "
+        f"(PARTITION BY {share} ORDER BY w DESC, {other} ASC) <= {max_deg})"
+        if max_deg is not None
+        else "(SELECT * FROM e0)"
+    )
+    return (
+        f"WITH e0 AS (SELECT DISTINCT src, dst, w FROM ({edges_sql})), "
+        f"e AS {cap}, "
+        f"fan AS (SELECT {share} AS s, CAST(count(*) AS BIGINT) AS f "
+        "FROM e GROUP BY 1), "
+        f"ez AS (SELECT e.{share} AS s, e.{other} AS u, "
+        "CAST(floor(1000000.0::DOUBLE / ln(CAST(fan.f AS DOUBLE))) AS BIGINT) AS t "
+        f"FROM e JOIN fan ON fan.s = e.{share}) "
+        "SELECT l.u, r.u AS v, CAST(count(*) AS BIGINT) AS common, "
+        "CAST(sum(l.t) AS BIGINT) AS aa_e6 "
+        "FROM ez l JOIN ez r ON l.s = r.s AND l.u < r.u GROUP BY 1, 2"
+    )
+
+
+def assortativity(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph — do high-degree hosts link to each other (r > 0) or to
+    the long tail (r < 0, the classic web shape)? Over the symmetric
+    directed edge list with endpoint degrees (j, k):
+    ``r = (M·Σjk − S1²) / (M·Σj² − S1²)`` where S1 = Σj (= Σk by
+    symmetry) — every ingredient an exact integer, one floored float
+    ratio. Emits the single row (m, s1, s2, sjk, r_e6); r_e6 NULL for a
+    degree-regular graph (zero variance). Integer range: M·Σj² needs
+    deg³·m < 2^63 — shard the sums by parent host prefix beyond ~10⁶
+    average degree², far past any real host graph."""
+    und = _und_simple(edges, min_w)
+    deg = _und_degrees(und)
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    jk = (
+        both.join(deg.select(F.col("host").alias("u"), F.col("deg").alias("_j")), "u")
+        .join(deg.select(F.col("host").alias("v"), F.col("deg").alias("_k")), "v")
+    )
+    agg = jk.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("_j").cast("long").alias("s1"),
+        F.sum(F.col("_j") * F.col("_j")).cast("long").alias("s2"),
+        F.sum(F.col("_j") * F.col("_k")).cast("long").alias("sjk"),
+    )
+    num = F.col("m") * F.col("sjk") - F.col("s1") * F.col("s1")
+    den = F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")
+    r_e6 = F.when(
+        den > 0,
+        F.floor(F.lit(1000000.0) * num.cast("double") / den.cast("double")),
+    ).cast("long")
+    return agg.select("m", "s1", "s2", "sjk", r_e6.alias("r_e6"))
+
+
+def assortativity_sql(edges_sql: str, min_w: int = 1) -> str:
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e WHERE src <> dst AND w >= {min_w}), "
+        "both_d AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg "
+        "FROM both_d GROUP BY 1), "
+        "jk AS (SELECT dj.deg AS j, dk.deg AS k FROM both_d b "
+        "JOIN deg dj ON dj.host = b.u JOIN deg dk ON dk.host = b.v), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+        "CAST(sum(j) AS BIGINT) AS s1, CAST(sum(j * j) AS BIGINT) AS s2, "
+        "CAST(sum(j * k) AS BIGINT) AS sjk FROM jk) "
+        "SELECT m, s1, s2, sjk, "
+        "CASE WHEN m * s2 - s1 * s1 > 0 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(m * sjk - s1 * s1 AS DOUBLE) "
+        "/ CAST(m * s2 - s1 * s1 AS DOUBLE)) AS BIGINT) ELSE NULL END AS r_e6 "
+        "FROM a"
+    )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 2, min_w: int = 1
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan 2007 with a
+    pinned tie rule): labels start as own ids; each round every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    min label — fully deterministic, so the unrolled SQL twin matches
+    exactly. Fixed small ``rounds`` (community detection plateaus in a
+    few sweeps; each round is one groupBy + one ranked window over
+    neighbor-label counts, all keyed shuffles). Emits (host, label)."""
+    und = _und_simple(edges, min_w)
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = both.select("u").distinct().select(
+        F.col("u").alias("host"), F.col("u").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            both.join(labels.select(F.col("host").alias("v"), "label"), "v")
+            .groupBy(F.col("u").alias("host"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy("host").orderBy(
+            F.col("_n").desc(), F.col("label").asc()
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("host", "label")
+        )
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int = 2, min_w: int = 1) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM e WHERE src <> dst AND w >= {min_w}), "
+        "b AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v, u FROM und), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS host, u AS label FROM b)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", v{i} AS MATERIALIZED (SELECT b.u AS host, l.label, "
+            f"count(*) AS n FROM b JOIN l{i - 1} l ON l.host = b.v "
+            "GROUP BY 1, 2), "
+            f"l{i} AS MATERIALIZED (SELECT host, label FROM v{i} "
+            "QUALIFY row_number() OVER (PARTITION BY host "
+            "ORDER BY n DESC, label ASC) = 1)"
+        )
+    parts.append(f" SELECT host, label FROM l{rounds}")
+    return "".join(parts)

@@ -3510,6 +3510,78 @@ def _attach_cocitation_oracle() -> None:
 _attach_cocitation_oracle()
 
 
+@q("degree_distribution", None)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the undirected host graph (r7,
+    ops/graph.py): the power-law sanity check — two partial-agg
+    groupBys, exact integers."""
+    from ult_spark.ops.graph import degree_distribution as dd
+
+    return dd(_host_edges(spark, sf_dir))
+
+
+@q("jaccard_host_links", None)
+def jaccard_host_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-neighbor-set Jaccard similarity between host pairs (r7):
+    common/degree ingredients exact, one floored float ratio; the
+    cocitation per-shared-node cap applies to BOTH common and degrees
+    so the statistic is a true Jaccard of the truncated sets."""
+    from ult_spark.ops.graph import jaccard_links
+
+    return jaccard_links(_host_edges(spark, sf_dir), by="dst")
+
+
+@q("adamic_adar_links", None)
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction index over host pairs (r7): per-
+    shared-neighbor term floor(1e6/ln(fanout)) floored BEFORE the pair
+    sum (order-free integer sum; fanout ≥ 2 whenever shared, so ln > 0)."""
+    from ult_spark.ops.graph import adamic_adar
+
+    return adamic_adar(_host_edges(spark, sf_dir), by="dst")
+
+
+@q("assortativity_hosts", None)
+def assortativity_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the host graph (r7): all
+    moments exact integers over the symmetric edge list, one floored
+    ratio — do hubs link to hubs or to the tail?"""
+    from ult_spark.ops.graph import assortativity
+
+    return assortativity(_host_edges(spark, sf_dir))
+
+
+@q("label_propagation_hosts", None)
+def label_propagation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 2 sweeps (r7): most
+    frequent neighbor label, ties to min label — the pinned tie rule
+    makes the unrolled oracle exact."""
+    from ult_spark.ops.graph import label_propagation
+
+    return label_propagation(_host_edges(spark, sf_dir), rounds=2)
+
+
+def _attach_linkstats_oracles() -> None:
+    from ult_spark.ops.graph import (
+        adamic_adar_sql,
+        assortativity_sql,
+        degree_distribution_sql,
+        jaccard_links_sql,
+        label_propagation_sql,
+    )
+
+    ORACLES["degree_distribution"] = degree_distribution_sql(_HOST_EDGES_SQL)
+    ORACLES["jaccard_host_links"] = jaccard_links_sql(_HOST_EDGES_SQL, by="dst")
+    ORACLES["adamic_adar_links"] = adamic_adar_sql(_HOST_EDGES_SQL, by="dst")
+    ORACLES["assortativity_hosts"] = assortativity_sql(_HOST_EDGES_SQL)
+    ORACLES["label_propagation_hosts"] = label_propagation_sql(
+        _HOST_EDGES_SQL, rounds=2
+    )
+
+
+_attach_linkstats_oracles()
+
+
 @q("semivariogram_l5", None)
 def semivariogram_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical semivariogram of the L5 occupied-cell count surface
