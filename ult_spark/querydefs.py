@@ -4038,3 +4038,271 @@ def user_visit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tot, "user_id")
         .select("user_id", "n", "n_cells", "entropy_e9")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: hourly time-series decomposition + anomaly scoring
+
+
+@q(
+    "stl_decompose_hourly",
+    # floor(epoch) to integer seconds FIRST (the emerging-hotspots rule),
+    # then integer hour buckets; every float is floored at a pinned point
+    "WITH hourly AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) "
+    "AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "tr AS (SELECT hr, cnt, CAST(floor(1000.0::DOUBLE * "
+    "CAST(sum(cnt) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)) AS BIGINT) "
+    "AS trend_e3 FROM hourly "
+    "WINDOW w AS (ORDER BY hr ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)), "
+    "dt AS (SELECT hr, cnt, trend_e3, 1000 * cnt - trend_e3 AS dt_e3, "
+    "hr % 24 AS hod FROM tr), "
+    "s AS (SELECT hr, cnt, trend_e3, dt_e3, CAST(floor("
+    "CAST(sum(dt_e3) OVER (PARTITION BY hod) AS DOUBLE) / "
+    "CAST(count(*) OVER (PARTITION BY hod) AS DOUBLE)) AS BIGINT) AS seasonal_e3 "
+    "FROM dt) "
+    "SELECT hr, cnt, trend_e3, seasonal_e3, "
+    "CAST(dt_e3 - seasonal_e3 AS BIGINT) AS resid_e3 FROM s",
+)
+def stl_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of the hourly event-count series (r7):
+    trend = ±12-hour centered moving average (e3-floored from exact
+    integer sums), seasonal = per-hour-of-day mean of the detrended
+    series (floored), residual = remainder — additive, so
+    1000·cnt ≡ trend + seasonal + resid by construction. Global windows
+    are over the HOURLY AGGREGATE (bounded by elapsed hours, ~720/month,
+    regardless of event volume — the tile_rank_ntile justification)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("hr").rowsBetween(-12, 12)
+    trend = F.floor(
+        F.lit(1000.0) * F.sum("cnt").over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    ).cast("long")
+    dt = hourly.select(
+        "hr", "cnt", trend.alias("trend_e3"),
+        (F.lit(1000) * F.col("cnt") - trend).alias("dt_e3"),
+        (F.col("hr") % 24).alias("hod"),
+    )
+    wh = Window.partitionBy("hod")
+    seasonal = F.floor(
+        F.sum("dt_e3").over(wh).cast("double")
+        / F.count(F.lit(1)).over(wh).cast("double")
+    ).cast("long")
+    return dt.select(
+        "hr", "cnt", "trend_e3", seasonal.alias("seasonal_e3"),
+        (F.col("dt_e3") - seasonal).cast("long").alias("resid_e3"),
+    )
+
+
+@q(
+    "hourly_anomalies",
+    "WITH hourly AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) "
+    "AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "h2 AS (SELECT hr, cnt, hr % 24 AS hod FROM hourly), "
+    "st AS (SELECT hod, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS s2 "
+    "FROM h2 GROUP BY 1), "
+    "z AS (SELECT h2.hr, h2.cnt, st.n, "
+    "CASE WHEN st.n * st.s2 - st.s * st.s > 0 THEN "
+    "CAST(floor(1000.0::DOUBLE * CAST(st.n * h2.cnt - st.s AS DOUBLE) / "
+    "sqrt(CAST(st.n * st.s2 - st.s * st.s AS DOUBLE))) AS BIGINT) "
+    "ELSE NULL END AS z_e3 FROM h2 JOIN st USING (hod)) "
+    "SELECT hr, cnt, n, z_e3 FROM z WHERE abs(z_e3) >= 2000",
+)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day-seasonal anomaly detection (r7): z-score of each
+    hour's event count against its hour-of-day population
+    (z = (n·x − Σx)/√(n·Σx² − (Σx)²) — exact integer ingredients, one
+    floored float, the Gi* discipline); emits hours with |z| ≥ 2. NULL
+    variance (constant hod series) never flags."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("hod", F.col("hr") % 24)
+    )
+    st = hourly.groupBy("hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    den = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    z_e3 = F.when(
+        den > 0,
+        F.floor(
+            F.lit(1000.0)
+            * (F.col("n") * F.col("cnt") - F.col("s")).cast("double")
+            / F.sqrt(den.cast("double"))
+        ),
+    ).cast("long")
+    return (
+        hourly.join(st, "hod")
+        .select("hr", "cnt", "n", z_e3.alias("z_e3"))
+        .where(F.abs(F.col("z_e3")) >= 2000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7: corpus IR statistics
+
+
+@q(
+    "idf_top_terms",
+    "WITH tok AS (SELECT DISTINCT doc_id, unnest(list_filter("
+    "string_split(text, ' '), x -> x != '')) AS token FROM documents), "
+    "df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) "
+    "SELECT token, df, CAST(floor(1000000.0::DOUBLE * "
+    "ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT) AS idf_e6 "
+    "FROM df CROSS JOIN n ORDER BY df DESC, token ASC LIMIT 50",
+)
+def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 document-frequency terms with e6-floored IDF (r7): one
+    distinct-explode + groupBy; N rides as a broadcast one-row agg;
+    total order (df DESC, token ASC) before the LIMIT."""
+    from ult_spark.ops.textops import tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("token")
+    ).distinct()
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n1 = F.broadcast(docs.agg(F.count(F.lit(1)).cast("long").alias("_n")))
+    idf = F.floor(
+        F.lit(1000000.0)
+        * F.log(F.col("_n").cast("double") / F.col("df").cast("double"))
+    ).cast("long")
+    return (
+        dfreq.crossJoin(n1)
+        .select("token", "df", idf.alias("idf_e6"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@q("minwise_host_sim", None)
+def minwise_host_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-wise host similarity (r7): each host's token set sketched as
+    16 independent min-hashes (h56 of token + pinned seed suffix —
+    engine-exact md5 arithmetic); pairwise similarity = matching slots
+    × 625 (e4). The sketch is ONE groupBy with 16 min aggregates over
+    the exploded tokens — per-host work is linear in tokens and the
+    pair join sees only 16-number signatures, never token sets."""
+    from ult_spark.ops.textops import _h56, tokens_col
+
+    docs = load(spark, sf_dir, "documents")
+    site = F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"))
+    tok = docs.select(site.alias("host"), F.explode(tokens_col("text")).alias("t"))
+    sig = tok.groupBy("host").agg(
+        *[
+            F.min(_h56(F.concat(F.col("t"), F.lit(f"#{i}"))))
+            .alias(f"m{i}")
+            for i in range(16)
+        ]
+    )
+    l = sig.select(F.col("host").alias("u"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)])
+    r = sig.select(F.col("host").alias("v"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(16)
+    )
+    return (
+        l.crossJoin(r)
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", matches.alias("matches"),
+                (matches * F.lit(625)).cast("long").alias("sim_e4"))
+    )
+
+
+def _attach_minwise_oracle() -> None:
+    mins = ", ".join(
+        "CAST(min(('0x' || substr(md5(t || '#" + str(i) + "'), 1, 14))::BIGINT) "
+        f"AS BIGINT) AS m{i}"
+        for i in range(16)
+    )
+    match = " + ".join(f"CAST(l.m{i} = r.m{i} AS BIGINT)" for i in range(16))
+    ORACLES["minwise_host_sim"] = (
+        "WITH tok AS (SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS host, "
+        "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t "
+        "FROM documents), "
+        f"sig AS (SELECT host, {mins} FROM tok GROUP BY 1) "
+        f"SELECT l.host AS u, r.host AS v, CAST({match} AS BIGINT) AS matches, "
+        f"CAST(({match}) * 625 AS BIGINT) AS sim_e4 "
+        "FROM sig l JOIN sig r ON l.host < r.host"
+    )
+
+
+_attach_minwise_oracle()
+
+
+@q(
+    "shingle_profile_sizes",
+    "WITH pc AS (SELECT d.doc_id, CAST(count(s.shingle) AS BIGINT) AS n_shingles "
+    "FROM documents d LEFT JOIN (SELECT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest([array_to_string(toks[i : i + 2], ' ') "
+    "for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS shingle "
+    "FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') "
+    "AS toks FROM documents)) WHERE len(string_split(shingle, ' ')) = 3 "
+    "GROUP BY doc_id, shingle) s ON s.doc_id = d.doc_id GROUP BY 1) "
+    "SELECT n_shingles, CAST(count(*) AS BIGINT) AS n_docs FROM pc GROUP BY 1",
+)
+def shingle_profile_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-doc DISTINCT 3-token-shingle set sizes (r7)
+    — the dedup capacity profile (shingle-set size drives MinHash cost
+    and LSH bucket shape). Docs too short to shingle land in the 0
+    bucket via the left join."""
+    from ult_spark.ops.textops import shingles
+
+    docs = load(spark, sf_dir, "documents")
+    per_doc = (
+        shingles(docs).distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"))
+        .groupBy("n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@q(
+    "dbscan_noise_ratio",
+    f"WITH c AS (SELECT {_cell(6)} AS cell, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1) "
+    "SELECT CAST(sum(cnt) AS BIGINT) AS total, "
+    "CAST(coalesce(sum(cnt) FILTER (cnt < 4), 0) AS BIGINT) AS noise, "
+    "CAST(count(*) FILTER (cnt >= 4) AS BIGINT) AS dense_cells, "
+    "CAST(floor(1000000.0::DOUBLE * CAST(coalesce(sum(cnt) FILTER (cnt < 4), 0) "
+    "AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS noise_ratio_e6 FROM c",
+)
+def dbscan_noise_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN noise summary (r7): share of events in sub-dense L6
+    cells under the cell_dbscan_l6 parameters — the one-row data-quality
+    gauge a clustering run reports next to its clusters. One partial-agg
+    groupBy + one global agg."""
+    cells = (
+        events_points(spark, sf_dir)
+        .groupBy(UF.latlon_to_cell("lat", "lon", 6).alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    noise = F.coalesce(
+        F.sum(F.when(F.col("cnt") < 4, F.col("cnt"))), F.lit(0)
+    ).cast("long")
+    total = F.sum("cnt").cast("long")
+    return cells.agg(
+        total.alias("total"),
+        noise.alias("noise"),
+        F.count(F.when(F.col("cnt") >= 4, F.lit(1))).cast("long").alias("dense_cells"),
+        F.floor(
+            F.lit(1000000.0) * noise.cast("double") / total.cast("double")
+        ).cast("long").alias("noise_ratio_e6"),
+    )
