@@ -91,23 +91,24 @@ def pagerank_sql(
     """DuckDB mirror: ``edges_sql`` must select (src, dst, w); the CTE chain
     unrolls the same integer iteration."""
     base = (E9 * (1000 - damping_e3)) // 1000
+    # AS MATERIALIZED everywhere — the k_core_sql/hits_sql inlining rule
     parts = [
-        f"WITH e0 AS ({edges_sql})",
-        "e AS (SELECT src, dst, w FROM e0 WHERE src != dst)",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
-        "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1)",
-        "ew AS (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src))",
-        f"r0 AS (SELECT node, {E9} // (SELECT n FROM nn) AS rank FROM nodes)",
+        f"WITH e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, w FROM e0 WHERE src != dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src))",
+        f"r0 AS MATERIALIZED (SELECT node, {E9} // (SELECT n FROM nn) AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"c{i} AS (SELECT ew.dst AS node, "
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS node, "
             f"CAST(sum((r.rank * ew.w) // ew.outw) AS BIGINT) AS s "
             f"FROM ew JOIN r{i - 1} r ON r.node = ew.src GROUP BY 1)"
         )
         parts.append(
-            f"r{i} AS (SELECT n.node, {base} // (SELECT n FROM nn) "
+            f"r{i} AS MATERIALIZED (SELECT n.node, {base} // (SELECT n FROM nn) "
             f"+ (coalesce(c{i}.s, 0) * {damping_e3}) // 1000 AS rank "
             f"FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"
         )
@@ -137,19 +138,37 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     degree below ~9·10^9 — far above any real host graph; pre-scale w
     otherwise.
 
-    Scale shape: same as :func:`pagerank` — every round is two hash
-    equi-joins keyed by src/dst + two partial-agg groupBys; the
-    normalizers are broadcast one-row aggregates chained INSIDE the one
-    lazy plan (rounds are not self-joins, so plan growth is linear in
-    ``iters``; the ivf_train/pagerank precedent)."""
+    Scale shape: every round is two hash equi-joins keyed by src/dst +
+    two partial-agg groupBys; each round's raw aggregates are
+    localCheckpoint'd so the normalizer's broadcast one-row agg and the
+    probe side read ONE materialized RDD instead of re-executing the
+    upstream per branch (r7 fix — see the inline comment for the
+    measured 2^iters re-execution the lazy form had)."""
     # r7 (r6 ADVICE): iters=0 left auth uninitialized and crashed in the
     # final join; the SQL twin also assumes at least one round — reject.
     assert iters >= 1, "hits needs at least one iteration"
-    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
-    nodes = (
+    from ult_spark.ops.textops import _stats_barrier
+
+    # r7 (measured at 10x input): the one-lazy-plan form re-executed its
+    # upstream once per normalizer branch — each crossJoin(broadcast(agg))
+    # is a SEPARATE branch Spark does not share with the probe side, and
+    # with 2 normalizers per round the re-execution compounds ~2^iters
+    # (16 s wall at 10x, FLAT from local[2] to local[8] — the work was
+    # driver-sequenced branch recomputation, not parallel tasks). Each
+    # round's raw aggregates are therefore localCheckpoint'd (one tiny
+    # keyed job; the normalizer agg and the probe side then both read the
+    # materialized RDD), with the stats barrier from the CC core. The
+    # integer sequence is unchanged — the oracle certifies it.
+    e = _stats_barrier(
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst", "w")
+        .localCheckpoint()
+    )
+    nodes = _stats_barrier(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n1 = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("long").alias("_n")))
     hub = (
@@ -159,11 +178,12 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     )
     auth = None
     for _ in range(iters):
-        araw = (
+        araw = _stats_barrier(
             e.join(hub.withColumnRenamed("node", "src"), "src")
             .select("dst", (F.col("hub") * F.col("w")).cast("long").alias("_hw"))
             .groupBy("dst")
             .agg(F.sum("_hw").cast("long").alias("_ar"))
+            .localCheckpoint()
         )
         sa = F.broadcast(
             araw.agg(F.greatest(F.sum("_ar"), F.lit(1)).cast("long").alias("_sa"))
@@ -176,11 +196,12 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             )
             .select("node", _idiv("_num", "_sa").alias("auth"))
         )
-        hraw = (
+        hraw = _stats_barrier(
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .select("src", (F.col("auth") * F.col("w")).cast("long").alias("_aw"))
             .groupBy("src")
             .agg(F.sum("_aw").cast("long").alias("_hr"))
+            .localCheckpoint()
         )
         sh = F.broadcast(
             hraw.agg(F.greatest(F.sum("_hr"), F.lit(1)).cast("long").alias("_sh"))
@@ -199,25 +220,28 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
 def hits_sql(edges_sql: str, iters: int = 3) -> str:
     """DuckDB mirror of :func:`hits`: unrolled CTE chain, identical
     integer sequence."""
+    # every CTE AS MATERIALIZED (r7): DuckDB inlines CTE references, so
+    # the unrolled normalizer chain re-read the base ~2^(2*iters) times
+    # (99 s at sf0.01; materialized, sub-second) — the k_core_sql rule
     parts = [
-        f"WITH e0 AS ({edges_sql})",
-        "e AS (SELECT src, dst, w FROM e0 WHERE src != dst)",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
-        f"h0 AS (SELECT node, {E6} // (SELECT n FROM nn) AS hub FROM nodes)",
+        f"WITH e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, w FROM e0 WHERE src != dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT node, {E6} // (SELECT n FROM nn) AS hub FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts += [
-            f"ar{i} AS (SELECT e.dst, CAST(sum(h.hub * e.w) AS BIGINT) AS ar "
+            f"ar{i} AS MATERIALIZED (SELECT e.dst, CAST(sum(h.hub * e.w) AS BIGINT) AS ar "
             f"FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1)",
-            f"sa{i} AS (SELECT greatest(CAST(sum(ar) AS BIGINT), 1) AS s FROM ar{i})",
-            f"a{i} AS (SELECT n.node, "
+            f"sa{i} AS MATERIALIZED (SELECT greatest(CAST(sum(ar) AS BIGINT), 1) AS s FROM ar{i})",
+            f"a{i} AS MATERIALIZED (SELECT n.node, "
             f"(coalesce(ar{i}.ar, 0) * {E6}) // (SELECT s FROM sa{i}) AS auth "
             f"FROM nodes n LEFT JOIN ar{i} ON ar{i}.dst = n.node)",
-            f"hr{i} AS (SELECT e.src, CAST(sum(a.auth * e.w) AS BIGINT) AS hr "
+            f"hr{i} AS MATERIALIZED (SELECT e.src, CAST(sum(a.auth * e.w) AS BIGINT) AS hr "
             f"FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1)",
-            f"sh{i} AS (SELECT greatest(CAST(sum(hr) AS BIGINT), 1) AS s FROM hr{i})",
-            f"h{i} AS (SELECT n.node, "
+            f"sh{i} AS MATERIALIZED (SELECT greatest(CAST(sum(hr) AS BIGINT), 1) AS s FROM hr{i})",
+            f"h{i} AS MATERIALIZED (SELECT n.node, "
             f"(coalesce(hr{i}.hr, 0) * {E6}) // (SELECT s FROM sh{i}) AS hub "
             f"FROM nodes n LEFT JOIN hr{i} ON hr{i}.src = n.node)",
         ]
