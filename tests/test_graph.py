@@ -320,3 +320,23 @@ def test_k_core_fixpoint_resolves_deep_cascade(spark):
     # covers the equivalence on real data
     three = {r.host for r in k_core(e, k=2, rounds=3).collect()}
     assert {"c0", "c1", "c2"}.isdisjoint(three) and len(three) > 3
+
+
+def test_label_propagation_two_cliques(spark):
+    """r7: two 4-cliques joined by one bridge edge — after 2 sweeps every
+    clique member carries its clique's min id; the deterministic
+    (count DESC, label ASC) tie rule keeps the bridge endpoints in their
+    own cliques (3 same-clique votes vs 1 across)."""
+    from itertools import combinations
+
+    from ult_spark.ops.graph import label_propagation
+
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    pairs = [(u, v, 1) for u, v in combinations(a, 2)]
+    pairs += [(u, v, 1) for u, v in combinations(b, 2)]
+    pairs += [("a0", "b0", 1)]
+    got = {r.host: r.label for r in label_propagation(
+        _edges_df(spark, pairs), rounds=2).collect()}
+    assert {got[h] for h in a} == {"a0"}
+    assert {got[h] for h in b} == {"b0"}
