@@ -299,3 +299,30 @@ def test_round6_native_ops_have_no_python_eval(spark, sf_smoke):
         assert "ArrowEvalPython" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
+    """Round-7 operators stay native Column programs: the fixpoint k-core,
+    capped co-citation + surfacing, bounded Mann-Kendall, the link-analysis
+    family, hourly decomposition/anomalies, IR statistics, noise ratio."""
+    from ult_spark.querydefs import QUERIES
+
+    for name in (
+        "k_core_fixpoint_hosts",
+        "cocitation_oversized_hosts",
+        "emerging_hotspots_bounded",
+        "degree_distribution",
+        "jaccard_host_links",
+        "adamic_adar_links",
+        "assortativity_hosts",
+        "label_propagation_hosts",
+        "stl_decompose_hourly",
+        "hourly_anomalies",
+        "idf_top_terms",
+        "minwise_host_sim",
+        "shingle_profile_sizes",
+        "dbscan_noise_ratio",
+    ):
+        plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
