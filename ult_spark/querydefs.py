@@ -4306,3 +4306,105 @@ def dbscan_noise_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * noise.cast("double") / total.cast("double")
         ).cast("long").alias("noise_ratio_e6"),
     )
+
+
+@q(
+    "graph_summary_hosts",
+    "WITH e AS MATERIALIZED (" + _HOST_EDGES_SQL + "), "
+    "d AS (SELECT src, dst FROM e WHERE src <> dst), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS nodes FROM "
+    "(SELECT src AS x FROM d UNION SELECT dst FROM d)), "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS arcs FROM d), "
+    "r AS (SELECT CAST(count(*) AS BIGINT) AS recip FROM d a "
+    "JOIN d b ON b.src = a.dst AND b.dst = a.src) "
+    "SELECT n.nodes, m.arcs, r.recip, "
+    "CAST(floor(1000000.0::DOUBLE * CAST(r.recip AS DOUBLE) "
+    "/ CAST(m.arcs AS DOUBLE)) AS BIGINT) AS reciprocity_e6, "
+    "CAST(floor(1000000.0::DOUBLE * CAST(m.arcs AS DOUBLE) "
+    "/ CAST(n.nodes * (n.nodes - 1) AS DOUBLE)) AS BIGINT) AS density_e6 "
+    "FROM n, m, r",
+)
+def graph_summary_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row host-graph summary (r7): node/arc counts, reciprocity
+    (share of arcs whose reverse arc exists — the directed-web-graph
+    health statistic) and directed density, both e6-floored from exact
+    integer counts. Reciprocity is ONE self-equi-join on the reversed
+    key pair; everything else is partial aggs."""
+    d = (
+        _host_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    nodes = (
+        d.select(F.col("src").alias("x"))
+        .unionByName(d.select(F.col("dst").alias("x")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("nodes"))
+    )
+    arcs = d.agg(F.count(F.lit(1)).cast("long").alias("arcs"))
+    recip = (
+        d.join(
+            d.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            ["src", "dst"],
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("recip"))
+    )
+    out = nodes.crossJoin(arcs).crossJoin(recip)
+    return out.select(
+        "nodes",
+        "arcs",
+        "recip",
+        F.floor(
+            F.lit(1000000.0) * F.col("recip").cast("double")
+            / F.col("arcs").cast("double")
+        ).cast("long").alias("reciprocity_e6"),
+        F.floor(
+            F.lit(1000000.0) * F.col("arcs").cast("double")
+            / (F.col("nodes") * (F.col("nodes") - 1)).cast("double")
+        ).cast("long").alias("density_e6"),
+    )
+
+
+@q(
+    "event_burstiness",
+    "WITH daily AS (SELECT event_type, "
+    "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(cnt) AS BIGINT) AS s, CAST(sum(cnt * cnt) AS BIGINT) AS s2 "
+    "FROM daily GROUP BY 1) "
+    "SELECT event_type, n, s, "
+    "CASE WHEN s > 0 THEN CAST(floor(1000000.0::DOUBLE * "
+    "CAST(n * s2 - s * s AS DOUBLE) / CAST(n * s AS DOUBLE)) AS BIGINT) "
+    "ELSE NULL END AS fano_e6 "
+    "FROM m",
+)
+def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event burstiness (r7): the Fano factor σ²/μ of the
+    type's daily counts, e6-floored — ≈1e6 for Poisson-like steady
+    arrivals, ≫1e6 for bursty dumps (the ingest-health signal a
+    pipeline reports per stream). Population variance over days the
+    type appeared: F = (n·Σx² − (Σx)²)/(n·Σx) — exact integer
+    ingredients (the Gi* discipline), two partial-agg groupBys."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    fano = F.when(
+        F.col("s") > 0,
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ),
+    ).cast("long")
+    return m.select("event_type", "n", "s", fano.alias("fano_e6"))
