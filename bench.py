@@ -90,8 +90,9 @@ BENCH_QUERIES = [
     "ripley_k_l5",
     # cell_dbscan_l6 is deliberately NOT timed here: at sf0.1 the uniform
     # corpus percolates (every L6 cell dense -> one grid-diameter component,
-    # ~17 s of CC rounds) which is the operator's worst-case regime, not its
-    # hotspot use case; admitting it would blow the <6 min bench budget.
+    # re-measured r7 post-stats-barrier: 15.8 s warm of CC rounds) which is
+    # the operator's worst-case regime, not its hotspot use case; admitting
+    # it would blow the <6 min bench budget.
 ]
 
 
