@@ -340,3 +340,61 @@ def test_label_propagation_two_cliques(spark):
         _edges_df(spark, pairs), rounds=2).collect()}
     assert {got[h] for h in a} == {"a0"}
     assert {got[h] for h in b} == {"b0"}
+
+
+def test_linkstats_match_bruteforce_reference(spark):
+    """r7: jaccard_links / adamic_adar / assortativity against plain-Python
+    brute force on a deterministic pseudo-random digraph (uncapped —
+    caps are pinned separately by the hub test)."""
+    import math
+
+    from ult_spark.ops.graph import adamic_adar, assortativity, jaccard_links
+
+    # deterministic scruffy digraph: 40 arcs over 8 srcs x 10 dsts
+    arcs = sorted({
+        (f"s{(i * 7) % 8}", f"d{(i * i + 3 * i) % 10}") for i in range(60)
+    })
+    pairs = [(u, v, (hash_w := 1 + (len(u + v) + i) % 5)) for i, (u, v) in enumerate(arcs)]
+    e = _edges_df(spark, pairs)
+
+    # --- reference: in-neighbor sets per dst (by='dst', share=src)
+    nbr: dict[str, set[str]] = {}
+    for u, v, _ in pairs:
+        nbr.setdefault(v, set()).add(u)
+    hosts = sorted(nbr)
+    want_j, want_aa = {}, {}
+    fan = {}
+    for u, v, _ in pairs:
+        fan[u] = fan.get(u, 0) + 1
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            common = nbr[a] & nbr[b]
+            if not common:
+                continue
+            want_j[(a, b)] = math.floor(
+                1e6 * len(common) / (len(nbr[a]) + len(nbr[b]) - len(common))
+            )
+            want_aa[(a, b)] = sum(
+                math.floor(1e6 / math.log(fan[z])) for z in common
+            )
+    got_j = {(r.u, r.v): r.jaccard_e6 for r in
+             jaccard_links(e, by="dst", max_deg=None).collect()}
+    assert got_j == want_j
+    got_aa = {(r.u, r.v): r.aa_e6 for r in
+              adamic_adar(e, by="dst", max_deg=None).collect()}
+    assert got_aa == want_aa
+
+    # --- assortativity reference over the undirected simple graph
+    und = sorted({(min(u, v), max(u, v)) for u, v, _ in pairs if u != v})
+    deg: dict[str, int] = {}
+    for u, v in und:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    jk = [(deg[u], deg[v]) for u, v in und] + [(deg[v], deg[u]) for u, v in und]
+    m = len(jk)
+    s1 = sum(j for j, _ in jk)
+    s2 = sum(j * j for j, _ in jk)
+    sjk = sum(j * k for j, k in jk)
+    want_r = math.floor(1e6 * (m * sjk - s1 * s1) / (m * s2 - s1 * s1))
+    row = assortativity(e).collect()[0]
+    assert (row.m, row.s1, row.s2, row.sjk, row.r_e6) == (m, s1, s2, sjk, want_r)
