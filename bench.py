@@ -88,6 +88,12 @@ BENCH_QUERIES = [
     "morans_i_l5",
     "gearys_c_l5",
     "ripley_k_l5",
+    # r7 additions: the fixpoint peel (driver-synchronized rounds), the
+    # capped pair joins, a window-decomposition, and the sketch groupBy
+    "k_core_fixpoint_hosts",
+    "jaccard_host_links",
+    "stl_decompose_hourly",
+    "minwise_host_sim",
     # cell_dbscan_l6 is deliberately NOT timed here: at sf0.1 the uniform
     # corpus percolates (every L6 cell dense -> one grid-diameter component,
     # re-measured r7 post-stats-barrier: 15.8 s warm of CC rounds) which is
