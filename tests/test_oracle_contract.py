@@ -43,3 +43,21 @@ def test_entry_smoke(spark):
     assert {"cell", "cnt", "sum_val_e4"} <= set(df.columns)
     # schema stability: driver re-runs this every round
     assert [f.dataType.simpleString() for f in df.schema.fields] == ["bigint", "bigint", "bigint"]
+
+
+def test_priority_window_names_all_resolve():
+    """r7: every _PRIORITY name must exist in the registry — a typo or a
+    renamed query would otherwise silently burn one of the driver's 50
+    correctness slots (the r6 'never driver-checked' gap was exactly a
+    window-ordering failure mode)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    missing = [n for n in E._PRIORITY if n not in qs]
+    assert not missing, f"_PRIORITY names absent from queries(): {missing}"
+    # the first 50 (the driver window) must each have an oracle, except
+    # the HLL rows-only query which is oracle-less by design
+    os_ = E.oracle_sql()
+    window = list(qs)[:50]
+    no_oracle = [n for n in window if n not in os_]
+    assert no_oracle == ["approx_users_per_tile_l6"], no_oracle
