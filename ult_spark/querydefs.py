@@ -4192,9 +4192,14 @@ def minwise_host_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-wise host similarity (r7): each host's token set sketched as
     16 independent min-hashes (h56 of token + pinned seed suffix —
     engine-exact md5 arithmetic); pairwise similarity = matching slots
-    × 625 (e4). The sketch is ONE groupBy with 16 min aggregates over
-    the exploded tokens — per-host work is linear in tokens and the
-    pair join sees only 16-number signatures, never token sets."""
+    × 625 (e4), emitted for pairs sharing ≥ 1 slot (a 0-match pair has
+    estimated similarity 0 — not a result). The sketch is ONE groupBy
+    with 16 min aggregates over the exploded tokens; CANDIDATE pairs
+    come from a (slot index, value) equi-self-join of the exploded
+    signatures — exactly 1-slot LSH banding, so the join produces only
+    colliding pairs instead of |hosts|²/2 (the all-pairs crossJoin this
+    replaced was a BroadcastNestedLoop — fine for 20 sites, wrong at a
+    web-scale host universe)."""
     from ult_spark.ops.textops import _h56, tokens_col
 
     docs = load(spark, sf_dir, "documents")
@@ -4207,14 +4212,29 @@ def minwise_host_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(16)
         ]
     )
+    slots = sig.select(
+        "host",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"), F.col(f"m{i}").alias("v"))
+                for i in range(16)
+            ])
+        ).alias("s"),
+    ).select("host", F.col("s.i").alias("i"), F.col("s.v").alias("v"))
+    cand = (
+        slots.alias("l")
+        .join(slots.alias("r"), ["i", "v"])
+        .where(F.col("l.host") < F.col("r.host"))
+        .select(F.col("l.host").alias("u"), F.col("r.host").alias("v"))
+        .distinct()
+    )
     l = sig.select(F.col("host").alias("u"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)])
     r = sig.select(F.col("host").alias("v"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)])
     matches = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(16)
     )
     return (
-        l.crossJoin(r)
-        .where(F.col("u") < F.col("v"))
+        cand.join(l, "u").join(r, "v")
         .select("u", "v", matches.alias("matches"),
                 (matches * F.lit(625)).cast("long").alias("sim_e4"))
     )
@@ -4227,14 +4247,17 @@ def _attach_minwise_oracle() -> None:
         for i in range(16)
     )
     match = " + ".join(f"CAST(l.m{i} = r.m{i} AS BIGINT)" for i in range(16))
+    # the all-pairs form filtered to matches >= 1 is value-identical to
+    # the Spark side's 1-slot-band candidate join (a pair collides on
+    # some slot iff it has >= 1 matching slot)
     ORACLES["minwise_host_sim"] = (
         "WITH tok AS (SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) AS host, "
         "unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t "
         "FROM documents), "
         f"sig AS (SELECT host, {mins} FROM tok GROUP BY 1) "
-        f"SELECT l.host AS u, r.host AS v, CAST({match} AS BIGINT) AS matches, "
-        f"CAST(({match}) * 625 AS BIGINT) AS sim_e4 "
-        "FROM sig l JOIN sig r ON l.host < r.host"
+        f"SELECT u, v, matches, CAST(matches * 625 AS BIGINT) AS sim_e4 FROM ("
+        f"SELECT l.host AS u, r.host AS v, CAST({match} AS BIGINT) AS matches "
+        "FROM sig l JOIN sig r ON l.host < r.host) WHERE matches >= 1"
     )
 
 
