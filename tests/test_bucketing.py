@@ -95,6 +95,20 @@ def test_dedup_layout_keep_best_is_colocated_and_exact(spark, tmp_path):
             for r in got.collect()
         }
         assert have == want and len(have) == docs.count()
+        # the split re-cut is row-local on the committed labels: zero
+        # Exchange in the WHOLE plan, and identical to the direct op
+        from ult_spark.ops.textops import cluster_safe_split, split_from_layout
+
+        s = split_from_layout(spark, "dedup_t", val_e4=3000, test_e4=3000)
+        assert "Exchange" not in s._jdf.queryExecution().executedPlan().toString()
+        want_s = {
+            r.doc_id: (r.cluster_id, r.bucket_e4, r.split)
+            for r in cluster_safe_split(docs, val_e4=3000, test_e4=3000).collect()
+        }
+        have_s = {
+            r.doc_id: (r.cluster_id, r.bucket_e4, r.split) for r in s.collect()
+        }
+        assert have_s == want_s
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("dedup_t_labels", "dedup_t_qual"):

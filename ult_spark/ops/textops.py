@@ -715,6 +715,31 @@ def keep_best_from_layout(spark, prefix: str) -> DataFrame:
     return _keep_best_decisions(j)
 
 
+def split_from_layout(
+    spark, prefix: str, val_e4: int = 500, test_e4: int = 500
+) -> DataFrame:
+    """:func:`cluster_safe_split` over a :func:`publish_dedup_layout`
+    labels table — the expensive part (LSH + connected components) was
+    paid once at publish; the split itself is a ROW-LOCAL projection on
+    the committed labels (zero Exchange in the WHOLE plan, ASSERTED),
+    so re-cutting splits with different ratios costs one scan."""
+    from ult_spark.io.bucketing import assert_colocated
+
+    labels = spark.table(f"{prefix}_labels")
+    h = _h56(F.col("cluster_id").cast("string")) % 10000
+    out = labels.select(
+        "doc_id",
+        "cluster_id",
+        h.alias("bucket_e4"),
+        F.when(h < test_e4, F.lit("test"))
+        .when(h < test_e4 + val_e4, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    assert_colocated(out)
+    return out
+
+
 def dup_keep_best_sql(threshold: float = 0.2) -> str:
     """DuckDB mirror of :func:`dup_keep_best` (same total order, same
     token-count quality key)."""
