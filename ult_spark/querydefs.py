@@ -4304,8 +4304,10 @@ def shingle_profile_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT CAST(sum(cnt) AS BIGINT) AS total, "
     "CAST(coalesce(sum(cnt) FILTER (cnt < 4), 0) AS BIGINT) AS noise, "
     "CAST(count(*) FILTER (cnt >= 4) AS BIGINT) AS dense_cells, "
+    "CASE WHEN coalesce(sum(cnt), 0) > 0 THEN "
     "CAST(floor(1000000.0::DOUBLE * CAST(coalesce(sum(cnt) FILTER (cnt < 4), 0) "
-    "AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) AS BIGINT) AS noise_ratio_e6 FROM c",
+    "AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)) AS BIGINT) ELSE NULL END "
+    "AS noise_ratio_e6 FROM c",
 )
 def dbscan_noise_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-DBSCAN noise summary (r7): share of events in sub-dense L6
@@ -4325,8 +4327,11 @@ def dbscan_noise_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total"),
         noise.alias("noise"),
         F.count(F.when(F.col("cnt") >= 4, F.lit(1))).cast("long").alias("dense_cells"),
-        F.floor(
-            F.lit(1000000.0) * noise.cast("double") / total.cast("double")
+        F.when(
+            F.coalesce(total, F.lit(0)) > 0,
+            F.floor(
+                F.lit(1000000.0) * noise.cast("double") / total.cast("double")
+            ),
         ).cast("long").alias("noise_ratio_e6"),
     )
 
@@ -4341,10 +4346,12 @@ def dbscan_noise_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r AS (SELECT CAST(count(*) AS BIGINT) AS recip FROM d a "
     "JOIN d b ON b.src = a.dst AND b.dst = a.src) "
     "SELECT n.nodes, m.arcs, r.recip, "
+    "CASE WHEN m.arcs > 0 THEN "
     "CAST(floor(1000000.0::DOUBLE * CAST(r.recip AS DOUBLE) "
-    "/ CAST(m.arcs AS DOUBLE)) AS BIGINT) AS reciprocity_e6, "
+    "/ CAST(m.arcs AS DOUBLE)) AS BIGINT) ELSE NULL END AS reciprocity_e6, "
+    "CASE WHEN n.nodes > 1 THEN "
     "CAST(floor(1000000.0::DOUBLE * CAST(m.arcs AS DOUBLE) "
-    "/ CAST(n.nodes * (n.nodes - 1) AS DOUBLE)) AS BIGINT) AS density_e6 "
+    "/ CAST(n.nodes * (n.nodes - 1) AS DOUBLE)) AS BIGINT) ELSE NULL END AS density_e6 "
     "FROM n, m, r",
 )
 def graph_summary_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4377,13 +4384,19 @@ def graph_summary_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nodes",
         "arcs",
         "recip",
-        F.floor(
-            F.lit(1000000.0) * F.col("recip").cast("double")
-            / F.col("arcs").cast("double")
+        F.when(
+            F.col("arcs") > 0,
+            F.floor(
+                F.lit(1000000.0) * F.col("recip").cast("double")
+                / F.col("arcs").cast("double")
+            ),
         ).cast("long").alias("reciprocity_e6"),
-        F.floor(
-            F.lit(1000000.0) * F.col("arcs").cast("double")
-            / (F.col("nodes") * (F.col("nodes") - 1)).cast("double")
+        F.when(
+            F.col("nodes") > 1,
+            F.floor(
+                F.lit(1000000.0) * F.col("arcs").cast("double")
+                / (F.col("nodes") * (F.col("nodes") - 1)).cast("double")
+            ),
         ).cast("long").alias("density_e6"),
     )
 
