@@ -398,3 +398,88 @@ def test_linkstats_match_bruteforce_reference(spark):
     want_r = math.floor(1e6 * (m * sjk - s1 * s1) / (m * s2 - s1 * s1))
     row = assortativity(e).collect()[0]
     assert (row.m, row.s1, row.s2, row.sjk, row.r_e6) == (m, s1, s2, sjk, want_r)
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: edge triangle support, personalized PageRank, CC labels
+
+def test_edge_support_k4_plus_pendant(spark):
+    """K4: every edge sits in exactly 2 triangles; the pendant edge in 0."""
+    from ult_spark.ops.graph import edge_triangle_support
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in edge_triangle_support(_edges_df(spark, [(a, b, 1) for a, b in k4 + [("d", "p")]])).collect()
+    }
+    assert len(got) == 7
+    assert got[("d", "p")] == 0
+    assert all(got[e] == 2 for e in k4)
+
+
+def test_edge_support_total_is_three_times_triangles(spark):
+    """Sum of supports = 3 × triangle count (each triangle has 3 sides)."""
+    from ult_spark.ops.graph import edge_triangle_support, triangles
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "c"), ("a", "e")]
+    e = _edges_df(spark, [(a, b, 1) for a, b in pairs])
+    total_support = sum(r["support"] for r in edge_triangle_support(e).collect())
+    tri_sum = sum(r["tri"] for r in triangles(e).collect())  # 3 memberships/tri
+    assert total_support == tri_sum
+
+
+def _ref_ppr(edges, iters=3, d=850):
+    """Pure-Python mirror of the personalized integer recurrence."""
+    e = [(s, t, w) for s, t, w in edges if s != t]
+    nodes = sorted({s for s, _, _ in e} | {t for _, t, _ in e})
+    seed = min(nodes)
+    outw: dict[str, int] = {}
+    for s, _, w in e:
+        outw[s] = outw.get(s, 0) + w
+    base = (E9 * (1000 - d)) // 1000
+    rank = {v: (E9 if v == seed else 0) for v in nodes}
+    for _ in range(iters):
+        s: dict[str, int] = {}
+        for u, v, w in e:
+            s[v] = s.get(v, 0) + (rank[u] * w) // outw[u]
+        rank = {
+            v: (base if v == seed else 0) + (s.get(v, 0) * d) // 1000
+            for v in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_reference_and_localizes(spark):
+    from ult_spark.ops.graph import personalized_pagerank
+
+    edges = [("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("c", "d", 3),
+             ("d", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(df).collect()}
+    assert got == _ref_ppr(edges)
+    # seed 'a' always keeps at least the restart mass
+    assert got["a"] >= (E9 * 150) // 1000
+
+
+def test_ppr_unreachable_node_gets_zero(spark):
+    from ult_spark.ops.graph import personalized_pagerank
+
+    # seed is 'a' (min id); z→y is a separate component: no walk reaches it
+    edges = [("a", "b", 1), ("z", "y", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(df).collect()}
+    assert got["y"] == 0 and got["z"] == 0
+    assert got["a"] > 0 and got["b"] > 0
+
+
+def test_cc_graph_two_cliques_and_bridgeless(spark):
+    from ult_spark.ops.graph import connected_components_graph
+
+    pairs = [("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("x", "y", 1),
+             ("y", "z", 1)]
+    got = {
+        r["host"]: r["component"]
+        for r in connected_components_graph(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}

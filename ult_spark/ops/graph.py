@@ -894,3 +894,214 @@ def label_propagation_sql(edges_sql: str, rounds: int = 2, min_w: int = 1) -> st
         )
     parts.append(f" SELECT host, label FROM l{rounds}")
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: per-edge triangle support (the k-truss ingredient),
+# personalized PageRank, connected-component labels
+
+
+def edge_triangle_support(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """(u, v, support): per-undirected-edge triangle count — the k-truss
+    ingredient (an edge is in the k-truss iff support ≥ k−2; Cohen 2008).
+    Triangles are enumerated once each via the same degree-ordered
+    orientation as :func:`triangles`, then each triangle credits its
+    three sides; edges in no triangle surface with support 0 via a left
+    join (they matter — the k-truss peel drops exactly those first).
+
+    Scale shape: identical to :func:`triangles` (wedge fanout bounded by
+    out-degree ≤ O(√m)) plus one explode(3) and one (u, v)-keyed
+    partial-agg groupBy — nothing quadratic in degree."""
+    und = _und_simple(edges, min_w)
+    deg = _und_degrees(und)
+    ori = _oriented_edges(und, deg)
+    tri = _wedges(ori).join(
+        ori.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    sides = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("a", "x").alias("u"), F.greatest("a", "x").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "y").alias("u"), F.greatest("a", "y").alias("v")
+                ),
+                F.struct(
+                    F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+                ),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
+    sup = sides.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return und.join(sup, ["u", "v"], "left").select(
+        "u",
+        "v",
+        F.coalesce("support", F.lit(0).cast("long")).alias("support"),
+    )
+
+
+def edge_triangle_support_sql(edges_sql: str, min_w: int = 1) -> str:
+    """DuckDB twin of :func:`edge_triangle_support` (same orientation as
+    triangles_sql; three side-emits per enumerated triangle)."""
+    return (
+        f"WITH e AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e WHERE src <> dst AND w >= {min_w}), "
+        "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u, v FROM und UNION ALL SELECT v, u FROM und) GROUP BY 1), "
+        "ori AS (SELECT "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.u ELSE und.v END AS a, "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN und.v ELSE und.u END AS b, "
+        "CASE WHEN (du.deg, und.u) < (dv.deg, und.v) THEN dv.deg ELSE du.deg END AS db "
+        "FROM und JOIN deg du ON du.host = und.u JOIN deg dv ON dv.host = und.v), "
+        "t AS (SELECT l.a, l.b AS x, r.b AS y FROM ori l "
+        "JOIN ori r ON r.a = l.a AND (l.db, l.b) < (r.db, r.b) "
+        "JOIN ori c ON c.a = l.b AND c.b = r.b), "
+        "sides AS (SELECT least(a, x) AS u, greatest(a, x) AS v FROM t "
+        "UNION ALL SELECT least(a, y), greatest(a, y) FROM t "
+        "UNION ALL SELECT least(x, y), greatest(x, y) FROM t), "
+        "sup AS (SELECT u, v, CAST(count(*) AS BIGINT) AS support "
+        "FROM sides GROUP BY 1, 2) "
+        "SELECT und.u, und.v, COALESCE(sup.support, 0) AS support "
+        "FROM und LEFT JOIN sup ON sup.u = und.u AND sup.v = und.v"
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame, iters: int = 3, damping_e3: int = 850
+) -> DataFrame:
+    """(node, rank) after ``iters`` rounds of PERSONALIZED PageRank
+    (random walk with restart; Jeh & Widom 2003): the teleport mass goes
+    entirely to one seed node instead of uniformly to all — ranks become
+    proximity-to-seed scores (the classic related-host / topic-locality
+    feature). The seed is pinned deterministically to min(node), derived
+    in-plan as a broadcast one-row aggregate (no collect).
+
+    Same all-integer e9 arithmetic and per-round plan shape as
+    :func:`pagerank`: one edges⋈ranks hash join + one dst-keyed groupBy +
+    one nodes left-join per round, ONE lazy plan overall, nothing
+    quadratic. Dangling mass is dropped (documented in the module
+    docstring); remainders floor per term."""
+    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst", "w")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = F.broadcast(nodes.agg(F.min("node").alias("_seed")))
+    nds = nodes.crossJoin(seed).select(
+        "node", (F.col("node") == F.col("_seed")).alias("_is_seed")
+    )
+    outw = e.groupBy("src").agg(F.sum("w").cast("long").alias("outw"))
+    ew = e.join(outw, "src")
+    base = (E9 * (1000 - damping_e3)) // 1000
+    ranks = nds.select(
+        "node",
+        F.when(F.col("_is_seed"), F.lit(E9))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .withColumn("_rw", (F.col("rank") * F.col("w")).cast("long"))
+            .select(F.col("dst").alias("node"), _idiv("_rw", "outw").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").cast("long").alias("_s"))
+        )
+        ranks = (
+            nds.join(contrib, "node", "left")
+            .withColumn(
+                "_d", (F.coalesce(F.col("_s"), F.lit(0)) * damping_e3).cast("long")
+            )
+            .select(
+                "node",
+                (
+                    F.when(F.col("_is_seed"), F.lit(base))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.expr("_d div 1000")
+                ).alias("rank"),
+            )
+        )
+    return ranks
+
+
+def personalized_pagerank_sql(
+    edges_sql: str, iters: int = 3, damping_e3: int = 850
+) -> str:
+    """DuckDB mirror of :func:`personalized_pagerank` — unrolled
+    MATERIALIZED CTEs (the k_core_sql/hits_sql inlining rule)."""
+    base = (E9 * (1000 - damping_e3)) // 1000
+    parts = [
+        f"WITH e0 AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, w FROM e0 WHERE src != dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "sd AS MATERIALIZED (SELECT min(node) AS s FROM nodes)",
+        "ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY 1)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, e.w, ow.outw FROM e JOIN ow USING (src))",
+        f"r0 AS MATERIALIZED (SELECT node, CASE WHEN node = (SELECT s FROM sd) "
+        f"THEN {E9} ELSE 0 END AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS node, "
+            f"CAST(sum((r.rank * ew.w) // ew.outw) AS BIGINT) AS s "
+            f"FROM ew JOIN r{i - 1} r ON r.node = ew.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT n.node, "
+            f"CASE WHEN n.node = (SELECT s FROM sd) THEN {base} ELSE 0 END "
+            f"+ (coalesce(c{i}.s, 0) * {damping_e3}) // 1000 AS rank "
+            f"FROM nodes n LEFT JOIN c{i} ON c{i}.node = n.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, CAST(rank AS BIGINT) AS rank FROM r{iters}"
+    )
+
+
+def connected_components_graph(
+    edges: DataFrame, min_w: int = 1, max_rounds: int = 16
+) -> DataFrame:
+    """(host, component) min-label component ids of the undirected simple
+    graph — the dedup-cluster CC core (ops/textops.py
+    connected_components: pointer jumping + per-round localCheckpoint +
+    observe()-folded fixpoint detection) re-exposed for the host link
+    graph. Host graphs are star/hub-shaped (small effective diameter),
+    so rounds stay low; ``max_rounds`` guards pathological chains."""
+    from ult_spark.ops.textops import connected_components
+
+    und = _und_simple(edges, min_w)
+    verts = (
+        und.select(F.col("u").alias("doc_id"))
+        .unionByName(und.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    pairs = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    cc = connected_components(
+        verts, pairs, max_rounds=max_rounds, assume_contained=True
+    )
+    return cc.select(
+        F.col("doc_id").alias("host"), F.col("cluster_id").alias("component")
+    )
+
+
+def connected_components_graph_sql(edges_sql: str, min_w: int = 1) -> str:
+    """DuckDB twin: TRUE WITH RECURSIVE min-label fixpoint (the
+    cell_dbscan oracle pattern) — validates the pointer-jumping result
+    against the actual converged labeling, not an unrolled bound."""
+    return (
+        f"WITH RECURSIVE e0 AS ({edges_sql}), "
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v "
+        f"FROM e0 WHERE src <> dst AND w >= {min_w}), "
+        "b AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und), "
+        "nodes AS (SELECT DISTINCT u AS host FROM b), "
+        "comp(host, label) AS (SELECT host, host FROM nodes "
+        "UNION SELECT b.u, c.label FROM b JOIN comp c ON c.host = b.v) "
+        "SELECT host, min(label) AS component FROM comp GROUP BY 1"
+    )

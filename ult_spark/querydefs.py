@@ -3582,6 +3582,61 @@ def _attach_linkstats_oracles() -> None:
 _attach_linkstats_oracles()
 
 
+@q("edge_triangle_support", None)
+def edge_triangle_support_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support over the host graph (r7 cont.,
+    ops/graph.py edge_triangle_support): the k-truss ingredient — an
+    edge is in the k-truss iff support ≥ k−2. Degree-ordered triangle
+    enumeration (arboricity-bounded wedges) + one explode(3) + one
+    edge-keyed groupBy; zero-support edges kept via left join."""
+    from ult_spark.ops.graph import edge_triangle_support
+
+    return edge_triangle_support(_host_edges(spark, sf_dir))
+
+
+@q("personalized_pagerank_hosts", None)
+def personalized_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart, Jeh & Widom
+    2003) from the deterministic min-id seed host, 3 integer e9 rounds
+    (r7 cont., ops/graph.py personalized_pagerank): proximity-to-seed
+    scores — the related-host feature. Seed reaches the plan as a
+    broadcast 1-row min aggregate, never a collect."""
+    from ult_spark.ops.graph import personalized_pagerank
+
+    return personalized_pagerank(_host_edges(spark, sf_dir), iters=3)
+
+
+@q("connected_components_hosts", None)
+def connected_components_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label connected components of the undirected host graph (r7
+    cont., ops/graph.py connected_components_graph): the dup-clusters
+    pointer-jumping CC core re-exposed for link graphs; oracle is the
+    TRUE WITH RECURSIVE fixpoint, so the driver certifies convergence
+    itself, not just an unrolled bound."""
+    from ult_spark.ops.graph import connected_components_graph
+
+    return connected_components_graph(_host_edges(spark, sf_dir))
+
+
+def _attach_graph_r7c_oracles() -> None:
+    from ult_spark.ops.graph import (
+        connected_components_graph_sql,
+        edge_triangle_support_sql,
+        personalized_pagerank_sql,
+    )
+
+    ORACLES["edge_triangle_support"] = edge_triangle_support_sql(_HOST_EDGES_SQL)
+    ORACLES["personalized_pagerank_hosts"] = personalized_pagerank_sql(
+        _HOST_EDGES_SQL, iters=3
+    )
+    ORACLES["connected_components_hosts"] = connected_components_graph_sql(
+        _HOST_EDGES_SQL
+    )
+
+
+_attach_graph_r7c_oracles()
+
+
 @q("semivariogram_l5", None)
 def semivariogram_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical semivariogram of the L5 occupied-cell count surface
