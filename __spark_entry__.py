@@ -45,7 +45,8 @@ _PRIORITY = [
     "adamic_adar_links", "stl_decompose_hourly", "hourly_anomalies",
     "idf_top_terms", "minwise_host_sim", "shingle_profile_sizes",
     "dbscan_noise_ratio", "assortativity_hosts", "graph_summary_hosts",
-    "event_burstiness",
+    "event_burstiness", "edge_triangle_support", "personalized_pagerank_hosts",
+    "connected_components_hosts",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window
