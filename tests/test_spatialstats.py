@@ -450,3 +450,78 @@ def test_gfunction_isolated_cells_saturate_below_one(spark):
     r = rows[0]
     assert (r["d"], r["cells_d"], r["cum_cells"], r["n_cells"]) == (1, 2, 2, 4)
     assert r["g_e6"] == 500000
+
+
+# ---------------------------------------------------------------------------
+# r7: join counts / IDW fill / standard deviational ellipse
+
+
+def test_join_counts_planted_cluster(spark):
+    from ult_spark.ops.spatialstats import join_counts
+
+    # one 2x2 block of 10s (all Black: mean 5.5) + 4 isolated 1s, none
+    # adjacent to anything -> every directed pair is Black-Black.
+    cells = {(2, 2): 10, (3, 2): 10, (2, 3): 10, (3, 3): 10,
+             (8, 8): 1, (10, 10): 1, (12, 12): 1, (14, 5): 1}
+    row = join_counts(_points(spark, cells), LEVEL).collect()[0]
+    assert (row.n, row.nb) == (8, 4)
+    assert (row.w, row.jbb, row.jww, row.jbw) == (12, 12, 0, 0)
+    assert row.ebb_e6 == (1_000_000 * 12 * 4 * 3) // (8 * 7)
+
+
+def test_idw_fill_single_source(spark):
+    from ult_spark.ops.spatialstats import idw_fill
+
+    rows = idw_fill(_points(spark, {(5, 5): 7}), LEVEL, radius=2).collect()
+    # 24 empty cells in the Chebyshev-2 disk; a single source means the
+    # IDW estimate is exactly the source value everywhere.
+    assert len(rows) == 24
+    assert all(r.n_src == 1 for r in rows)
+    assert all(r.est_e3 == 7000 for r in rows)
+    assert all(r.num == 7 * r.den for r in rows)
+
+
+def _kpoints(spark, groups: dict[str, dict[tuple[int, int], int]], level=LEVEL):
+    n = 1 << level
+    rows = []
+    for k, cells in groups.items():
+        for (x, y), cnt in cells.items():
+            la = -90.0 + (y + 0.5) * 180.0 / n
+            lo = -180.0 + (x + 0.5) * 360.0 / n
+            rows += [(k, la, lo)] * cnt
+    return spark.createDataFrame(rows, "k string, lat double, lon double")
+
+
+def test_std_ellipse_collinear_groups(spark):
+    from ult_spark.ops.spatialstats import std_ellipse
+
+    pts = _kpoints(spark, {
+        "h": {(2, 5): 1, (4, 5): 1, (6, 5): 1},   # horizontal line
+        "v": {(5, 2): 1, (5, 4): 1, (5, 6): 1},   # vertical line
+    })
+    out = {r.k: r for r in std_ellipse(pts, LEVEL, key="k").collect()}
+    h, v = out["h"], out["v"]
+    # cxx = 3*56 - 12^2 = 24 along the varying axis, 0 across it.
+    assert (h.cxx, h.cyy, h.cxy) == (24, 0, 0)
+    assert (v.cxx, v.cyy, v.cxy) == (0, 24, 0)
+    import math
+    want = math.floor(1000.0 * math.sqrt(24.0) / 3.0)
+    assert h.a_e3 == want and v.a_e3 == want
+    assert h.b_e3 == 0 and v.b_e3 == 0
+    assert h.tan2t_e6 == 0 and v.tan2t_e6 == 0
+
+
+def test_std_ellipse_wide_spread_no_overflow(spark):
+    """The planted fixture that breaks BIGINT discriminant squaring:
+    (cxx-cyy)^2 = 4.2e21 > 2^63 -- the double-squared form must survive
+    (ANSI Spark would error loudly on the old integer form)."""
+    from ult_spark.ops.spatialstats import std_ellipse
+
+    pts = _kpoints(
+        spark, {"w": {(0, 128): 1000, (255, 128): 1000}}, level=8
+    )
+    row = std_ellipse(pts, 8, key="k").collect()[0]
+    # cxx = 2000*1000*255^2 - (1000*255)^2 = 255000^2 exactly
+    assert row.cxx == 255000 ** 2 and row.cyy == 0 and row.cxy == 0
+    assert row.a_e3 == 1000 * 255000 // 2000  # sqrt exact
+    assert row.b_e3 == 0

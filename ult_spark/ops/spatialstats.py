@@ -911,3 +911,329 @@ def semivariogram_sql(
         "ELSE NULL END AS gamma_e6 "
         "FROM pr GROUP BY 1"
     )
+
+
+def join_counts(
+    points: DataFrame, level: int = 5, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Binary join-count statistics (Cliff & Ord 1981) over the
+    occupied-cell universe: classify every occupied cell Black when its
+    count exceeds the global mean (``n·cnt > Σx`` — the exact-integer
+    mean comparison, no float mean ever materialized) and count the
+    DIRECTED 8-adjacent pairs by colour: ``jbb`` (Black-Black), ``jww``
+    (White-White) and ``jbw = w − jbb − jww`` (mixed). Emits the exact
+    integer ingredients (n, nb, w, jbb, jww, jbw) plus ``ebb_e6`` — the
+    expected directed BB count under non-free (randomization) sampling
+    ``W·nb·(nb−1)/(n·(n−1))`` floored to e6, so observed-vs-expected
+    clustering is read directly off the row. jbb ≫ ebb means the
+    hot cells themselves are spatially clustered — the categorical
+    complement of Moran's I.
+
+    Cross-engine: every count is an exact integer over the same
+    directed-pair universe as :func:`morans_i`; ebb's one float division
+    has exact integer operands (``w·nb·(nb−1) ≤ 8·n³`` < 2^63 for any
+    level ≤ 9 universe). Scale: one points→cells partial agg, the
+    literal 8-offset explode equi-join, three broadcast one-row aggs —
+    never points², never cells²."""
+    cells = occupied_cells(points, level, lat, lon)
+    g = _globals(cells)
+    lab = cells.crossJoin(g).select(
+        "cell",
+        F.when(F.col("n") * F.col("cnt") > F.col("sx"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("b"),
+    )
+    nb = F.broadcast(lab.agg(F.sum("b").cast("long").alias("nb")))
+    pairs = directed_neighbors(cells, level)
+    jc = (
+        pairs.join(
+            lab.select(F.col("cell").alias("_c"), F.col("b").alias("_bi")),
+            F.col("cell") == F.col("_c"),
+        )
+        .join(
+            lab.select(F.col("cell").alias("_d"), F.col("b").alias("_bj")),
+            F.col("nbr") == F.col("_d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.coalesce(F.sum(F.col("_bi") * F.col("_bj")), F.lit(0))
+            .cast("long")
+            .alias("jbb"),
+            F.coalesce(
+                F.sum((F.lit(1) - F.col("_bi")) * (F.lit(1) - F.col("_bj"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("jww"),
+        )
+    )
+    ebb = F.floor(
+        F.lit(1000000.0)
+        * (F.col("w") * F.col("nb") * (F.col("nb") - 1)).cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    ).cast("long")
+    return (
+        jc.crossJoin(nb)
+        .crossJoin(g)
+        .select(
+            "n",
+            "nb",
+            "w",
+            "jbb",
+            "jww",
+            (F.col("w") - F.col("jbb") - F.col("jww")).cast("long").alias("jbw"),
+            F.when((F.col("n") > 1) & (F.col("w") > 0), ebb).alias("ebb_e6"),
+        )
+    )
+
+
+def join_counts_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"{_sql_edges(level)}, "
+        "lab AS (SELECT c.cell, CASE WHEN g.n * c.cnt > g.sx THEN 1 ELSE 0 END "
+        "AS b FROM cells c CROSS JOIN g), "
+        "nbt AS (SELECT CAST(sum(b) AS BIGINT) AS nb FROM lab), "
+        "jc AS (SELECT CAST(count(*) AS BIGINT) AS w, "
+        "CAST(coalesce(sum(bi.b * bj.b), 0) AS BIGINT) AS jbb, "
+        "CAST(coalesce(sum((1 - bi.b) * (1 - bj.b)), 0) AS BIGINT) AS jww "
+        "FROM e JOIN lab bi ON bi.cell = e.cell "
+        "JOIN lab bj ON bj.cell = e.nbr) "
+        "SELECT g.n, nbt.nb, jc.w, jc.jbb, jc.jww, "
+        "jc.w - jc.jbb - jc.jww AS jbw, "
+        "CASE WHEN g.n > 1 AND jc.w > 0 THEN "
+        "CAST(floor(1000000.0 * CAST(jc.w * nbt.nb * (nbt.nb - 1) AS DOUBLE) "
+        "/ CAST(g.n * (g.n - 1) AS DOUBLE)) AS BIGINT) ELSE NULL END AS ebb_e6 "
+        "FROM jc CROSS JOIN nbt CROSS JOIN g"
+    )
+
+
+def idw_fill(
+    points: DataFrame,
+    level: int = 6,
+    radius: int = 2,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Inverse-distance-weighted gap fill: estimate the count surface at
+    every EMPTY cell within Chebyshev ``radius`` of at least one
+    occupied cell (the interpolation ring a raster pipeline fills before
+    rendering). Classic IDW with power 2 — ``est = Σ z_i/d_i² / Σ 1/d_i²``
+    — made cross-engine-exact by multiplying through by
+    ``L = lcm({d²})`` over the finite offset disk, so every weight
+    ``L/d²`` is an exact integer (radius 2: d² ∈ {1,2,4,5,8}, L=40,
+    weights {40,20,10,8,5}): ``num = Σ w·z`` and ``den = Σ w`` are exact
+    integer sums (order-free), and ``est_e3 = floor(1000·num/den)`` is
+    the single float division. Emits (cell, n_src, num, den, est_e3).
+
+    Scale: occupied cells × the (2r+1)²−1 literal offsets (explode),
+    one LEFT ANTI hash join against the occupied set (drop non-gaps),
+    one partial-agg groupBy on the target cell — cost rides the occupied
+    universe, never the raw points and never the full 4^level grid.
+    Same wrap/clamp neighborhood rules as every grid op here."""
+    n = 1 << level
+    assert 2 * radius + 1 <= n, "rings would wrap onto themselves"
+    import math
+
+    disk = [
+        (dx, dy, dx * dx + dy * dy)
+        for dx, dy in _offsets(level, radius)
+        if (dx, dy) != (0, 0)
+    ]
+    lcm = math.lcm(*sorted({d2 for _, _, d2 in disk}))
+    cells = occupied_cells(points, level, lat, lon)
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(lcm // d2).alias("w"),
+            )
+            for dx, dy, d2 in disk
+        ]
+    )
+    cand = (
+        cells.withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
+            ).alias("cell"),
+            (F.col("_o.w").cast("long") * F.col("cnt")).alias("_wz"),
+            F.col("_o.w").cast("long").alias("_w"),
+        )
+    )
+    gaps = cand.join(cells.select("cell"), "cell", "left_anti")
+    agg = gaps.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("_wz").cast("long").alias("num"),
+        F.sum("_w").cast("long").alias("den"),
+    )
+    est = F.floor(
+        F.lit(1000.0) * F.col("num").cast("double") / F.col("den").cast("double")
+    ).cast("long")
+    return agg.select("cell", "n_src", "num", "den", est.alias("est_e3"))
+
+
+def idw_fill_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    radius: int = 2,
+    table: str = "events",
+) -> str:
+    import math
+
+    n = 1 << level
+    disk = [
+        (dx, dy, dx * dx + dy * dy)
+        for dx, dy in _offsets(level, radius)
+        if (dx, dy) != (0, 0)
+    ]
+    lcm = math.lcm(*sorted({d2 for _, _, d2 in disk}))
+    offs = ", ".join(f"({dx}, {dy}, {lcm // d2})" for dx, dy, d2 in disk)
+    return (
+        f"WITH pts AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
+        "occ AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM pts GROUP BY 1, 2), "
+        f"offs(dx, dy, w) AS (VALUES {offs}), "
+        f"cand AS (SELECT (a.x + o.dx + {n}) % {n} AS tx, a.y + o.dy AS ty, "
+        "o.w * a.cnt AS wz, CAST(o.w AS BIGINT) AS w FROM occ a, offs o "
+        f"WHERE a.y + o.dy >= 0 AND a.y + o.dy < {n}), "
+        "gaps AS (SELECT c.tx, c.ty, c.wz, c.w FROM cand c "
+        "LEFT JOIN occ b ON b.x = c.tx AND b.y = c.ty WHERE b.x IS NULL) "
+        f"SELECT {UF.xy_cell_sql('tx', 'ty', level)} AS cell, "
+        "CAST(count(*) AS BIGINT) AS n_src, CAST(sum(wz) AS BIGINT) AS num, "
+        "CAST(sum(w) AS BIGINT) AS den, "
+        "CAST(floor(1000.0 * CAST(sum(wz) AS DOUBLE) / CAST(sum(w) AS DOUBLE)) "
+        "AS BIGINT) AS est_e3 "
+        "FROM gaps GROUP BY tx, ty"
+    )
+
+
+def std_ellipse(
+    points: DataFrame,
+    level: int = 8,
+    key: str = "event_type",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Standard deviational ellipse (Lefever 1926 directional
+    distribution) per ``key`` group over grid coordinates: the
+    eigen-decomposition of the 2×2 coordinate covariance, emitted as
+    exact-integer central moments scaled by n² — ``cxx = n·Σx² − (Σx)²``,
+    ``cyy``, ``cxy = n·Σxy − Σx·Σy`` — plus the derived semi-axes
+    ``a_e3/b_e3 = floor(1000·sqrt(λ₁₂)/n)`` (λ from the closed-form
+    trace/discriminant eigenvalues; sqrt of exact-integer-derived
+    doubles is IEEE correctly-rounded, one fixed expression per engine)
+    and the orientation ingredient ``tan2t_e6 = floor(10⁶·2cxy/(cxx−cyy))``
+    (NULL for a circular cloud). The how-elongated / which-way summary a
+    mobility pipeline computes per category.
+
+    Cross-engine: coordinates are PRE-CENTERED at each group's integer
+    (min x, min y) anchor before the moments (the :func:`rog_from_points`
+    r7 pattern); ``n·Σx² − (Σx)²`` and ``n·Σxy − Σx·Σy`` are exactly
+    translation-invariant over the integers so the unanchored oracle is
+    bit-identical — and the overflow bound moves from the global grid
+    range to the per-group spread (``n²·spread² < 2^63``). PSD of the
+    exact covariance guarantees λ₂ ≥ 0 up to the final rounding; both
+    engines evaluate the identical double expression so the guard
+    agrees. Scale: one tiny anchor groupBy broadcast back, one
+    partial-agg moments groupBy — zero full-row shuffles, nothing
+    quadratic."""
+    pts = points.select(
+        F.col(key).alias("k"),
+        UF.grid_x(lon, level).alias("x"),
+        UF.grid_y(lat, level).alias("y"),
+    )
+    anchors = pts.groupBy("k").agg(F.min("x").alias("ax"), F.min("y").alias("ay"))
+    cx = (F.col("x") - F.col("ax")).cast("long")
+    cy = (F.col("y") - F.col("ay")).cast("long")
+    m = (
+        pts.join(F.broadcast(anchors), "k")
+        .select("k", cx.alias("x"), cy.alias("y"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    cxx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("long")
+    cyy = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("long")
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    c = m.select("k", "n", cxx.alias("cxx"), cyy.alias("cyy"), cxy.alias("cxy"))
+    tr = (F.col("cxx") + F.col("cyy")).cast("double")
+    # square in DOUBLE: (cxx-cyy)^2 in BIGINT overflows past ~3e9 spread
+    # (n^2*spread^2 squared again); both engines run the identical IEEE
+    # expression so cross-engine equality is preserved.
+    dd = (F.col("cxx") - F.col("cyy")).cast("double")
+    cd = F.col("cxy").cast("double")
+    disc = F.sqrt(dd * dd + F.lit(4.0) * cd * cd)
+    lam1 = (tr + disc) / F.lit(2.0)
+    lam2 = (tr - disc) / F.lit(2.0)
+    ax_ = F.floor(F.lit(1000.0) * F.sqrt(lam1) / F.col("n").cast("double")).cast("long")
+    bx_ = F.floor(F.lit(1000.0) * F.sqrt(lam2) / F.col("n").cast("double")).cast("long")
+    t2 = F.floor(
+        F.lit(1000000.0)
+        * (F.lit(2) * F.col("cxy")).cast("double")
+        / (F.col("cxx") - F.col("cyy")).cast("double")
+    ).cast("long")
+    return c.select(
+        F.col("k").alias(key),
+        "n",
+        "cxx",
+        "cyy",
+        "cxy",
+        F.when(lam1 >= 0, ax_).alias("a_e3"),
+        F.when(lam2 >= 0, bx_).alias("b_e3"),
+        F.when(F.col("cxx") != F.col("cyy"), t2).alias("tan2t_e6"),
+    )
+
+
+def std_ellipse_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    key: str = "event_type",
+    table: str = "events",
+) -> str:
+    return (
+        f"WITH pts AS (SELECT {key} AS k, "
+        f"{UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table}), "
+        "m AS (SELECT k, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2, "
+        "CAST(sum(x * y) AS BIGINT) AS sxy FROM pts GROUP BY 1), "
+        "c AS (SELECT k, n, n * sx2 - sx * sx AS cxx, "
+        "n * sy2 - sy * sy AS cyy, n * sxy - sx * sy AS cxy FROM m), "
+        "d AS (SELECT k, n, cxx, cyy, cxy, "
+        "(CAST(cxx + cyy AS DOUBLE) + sqrt(CAST(cxx - cyy AS DOUBLE) "
+        "* CAST(cxx - cyy AS DOUBLE) + 4.0::DOUBLE * CAST(cxy AS DOUBLE) "
+        "* CAST(cxy AS DOUBLE))) / 2.0::DOUBLE AS lam1, "
+        "(CAST(cxx + cyy AS DOUBLE) - sqrt(CAST(cxx - cyy AS DOUBLE) "
+        "* CAST(cxx - cyy AS DOUBLE) + 4.0::DOUBLE * CAST(cxy AS DOUBLE) "
+        "* CAST(cxy AS DOUBLE))) / 2.0::DOUBLE AS lam2 FROM c) "
+        f"SELECT k AS {key}, n, cxx, cyy, cxy, "
+        "CASE WHEN lam1 >= 0 THEN "
+        "CAST(floor(1000.0::DOUBLE * sqrt(lam1) / CAST(n AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS a_e3, "
+        "CASE WHEN lam2 >= 0 THEN "
+        "CAST(floor(1000.0::DOUBLE * sqrt(lam2) / CAST(n AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS b_e3, "
+        "CASE WHEN cxx <> cyy THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(2 * cxy AS DOUBLE) "
+        "/ CAST(cxx - cyy AS DOUBLE)) AS BIGINT) ELSE NULL END AS tan2t_e6 "
+        "FROM d"
+    )

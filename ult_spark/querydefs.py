@@ -4499,3 +4499,64 @@ def event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).cast("long")
     return m.select("event_type", "n", "s", fano.alias("fano_e6"))
+
+
+@q("join_counts_l5", None)
+def join_counts_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary join-count statistics over the L5 occupied-cell surface
+    (r7, ops/spatialstats.py join_counts): Black = count above the
+    global mean via the exact n*cnt > sum(x) integer comparison; jbb /
+    jww / jbw directed 8-adjacent pair counts plus the e6-floored
+    randomization expectation for BB — the categorical complement of
+    Moran's I. One partial agg + the literal offset equi-join."""
+    from ult_spark.ops.spatialstats import join_counts
+
+    return join_counts(events_points(spark, sf_dir), level=5)
+
+
+@q("idw_fill_l6", None)
+def idw_fill_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gap interpolation at L6 radius 2 (r7, ops/spatialstats.py
+    idw_fill): power-2 inverse-distance estimates at empty cells within
+    Chebyshev 2 of data, made exact-integer by the lcm-of-d2 weight
+    lift (num/den BIGINT sums, one e3-floored division). Offset explode
+    + left-anti against occupied + one groupBy — occupied-universe cost,
+    never points2 and never the full grid."""
+    from ult_spark.ops.spatialstats import idw_fill
+
+    return idw_fill(events_points(spark, sf_dir), level=6, radius=2)
+
+
+@q("std_ellipse_l8", None)
+def std_ellipse_l8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse per event_type at L8 (r7,
+    ops/spatialstats.py std_ellipse): exact n2-scaled central moments
+    (per-group integer anchor pre-centering = the user_rog r7 overflow
+    fix; translation-invariant so the unanchored oracle is
+    bit-identical), closed-form eigenvalues in one shared IEEE double
+    expression, e3-floored semi-axes + e6 orientation ingredient. Two
+    tiny groupBys, broadcast anchors, nothing quadratic."""
+    from ult_spark.ops.spatialstats import std_ellipse
+
+    return std_ellipse(events_points(spark, sf_dir), level=8, key="event_type")
+
+
+def _attach_spatialstats_r7d_oracles() -> None:
+    from ult_spark.ops.spatialstats import (
+        idw_fill_sql,
+        join_counts_sql,
+        std_ellipse_sql,
+    )
+
+    ORACLES["join_counts_l5"] = join_counts_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5
+    )
+    ORACLES["idw_fill_l6"] = idw_fill_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6, radius=2
+    )
+    ORACLES["std_ellipse_l8"] = std_ellipse_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=8, key="event_type"
+    )
+
+
+_attach_spatialstats_r7d_oracles()
