@@ -204,3 +204,78 @@ def test_mirror_cap_drops_template_fps(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     got = host_mirror_pairs(planted_mirror_docs(empty), max_hosts=4).collect()
     assert got == []
+
+
+def test_bm25_planted_ranking(spark):
+    """Hand-checkable BM25: doc 1 has the query term twice in a short
+    doc, doc 2 once in a longer doc, doc 3 lacks it entirely."""
+    from ult_spark.ops.textops import bm25_topk
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat dog"),
+            (2, "cat fish fish fish fish fish"),
+            (3, "dog fish bird bird"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["cat"], topk=10).collect()
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == {1, 2}
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rk)] == [1, 2]
+    n, s, df = 3, 13, 2
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    for doc, tf, ln in ((1, 2, 3), (2, 1, 6)):
+        want = math.floor(
+            1000000.0 * idf * (22 * s * tf) / (10 * s * tf + 3 * s + 9 * ln * n)
+        )
+        assert got[doc].bm25_e6 == want and got[doc].matched == 1
+
+
+def test_zipf_slope_planted_geometric(spark):
+    """Frequencies 8,4,2,1 over ranks 1..4: exact hand-recompute of the
+    floored-ln regression."""
+    from ult_spark.ops.textops import zipf_slope
+    import math
+
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_slope(docs, topk=10).collect()[0]
+    xs = [math.floor(1e6 * math.log(r)) for r in (1, 2, 3, 4)]
+    ys = [math.floor(1e6 * math.log(f)) for f in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    assert (row.n_terms, row.sx, row.sy, row.sxy, row.sxx) == (n, sx, sy, sxy, sxx)
+    assert row.slope_e6 == math.floor(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    # log-log of a geometric profile is close to linear with slope ~ -1.5e6
+    assert -1_600_000 < row.slope_e6 < -1_400_000
+
+
+def test_ks_doclen_planted(spark):
+    from ult_spark.ops.textops import ks_doclen
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "s0"), (2, "a a", "s0"), (3, "a a a", "s0"),
+            (4, "a a a", "s1"), (5, "a a a a", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = ks_doclen(docs, a="s0", b="s1").collect()[0]
+    # ECDFs: at len 2 F_a=2/3, F_b=0 -> |cumA*nb - cumB*na| = |2*2-0| = 4
+    assert (row.na, row.nb, row.d_num) == (3, 2, 4)
+    assert row.d_e6 == (1_000_000 * 4) // 6
+
+
+def test_ks_doclen_identical_sources_zero(spark):
+    from ult_spark.ops.textops import ks_doclen
+
+    docs = spark.createDataFrame(
+        [(1, "a a", "s0"), (2, "a a", "s1"), (3, "a", "s0"), (4, "a", "s1")],
+        "doc_id long, text string, source string",
+    )
+    row = ks_doclen(docs, a="s0", b="s1").collect()[0]
+    assert row.d_num == 0 and row.d_e6 == 0

@@ -525,3 +525,54 @@ def test_std_ellipse_wide_spread_no_overflow(spark):
     assert row.cxx == 255000 ** 2 and row.cyy == 0 and row.cxy == 0
     assert row.a_e3 == 1000 * 255000 // 2000  # sqrt exact
     assert row.b_e3 == 0
+
+
+def test_cross_k_planted_pairs(spark):
+    from ult_spark.ops.spatialstats import cross_k
+
+    pts = _kpoints(spark, {
+        "A": {(5, 5): 2},
+        "B": {(5, 5): 3, (7, 5): 1},
+    })
+    rows = {r.r: r for r in cross_k(pts, LEVEL, a="A", b="B", key="k").collect()}
+    # same cell: 2*3 ordered cross pairs; distance 2: 2*1.
+    assert (rows[0].pairs_r, rows[0].pairs_cum) == (6, 6)
+    assert (rows[2].pairs_r, rows[2].pairs_cum) == (2, 8)
+    assert rows[0].na == 2 and rows[0].nb == 4
+    area = (1 << LEVEL) ** 2
+    assert rows[0].k_e6 == (1_000_000 * area * 6) // (2 * 4)
+    assert rows[2].k_e6 == (1_000_000 * area * 8) // (2 * 4)
+    assert 1 not in rows and 3 not in rows  # only observed distances emit
+
+
+def test_knox_planted_components(spark):
+    from ult_spark.ops.spatialstats import knox_spacetime
+
+    # day 0: 2 pts in (5,5) + 1 in adjacent (6,5); day 1: 1 pt in (5,5)
+    pts = _ts_points(spark, {0: {(5, 5): 2, (6, 5): 1}, 1: {(5, 5): 1}})
+    row = knox_spacetime(pts, LEVEL).collect()[0]
+    assert row.n == 4
+    # space: within (5,5) 3*2=6 + cross 3*1 both directions = 12
+    assert row.x_pairs == 12
+    # time: within day0 3*2=6 + cross 3*1 both directions = 12
+    assert row.t_pairs == 12
+    # both: within (5,5,d0) 2 + the three cross key pairs (4+4+2) = 12
+    assert row.st_pairs == 12
+    assert row.knox_e6 == (1_000_000 * 12 * 4 * 3) // (12 * 12)
+
+
+def test_knox_separated_no_interaction(spark):
+    from ult_spark.ops.spatialstats import knox_spacetime
+
+    # space-close pairs exist only on far-apart days; time-close pairs
+    # only between far-apart cells -> st_pairs counts just the
+    # within-(cell,day) pairs of the day-0 cluster.
+    pts = _ts_points(spark, {
+        0: {(5, 5): 2},          # same cell, same day
+        9: {(5, 5): 1},          # space-close to day-0, 9 days away
+        1: {(12, 12): 1},        # time-close to day-0, far in space
+    })
+    row = knox_spacetime(pts, LEVEL).collect()[0]
+    assert row.st_pairs == 2  # only the within-(5,5,day0) ordered pair
+    assert row.x_pairs == 2 + 2 * 2  # within + (5,5)x3 pts pairs across days
+    assert row.t_pairs == 2 + 2 * 2  # within day0 + day0<->day1 cross

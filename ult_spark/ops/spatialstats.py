@@ -1237,3 +1237,356 @@ def std_ellipse_sql(
         "/ CAST(cxx - cyy AS DOUBLE)) AS BIGINT) ELSE NULL END AS tan2t_e6 "
         "FROM d"
     )
+
+
+def cross_k(
+    points: DataFrame,
+    level: int = 5,
+    a: str = "click",
+    b: str = "purchase",
+    max_r: int = 3,
+    key: str = "event_type",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K: (r, pairs_r, pairs_cum, na,
+    nb, k_e6) for Chebyshev cell distances r = 0..max_r between the
+    ``a`` and ``b`` point patterns — the colocation statistic (K above
+    the independence expectation means type-b points cluster AROUND
+    type-a points at that scale, e.g. purchases around clicks).
+
+    Grid form of :func:`ripley_k` with two marked sets: pairs_r counts
+    ORDERED (i∈A, j∈B) point pairs whose cells are at Chebyshev
+    distance exactly r (r=0 is the same-cell term Σ cntA·cntB — no
+    self-pair correction, the types are disjoint);
+    ``K̂_ab(r) = A·pairs_cum/(na·nb)`` with A = 4^level cell units,
+    floored to e6. Exact integer counts; one fixed float expression.
+
+    Scale: two filtered partial aggs + the A-cells × (2·max_r+1)²
+    literal-offset equi-join against B-cells — cost rides the occupied
+    universes, never points²; same wrap/clamp rules as every grid op."""
+    n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    ca = occupied_cells(points.where(F.col(key) == a), level, lat, lon)
+    cb = occupied_cells(points.where(F.col(key) == b), level, lat, lon)
+    na = F.broadcast(ca.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("na")))
+    nb = F.broadcast(cb.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("nb")))
+    d0 = (
+        ca.join(cb.select(F.col("cell"), F.col("cnt").alias("_cj")), "cell")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("_cj")), F.lit(0))
+            .cast("long")
+            .alias("pairs")
+        )
+        .select(F.lit(0).alias("r"), "pairs")
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("d"),
+            )
+            for dx, dy in _offsets(level, max_r)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    cross = (
+        ca.withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)), F.col("_ny"), level
+            ).alias("nbr"),
+            F.col("_o.d").alias("r"),
+            F.col("cnt").alias("_ci"),
+        )
+        .join(cb.select(F.col("cell").alias("nbr"), F.col("cnt").alias("_cj")), "nbr")
+        .groupBy("r")
+        .agg(F.sum(F.col("_ci") * F.col("_cj")).cast("long").alias("pairs"))
+    )
+    per = (
+        d0.unionByName(cross)
+        .groupBy("r")
+        .agg(F.sum("pairs").cast("long").alias("pairs_r"))
+    )
+    w = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("r").cast("long").alias("r"),
+        "pairs_r",
+        F.sum("pairs_r").over(w).cast("long").alias("pairs_cum"),
+    )
+    k_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.lit(float(n * n))
+        * F.col("pairs_cum").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    ).cast("long")
+    return cum.crossJoin(na).crossJoin(nb).select(
+        "r",
+        "pairs_r",
+        "pairs_cum",
+        "na",
+        "nb",
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), k_e6).alias("k_e6"),
+    )
+
+
+def cross_k_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    a: str = "click",
+    b: str = "purchase",
+    max_r: int = 3,
+    key: str = "event_type",
+    table: str = "events",
+) -> str:
+    n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx, dy in _offsets(level, max_r)
+        if (dx, dy) != (0, 0)
+    )
+    def _cells(side: str, val: str) -> str:
+        return (
+            f"pts_{side} AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+            f"{UF.grid_y_sql(lat_sql, level)} AS y FROM {table} "
+            f"WHERE {key} = '{val}'), "
+            f"c{side} AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM pts_{side} GROUP BY 1, 2)"
+        )
+    return (
+        f"WITH {_cells('a', a)}, {_cells('b', b)}, "
+        f"offs(dx, dy, d) AS (VALUES {offs}), "
+        "d0 AS (SELECT 0 AS r, CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) "
+        "AS pairs FROM ca a JOIN cb b ON b.x = a.x AND b.y = a.y), "
+        "crs AS (SELECT o.d AS r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS pairs "
+        "FROM ca a, offs o, cb b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy "
+        "GROUP BY 1), "
+        "per AS (SELECT r, CAST(sum(pairs) AS BIGINT) AS pairs_r FROM "
+        "(SELECT * FROM d0 UNION ALL SELECT * FROM crs) GROUP BY 1), "
+        "cum AS (SELECT CAST(r AS BIGINT) AS r, pairs_r, "
+        "CAST(sum(pairs_r) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_cum FROM per), "
+        "ta AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS na FROM ca), "
+        "tb AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS nb FROM cb) "
+        "SELECT c.r, c.pairs_r, c.pairs_cum, ta.na, tb.nb, "
+        "CASE WHEN ta.na > 0 AND tb.nb > 0 THEN "
+        f"CAST(floor(1000000.0::DOUBLE * {float(n * n)}::DOUBLE "
+        "* CAST(c.pairs_cum AS DOUBLE) "
+        "/ (CAST(ta.na AS DOUBLE) * CAST(tb.nb AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS k_e6 "
+        "FROM cum c CROSS JOIN ta CROSS JOIN tb"
+    )
+
+
+def knox_spacetime(
+    points: DataFrame,
+    level: int = 6,
+    bucket_s: int = 86400,
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964): one row
+    (n, x_pairs, t_pairs, st_pairs, knox_e6) where x_pairs counts
+    ORDERED point pairs close in space (Chebyshev cell distance <= 1 at
+    ``level``), t_pairs pairs close in time (|bucket delta| <= 1 at
+    ``bucket_s``-second buckets), st_pairs pairs close in BOTH, and
+    ``knox_e6 = floor(1e6 * st * n * (n-1) / (x * t))`` - the
+    observed/expected ratio under independence of the two margins
+    (>1e6 means space-time clustering: outbreaks, coordinated bursts,
+    event storms that are local in both dimensions).
+
+    Every pair count is an exact integer over the occupied
+    (cell)/(bucket)/(cell,bucket) universes: within-key ordered pairs
+    cnt*(cnt-1) plus a literal-offset equi-join for cross-key pairs
+    (8 spatial offsets / 2 time offsets / 26 space-time offsets).
+    The one float expression multiplies exact-integer-valued doubles in
+    a fixed order - cross-engine identical. Scale: cost rides the
+    occupied universes, never points squared; same x-wrap / y-clamp
+    neighborhood rules as every grid op here."""
+    n_grid = 1 << level
+    pts = points.select(
+        UF.grid_x(lon, level).alias("x"),
+        UF.grid_y(lat, level).alias("y"),
+        F.floor(F.unix_timestamp(ts) / F.lit(bucket_s)).cast("long").alias("day"),
+    )
+    st = pts.groupBy("x", "y", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cells = st.groupBy("x", "y").agg(F.sum("cnt").cast("long").alias("cnt"))
+    days = st.groupBy("day").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    def _within(df: DataFrame) -> Column:
+        return F.coalesce(
+            F.sum(F.col("cnt") * (F.col("cnt") - F.lit(1))), F.lit(0)
+        ).cast("long")
+
+    s_offs = [(dx, dy) for dx, dy in _offsets(level, 1) if (dx, dy) != (0, 0)]
+    x_cross = (
+        cells.withColumn(
+            "_o", F.explode(F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in s_offs
+            ]))
+        )
+        .withColumn("_ny", F.col("y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n_grid))
+        .select(
+            F.pmod(F.col("x") + F.col("_o.dx"), F.lit(n_grid)).alias("_nx"),
+            F.col("_ny"),
+            F.col("cnt").alias("_ci"),
+        )
+        .join(
+            cells.select(
+                F.col("x").alias("_nx"), F.col("y").alias("_ny"),
+                F.col("cnt").alias("_cj"),
+            ),
+            ["_nx", "_ny"],
+        )
+        .agg(F.coalesce(F.sum(F.col("_ci") * F.col("_cj")), F.lit(0))
+             .cast("long").alias("c"))
+    )
+    t_cross = (
+        days.select((F.col("day") + F.lit(1)).alias("_nd"),
+                    F.col("cnt").alias("_ci"))
+        .join(days.select(F.col("day").alias("_nd"),
+                          F.col("cnt").alias("_cj")), "_nd")
+        .agg(F.coalesce(F.sum(F.col("_ci") * F.col("_cj")), F.lit(0))
+             .cast("long").alias("c"))
+    )
+    st_offs = [
+        (dx, dy, dt)
+        for dx, dy in _offsets(level, 1)
+        for dt in (-1, 0, 1)
+        if (dx, dy, dt) != (0, 0, 0)
+    ]
+    st_cross = (
+        st.withColumn(
+            "_o", F.explode(F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                         F.lit(dt).alias("dt"))
+                for dx, dy, dt in st_offs
+            ]))
+        )
+        .withColumn("_ny", F.col("y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n_grid))
+        .select(
+            F.pmod(F.col("x") + F.col("_o.dx"), F.lit(n_grid)).alias("_nx"),
+            F.col("_ny"),
+            (F.col("day") + F.col("_o.dt")).alias("_nd"),
+            F.col("cnt").alias("_ci"),
+        )
+        .join(
+            st.select(
+                F.col("x").alias("_nx"), F.col("y").alias("_ny"),
+                F.col("day").alias("_nd"), F.col("cnt").alias("_cj"),
+            ),
+            ["_nx", "_ny", "_nd"],
+        )
+        .agg(F.coalesce(F.sum(F.col("_ci") * F.col("_cj")), F.lit(0))
+             .cast("long").alias("c"))
+    )
+    tot = F.broadcast(
+        cells.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"))
+    )
+    xw = F.broadcast(cells.agg(_within(cells).alias("w")))
+    tw = F.broadcast(days.agg(_within(days).alias("w")))
+    stw = F.broadcast(st.agg(_within(st).alias("w")))
+    # t_cross counts each unordered (+1) adjacency once per direction via
+    # the day+1 self-join ONLY in the +1 direction; double it for ordered.
+    out = (
+        tot.crossJoin(F.broadcast(x_cross.select(F.col("c").alias("xc"))))
+        .crossJoin(F.broadcast(t_cross.select(F.col("c").alias("tc"))))
+        .crossJoin(F.broadcast(st_cross.select(F.col("c").alias("stc"))))
+        .crossJoin(xw.select(F.col("w").alias("xw")))
+        .crossJoin(tw.select(F.col("w").alias("tw")))
+        .crossJoin(stw.select(F.col("w").alias("stw")))
+        .select(
+            "n",
+            (F.col("xw") + F.col("xc")).cast("long").alias("x_pairs"),
+            (F.col("tw") + F.lit(2) * F.col("tc")).cast("long").alias("t_pairs"),
+            (F.col("stw") + F.col("stc")).cast("long").alias("st_pairs"),
+        )
+    )
+    knox = F.floor(
+        F.lit(1000000.0)
+        * F.col("st_pairs").cast("double")
+        * F.col("n").cast("double")
+        * (F.col("n") - F.lit(1)).cast("double")
+        / (F.col("x_pairs").cast("double") * F.col("t_pairs").cast("double"))
+    ).cast("long")
+    return out.select(
+        "n", "x_pairs", "t_pairs", "st_pairs",
+        F.when((F.col("x_pairs") > 0) & (F.col("t_pairs") > 0), knox)
+        .alias("knox_e6"),
+    )
+
+
+def knox_spacetime_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    bucket_s: int = 86400,
+    table: str = "events",
+) -> str:
+    n = 1 << level
+    s_offs = ", ".join(
+        f"({dx}, {dy})" for dx, dy in _offsets(level, 1) if (dx, dy) != (0, 0)
+    )
+    st_offs = ", ".join(
+        f"({dx}, {dy}, {dt})"
+        for dx, dy in _offsets(level, 1)
+        for dt in (-1, 0, 1)
+        if (dx, dy, dt) != (0, 0, 0)
+    )
+    return (
+        f"WITH pts AS (SELECT {UF.grid_x_sql(lon_sql, level)} AS x, "
+        f"{UF.grid_y_sql(lat_sql, level)} AS y, "
+        f"CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / {bucket_s}) AS BIGINT) "
+        f"AS day FROM {table}), "
+        "st AS (SELECT x, y, day, CAST(count(*) AS BIGINT) AS cnt "
+        "FROM pts GROUP BY 1, 2, 3), "
+        "cells AS (SELECT x, y, CAST(sum(cnt) AS BIGINT) AS cnt "
+        "FROM st GROUP BY 1, 2), "
+        "days AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS cnt "
+        "FROM st GROUP BY 1), "
+        f"soffs(dx, dy) AS (VALUES {s_offs}), "
+        f"stoffs(dx, dy, dt) AS (VALUES {st_offs}), "
+        "xc AS (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS c "
+        "FROM cells a, soffs o, cells b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy "
+        f"AND a.y + o.dy >= 0 AND a.y + o.dy < {n}), "
+        "tc AS (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS c "
+        "FROM days a JOIN days b ON b.day = a.day + 1), "
+        "stc AS (SELECT CAST(coalesce(sum(a.cnt * b.cnt), 0) AS BIGINT) AS c "
+        "FROM st a, stoffs o, st b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy "
+        f"AND a.y + o.dy >= 0 AND a.y + o.dy < {n} "
+        "AND b.day = a.day + o.dt), "
+        "xw AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS w "
+        "FROM cells), "
+        "tw AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS w "
+        "FROM days), "
+        "stw AS (SELECT CAST(coalesce(sum(cnt * (cnt - 1)), 0) AS BIGINT) AS w "
+        "FROM st), "
+        "tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n FROM cells), "
+        "o AS (SELECT tot.n, xw.w + xc.c AS x_pairs, "
+        "tw.w + 2 * tc.c AS t_pairs, stw.w + stc.c AS st_pairs "
+        "FROM tot CROSS JOIN xw CROSS JOIN xc CROSS JOIN tw CROSS JOIN tc "
+        "CROSS JOIN stw CROSS JOIN stc) "
+        "SELECT n, x_pairs, t_pairs, st_pairs, "
+        "CASE WHEN x_pairs > 0 AND t_pairs > 0 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(st_pairs AS DOUBLE) "
+        "* CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) "
+        "/ (CAST(x_pairs AS DOUBLE) * CAST(t_pairs AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS knox_e6 "
+        "FROM o"
+    )

@@ -1554,3 +1554,269 @@ def host_mirror_pairs_sql(
         "FROM pr p JOIN sz za ON za.host = p.host_a "
         "JOIN sz zb ON zb.host = p.host_b"
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """BM25 document ranking for a bag of query ``terms`` (Robertson &
+    Walker; the Lucene non-negative idf variant): per doc
+    ``Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))`` with the
+    standard k1=1.2, b=0.75 — emitted as (doc_id, matched, bm25_e6, rk)
+    for the top-``topk`` docs (total order: score DESC, doc_id ASC).
+
+    Pinned cross-engine math: with avglen = S/N (S = Σ doc lengths,
+    N = docs with ≥1 token) the k1/b constants clear to the EXACT
+    integer ratio ``22·S·tf / (10·S·tf + 3·S + 9·len·N)`` — numerator
+    and denominator are exact BIGINTs (bound ~22·S·tf, fine past 1e13
+    total tokens), idf = ln(1 + (N−df+0.5)/(df+0.5)) is one shared
+    double expression over exact integers (the tfidf_top_terms ln-parity
+    precedent), and each per-(doc,term) contribution is e6-floored
+    BEFORE the order-free integer sum per doc.
+
+    Shuffle budget: one explode+groupBy for (doc, term) tf restricted to
+    the query terms (the explode filters BEFORE the shuffle — candidate
+    volume is docs containing a query term, not the corpus token count),
+    one groupBy for doc lengths, a broadcast term→df join, one top-k
+    window. Nothing quadratic; the term list is a literal."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok")
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    tot = F.broadcast(
+        doclen.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("len").cast("long").alias("s"),
+        )
+    )
+    qtf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = F.broadcast(
+        qtf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    num = (F.lit(22) * F.col("s") * F.col("tf")).cast("double")
+    den = (
+        F.lit(10) * F.col("s") * F.col("tf")
+        + F.lit(3) * F.col("s")
+        + F.lit(9) * F.col("len") * F.col("n")
+    ).cast("double")
+    contrib = F.floor(F.lit(1000000.0) * idf * num / den).cast("long")
+    scored = (
+        qtf.join(dfreq, "tok")
+        .join(doclen, "doc_id")
+        .crossJoin(tot)
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("matched"),
+            F.sum("c").cast("long").alias("bm25_e6"),
+        )
+    )
+    w = Window.orderBy(F.desc("bm25_e6"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= topk)
+        .select("doc_id", "matched", "bm25_e6", "rk")
+    )
+
+
+def bm25_topk_sql(terms: list[str], topk: int = 20, table: str = "documents") -> str:
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (
+        f"WITH toks AS (SELECT doc_id, unnest(list_filter("
+        f"string_split(text, ' '), x -> x != '')) AS tok FROM {table}), "
+        "doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len "
+        "FROM toks GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(len) AS BIGINT) AS s FROM doclen), "
+        f"qtf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+        f"FROM toks WHERE tok IN ({tlist}) GROUP BY 1, 2), "
+        "dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df "
+        "FROM qtf GROUP BY 1), "
+        "scored AS (SELECT q.doc_id, CAST(count(*) AS BIGINT) AS matched, "
+        "CAST(sum(CAST(floor(1000000.0::DOUBLE * "
+        "ln(1.0::DOUBLE + (CAST(t.n - d.df AS DOUBLE) + 0.5::DOUBLE) "
+        "/ (CAST(d.df AS DOUBLE) + 0.5::DOUBLE)) "
+        "* CAST(22 * t.s * q.tf AS DOUBLE) "
+        "/ CAST(10 * t.s * q.tf + 3 * t.s + 9 * l.len * t.n AS DOUBLE)) "
+        "AS BIGINT)) AS BIGINT) AS bm25_e6 "
+        "FROM qtf q JOIN dfreq d ON d.tok = q.tok "
+        "JOIN doclen l ON l.doc_id = q.doc_id CROSS JOIN tot t "
+        "GROUP BY 1) "
+        "SELECT doc_id, matched, bm25_e6, "
+        "CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id ASC) AS BIGINT) "
+        "AS rk FROM scored "
+        f"QUALIFY rk <= {topk}"
+    )
+
+
+def zipf_slope(
+    df: DataFrame, topk: int = 100, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: regress
+    floor(1e6·ln freq) on floor(1e6·ln rank) over the top-``topk`` terms
+    (rank by freq DESC, term ASC — total order) and emit one row
+    (n_terms, sx, sy, sxy, sxx, slope_e6). A healthy natural-language
+    corpus reads slope ≈ −1e6 (Zipf's law); template/spam floods bend it
+    — the corpus-health gauge next to token_entropy / source JS.
+
+    Cross-engine: the ln values are e6-floored per term BEFORE the
+    moment sums (the host_lang_divergence discipline), so sx/sy/sxy/sxx
+    are exact BIGINTs (x ≤ 1e6·ln(topk) ≈ 4.6e6, y ≤ 1e6·ln(Σtokens);
+    n·Σxy stays under 2^63 through ~1e15 total tokens at topk=100);
+    slope_e6 = floor(1e6·(n·sxy − sx·sy)/(n·sxx − sx·sx)) is the single
+    float division. Scale: one explode+groupBy (partial aggs absorb the
+    hot-token skew) + TakeOrderedAndProject for the top-k + one tiny
+    agg — never a global sort of the vocabulary."""
+    freq = (
+        df.select(F.explode(tokens_col(text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(topk)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    xy = freq.select(
+        F.floor(F.lit(1000000.0) * F.log(F.row_number().over(w).cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.lit(1000000.0) * F.log(F.col("cnt").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double")
+    ).cast("long")
+    return m.select(
+        "n_terms", "sx", "sy", "sxy", "sxx",
+        F.when(den != 0, slope).alias("slope_e6"),
+    )
+
+
+def zipf_slope_sql(topk: int = 100, table: str = "documents") -> str:
+    return (
+        f"WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), "
+        f"x -> x != '')) AS tok FROM {table}), "
+        "freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+        f"GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT {topk}), "
+        "xy AS (SELECT CAST(floor(1000000.0::DOUBLE * ln(CAST(row_number() "
+        "OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE))) AS BIGINT) AS x, "
+        "CAST(floor(1000000.0::DOUBLE * ln(CAST(cnt AS DOUBLE))) AS BIGINT) "
+        "AS y FROM freq), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+        "CAST(sum(x * y) AS BIGINT) AS sxy, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM xy) "
+        "SELECT n_terms, sx, sy, sxy, sxx, "
+        "CASE WHEN n_terms * sxx - sx * sx <> 0 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(n_terms * sxy - sx * sy AS DOUBLE) "
+        "/ CAST(n_terms * sxx - sx * sx AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS slope_e6 FROM m"
+    )
+
+
+def ks_doclen(
+    df: DataFrame,
+    a: str = "src0",
+    b: str = "src1",
+    source: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the doc-length
+    (token-count) distributions of sources ``a`` and ``b`` — the
+    distribution-drift test next to :func:`source_token_js` (JS sees
+    vocabulary shift; KS sees length/structure shift, e.g. a source
+    that started truncating). One row (na, nb, d_num, d_e6) where
+    ``D = max_v |F_a(v) − F_b(v)| = d_num/(na·nb)`` — d_num =
+    max |cumA·nb − cumB·na| over the merged value grid is an EXACT
+    integer (no float ever enters the max), and d_e6 floors the one
+    final division.
+
+    Scale: two filtered length groupBys over the (tiny) distinct-length
+    grid, one window cumsum ordered by length, one max agg — cost rides
+    distinct lengths, never rows; ``na·nb ≤ 2^63`` through ~3e9 docs
+    per side."""
+    lens = df.where(F.col(source).isin([a, b])).select(
+        F.col(source).alias("src"),
+        F.size(tokens_col(text)).cast("long").alias("len"),
+    )
+    per = lens.groupBy("len").agg(
+        F.sum(F.when(F.col("src") == a, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("src") == b, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        F.sum("cb").over(w).cast("long").alias("cumb"),
+    )
+    tot = F.broadcast(
+        lens.agg(
+            F.sum(F.when(F.col("src") == a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("src") == b, 1).otherwise(0)).cast("long").alias("nb"),
+        )
+    )
+    d = cum.crossJoin(tot).agg(
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        ).cast("long").alias("d_num"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    d_e6 = F.floor(
+        F.lit(1000000.0) * F.col("d_num").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    ).cast("long")
+    return d.select(
+        "na", "nb", "d_num",
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), d_e6).alias("d_e6"),
+    )
+
+
+def ks_doclen_sql(a: str = "src0", b: str = "src1", table: str = "documents") -> str:
+    return (
+        f"WITH lens AS (SELECT source AS src, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) "
+        f"AS len FROM {table} WHERE source IN ('{a}', '{b}')), "
+        "per AS (SELECT len, "
+        f"CAST(sum(CASE WHEN src = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+        f"CAST(sum(CASE WHEN src = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+        "FROM lens GROUP BY 1), "
+        "cum AS (SELECT CAST(sum(ca) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma, "
+        "CAST(sum(cb) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb FROM per), "
+        "tot AS (SELECT "
+        f"CAST(sum(CASE WHEN src = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS na, "
+        f"CAST(sum(CASE WHEN src = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS nb "
+        "FROM lens), "
+        "d AS (SELECT CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) "
+        "AS d_num, CAST(max(t.na) AS BIGINT) AS na, "
+        "CAST(max(t.nb) AS BIGINT) AS nb FROM cum c CROSS JOIN tot t) "
+        "SELECT na, nb, d_num, "
+        "CASE WHEN na > 0 AND nb > 0 THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(d_num AS DOUBLE) "
+        "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS d_e6 FROM d"
+    )

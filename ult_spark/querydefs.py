@@ -4560,3 +4560,108 @@ def _attach_spatialstats_r7d_oracles() -> None:
 
 
 _attach_spatialstats_r7d_oracles()
+
+
+@q("cross_k_l5", None)
+def cross_k_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate cross-type Ripley's K at L5 between click and purchase
+    events (r7, ops/spatialstats.py cross_k): ordered A-B pair counts
+    by Chebyshev cell distance 0..3, cumulative, normalized by
+    A*na*nb and e6-floored - the colocation statistic. A-cells x 48
+    literal offsets equi-joined against B-cells; occupied-universe
+    cost, never points2."""
+    from ult_spark.ops.spatialstats import cross_k
+
+    return cross_k(events_points(spark, sf_dir), level=5)
+
+
+def _attach_cross_k_oracle() -> None:
+    from ult_spark.ops.spatialstats import cross_k_sql
+
+    ORACLES["cross_k_l5"] = cross_k_sql(UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5)
+
+
+_attach_cross_k_oracle()
+
+
+@q("knox_spacetime_l6", None)
+def knox_spacetime_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction test at L6 / daily buckets (r7,
+    ops/spatialstats.py knox_spacetime): ordered pair counts close in
+    space (Chebyshev <= 1 cell), in time (adjacent day bucket), and in
+    both, plus the e6-floored observed/expected ratio - the coordinated
+    event-storm detector. Exact integers over the occupied
+    cell/bucket/cell-bucket universes with literal-offset equi-joins;
+    never points squared."""
+    from ult_spark.ops.spatialstats import knox_spacetime
+
+    return knox_spacetime(events_points(spark, sf_dir), level=6)
+
+
+def _attach_knox_oracle() -> None:
+    from ult_spark.ops.spatialstats import knox_spacetime_sql
+
+    ORACLES["knox_spacetime_l6"] = knox_spacetime_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6
+    )
+
+
+_attach_knox_oracle()
+
+
+@q("bm25_topk_docs", None)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the query {spark, window, hash} (r7,
+    ops/textops.py bm25_topk): Lucene-idf BM25 with k1=1.2 b=0.75
+    cleared to the exact integer ratio 22*S*tf/(10*S*tf+3*S+9*len*N);
+    per-(doc,term) e6 floors before the order-free per-doc sum; total
+    (score DESC, doc_id) order before the LIMIT. One filtered
+    explode-groupBy + broadcast df join + top-k window."""
+    from ult_spark.ops.textops import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), ["spark", "window", "hash"], topk=20
+    )
+
+
+def _attach_bm25_oracle() -> None:
+    from ult_spark.ops.textops import bm25_topk_sql
+
+    ORACLES["bm25_topk_docs"] = bm25_topk_sql(["spark", "window", "hash"], topk=20)
+
+
+_attach_bm25_oracle()
+
+
+@q("zipf_slope_docs", None)
+def zipf_slope_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope over the top-100 corpus terms (r7,
+    ops/textops.py zipf_slope): e6-floored ln(rank)/ln(freq) pairs feed
+    exact integer regression moments, one floored slope division -
+    the corpus-health gauge (natural text reads ~ -1e6). One
+    explode-groupBy + TakeOrdered top-k + one tiny agg."""
+    from ult_spark.ops.textops import zipf_slope
+
+    return zipf_slope(load(spark, sf_dir, "documents"), topk=100)
+
+
+@q("ks_doclen_sources", None)
+def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between src0 and src1 doc-length
+    distributions (r7, ops/textops.py ks_doclen): d_num =
+    max|cumA*nb - cumB*na| over the merged length grid is an exact
+    integer, one final e6-floored division - the length-drift twin of
+    source_js_divergence. Cost rides distinct lengths, never rows."""
+    from ult_spark.ops.textops import ks_doclen
+
+    return ks_doclen(load(spark, sf_dir, "documents"), a="src0", b="src1")
+
+
+def _attach_corpus_stats_oracles() -> None:
+    from ult_spark.ops.textops import ks_doclen_sql, zipf_slope_sql
+
+    ORACLES["zipf_slope_docs"] = zipf_slope_sql(topk=100)
+    ORACLES["ks_doclen_sources"] = ks_doclen_sql(a="src0", b="src1")
+
+
+_attach_corpus_stats_oracles()
