@@ -48,7 +48,7 @@ _PRIORITY = [
     "event_burstiness", "edge_triangle_support", "personalized_pagerank_hosts",
     "connected_components_hosts", "join_counts_l5", "idw_fill_l6",
     "std_ellipse_l8", "cross_k_l5", "knox_spacetime_l6", "bm25_topk_docs",
-    "zipf_slope_docs", "ks_doclen_sources",
+    "zipf_slope_docs", "ks_doclen_sources", "spatial_theil_l6",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window

@@ -576,3 +576,23 @@ def test_knox_separated_no_interaction(spark):
     assert row.st_pairs == 2  # only the within-(5,5,day0) ordered pair
     assert row.x_pairs == 2 + 2 * 2  # within + (5,5)x3 pts pairs across days
     assert row.t_pairs == 2 + 2 * 2  # within day0 + day0<->day1 cross
+
+
+def test_spatial_theil_single_cell_and_uniform(spark):
+    from ult_spark.ops.spatialstats import spatial_theil
+    import math
+
+    m = (1 << LEVEL) ** 2
+    one = spatial_theil(_points(spark, {(3, 3): 5}), LEVEL).collect()[0]
+    z = math.floor(1e6 * math.log(m * 5 / 5) * 5.0)
+    assert (one.n_cells, one.n_events, one.m_universe) == (1, 5, m)
+    assert one.theil_e6 == math.floor(z / 5.0)  # ~= 1e6*ln(M)
+    assert abs(one.theil_e6 - 1_000_000 * math.log(m)) < 2
+
+    four = spatial_theil(
+        _points(spark, {(1, 1): 2, (5, 5): 2, (9, 9): 2, (13, 13): 2}), LEVEL
+    ).collect()[0]
+    zc = math.floor(1e6 * math.log(m * 2 / 8) * 2.0)
+    assert four.theil_e6 == math.floor(4 * zc / 8.0)
+    # concentration strictly below the single-cell extreme
+    assert 0 < four.theil_e6 < one.theil_e6

@@ -1590,3 +1590,73 @@ def knox_spacetime_sql(
         "ELSE NULL END AS knox_e6 "
         "FROM o"
     )
+
+
+def spatial_theil(
+    points: DataFrame, level: int = 6, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Theil concentration index of the event count surface over the
+    FULL 4^level cell universe: T = Σ_i (c_i/N)·ln(M·c_i/N) with M the
+    universe size — 0 for a perfectly uniform spread, ln(M) for a single
+    occupied cell; the regional-inequality gauge next to
+    quadrat_chi2 (chi² asks "is it CSR?", Theil says HOW concentrated).
+    Empty cells contribute exactly 0 (p·ln(Mp) → 0), so the sum runs
+    over occupied cells only — the same closed-form-for-empties trick as
+    quadrat_chi2.
+
+    Cross-engine pinned form: per-cell z_i = floor(1e6·ln(M·c_i/N)·c_i)
+    — the ln argument CAST(M·c_i AS DOUBLE)/CAST(N AS DOUBLE) is a ratio
+    of exact integers, each term is floored BEFORE the order-free BIGINT
+    sum, and theil_e6 = floor(Σz/N) is the single final division.
+    Emits (n_cells, n_events, m_universe, theil_e6). Scale: one
+    points→cells partial agg + one broadcast one-row total — cost rides
+    the occupied universe."""
+    m = 1 << (2 * level)
+    cells = occupied_cells(points, level, lat, lon)
+    tot = F.broadcast(
+        cells.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    z = F.floor(
+        F.lit(1000000.0)
+        * F.log(
+            (F.lit(m) * F.col("cnt")).cast("double")
+            / F.col("n_events").cast("double")
+        )
+        * F.col("cnt").cast("double")
+    ).cast("long")
+    zs = (
+        cells.crossJoin(tot)
+        .agg(F.coalesce(F.sum(z), F.lit(0)).cast("long").alias("zsum"))
+    )
+    theil = F.floor(
+        F.col("zsum").cast("double") / F.col("n_events").cast("double")
+    ).cast("long")
+    return zs.crossJoin(tot).select(
+        "n_cells",
+        "n_events",
+        F.lit(m).cast("long").alias("m_universe"),
+        F.when(F.col("n_events") > 0, theil).alias("theil_e6"),
+    )
+
+
+def spatial_theil_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    m = 1 << (2 * level)
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_events FROM cells), "
+        "zs AS (SELECT CAST(coalesce(sum(CAST(floor(1000000.0::DOUBLE "
+        f"* ln(CAST({m} * c.cnt AS DOUBLE) / CAST(t.n_events AS DOUBLE)) "
+        "* CAST(c.cnt AS DOUBLE)) AS BIGINT)), 0) AS BIGINT) AS zsum "
+        "FROM cells c CROSS JOIN tot t) "
+        f"SELECT t.n_cells, t.n_events, CAST({m} AS BIGINT) AS m_universe, "
+        "CASE WHEN t.n_events > 0 THEN "
+        "CAST(floor(CAST(z.zsum AS DOUBLE) / CAST(t.n_events AS DOUBLE)) "
+        "AS BIGINT) ELSE NULL END AS theil_e6 "
+        "FROM zs z CROSS JOIN tot t"
+    )

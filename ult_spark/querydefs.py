@@ -4665,3 +4665,27 @@ def _attach_corpus_stats_oracles() -> None:
 
 
 _attach_corpus_stats_oracles()
+
+
+@q("spatial_theil_l6", None)
+def spatial_theil_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil concentration index of the L6 event count surface over the
+    full 4^6 cell universe (r7, ops/spatialstats.py spatial_theil):
+    0 = uniform, ln(M) = single cell; per-cell e6 floors before the
+    order-free BIGINT sum, one final floored division. Empty cells
+    contribute exactly 0 (closed form), so one occupied-universe
+    partial agg computes it."""
+    from ult_spark.ops.spatialstats import spatial_theil
+
+    return spatial_theil(events_points(spark, sf_dir), level=6)
+
+
+def _attach_theil_oracle() -> None:
+    from ult_spark.ops.spatialstats import spatial_theil_sql
+
+    ORACLES["spatial_theil_l6"] = spatial_theil_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6
+    )
+
+
+_attach_theil_oracle()
