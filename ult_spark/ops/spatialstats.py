@@ -1660,3 +1660,282 @@ def spatial_theil_sql(
         "AS BIGINT) ELSE NULL END AS theil_e6 "
         "FROM zs z CROSS JOIN tot t"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: Moran correlogram, global General G, spatial Gini
+
+
+def moran_correlogram(
+    points: DataFrame,
+    level: int = 5,
+    max_r: int = 3,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Moran's I correlogram: the global Moran statistic recomputed per
+    Chebyshev ring distance r = 1..max_r over the occupied-cell
+    universe — the classic distance-decay profile of spatial
+    autocorrelation (I falls toward 0 as r grows on a clustered field;
+    stays flat on a trend surface). Same integer u_i = n·x_i − Σx
+    ingredients as :func:`morans_i`; pairs carry their ring label
+    r = max(|dx|,|dy|) so ONE literal-offset explode + equi-join and
+    ONE groupBy(r) produce every lag at once — cost is occupied-cells ×
+    (2·max_r+1)², never points², and rings beyond the data simply
+    emit no row (both engines). Emits (r, w, num, i_e6) per ring.
+    """
+    n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    cells = occupied_cells(points, level, lat, lon)
+    g = _globals(cells)
+    u = cells.crossJoin(g).select(
+        "cell",
+        (F.col("n") * F.col("cnt") - F.col("sx")).cast("long").alias("u"),
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(max(abs(dx), abs(dy))).alias("r"),
+            )
+            for dx, dy in _offsets(level, max_r)
+            if (dx, dy) != (0, 0)
+        ]
+    )
+    pairs = (
+        cells.select("cell")
+        .withColumn("_x", UF.cell_x("cell", level))
+        .withColumn("_y", UF.cell_y("cell", level))
+        .withColumn("_o", F.explode(offs))
+        .withColumn("_ny", F.col("_y") + F.col("_o.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .select(
+            "cell",
+            F.col("_o.r").cast("long").alias("r"),
+            UF.xy_to_cell(
+                F.pmod(F.col("_x") + F.col("_o.dx"), F.lit(n)),
+                F.col("_ny"),
+                level,
+            ).alias("nbr"),
+        )
+        .join(cells.select(F.col("cell").alias("nbr")), "nbr")
+    )
+    prod = (
+        pairs.join(
+            u.select(F.col("cell"), F.col("u").alias("_ui")), "cell"
+        )
+        .join(
+            u.select(F.col("cell").alias("nbr"), F.col("u").alias("_uj")),
+            "nbr",
+        )
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum(F.col("_ui") * F.col("_uj")).cast("long").alias("num"),
+        )
+    )
+    su2 = F.broadcast(
+        u.agg(F.sum(F.col("u") * F.col("u")).cast("long").alias("sum_u2"))
+    )
+    i_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.col("n").cast("double")
+        * F.col("num").cast("double")
+        / (F.col("w").cast("double") * F.col("sum_u2").cast("double"))
+    ).cast("long")
+    return (
+        prod.crossJoin(su2)
+        .crossJoin(g)
+        .select(
+            "r",
+            "w",
+            "num",
+            F.when((F.col("w") > 0) & (F.col("sum_u2") > 0), i_e6).alias("i_e6"),
+        )
+        .orderBy("r")
+    )
+
+
+def moran_correlogram_sql(
+    lat_sql: str,
+    lon_sql: str,
+    level: int,
+    max_r: int = 3,
+    table: str = "events",
+) -> str:
+    n = 1 << level
+    assert 2 * max_r + 1 <= n, "rings would wrap onto themselves"
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx, dy in _offsets(level, max_r)
+        if (dx, dy) != (0, 0)
+    )
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"offs(dx, dy, r) AS (VALUES {offs}), "
+        "e AS (SELECT a.cell AS cell, b.cell AS nbr, CAST(o.r AS BIGINT) AS r "
+        "FROM cells a, offs o, cells b "
+        f"WHERE b.x = (a.x + o.dx + {n}) % {n} AND b.y = a.y + o.dy), "
+        "u AS (SELECT c.cell, CAST(g.n * c.cnt - g.sx AS BIGINT) AS u "
+        "FROM cells c CROSS JOIN g), "
+        "prod AS (SELECT e.r, CAST(count(*) AS BIGINT) AS w, "
+        "CAST(sum(ui.u * uj.u) AS BIGINT) AS num "
+        "FROM e JOIN u ui ON ui.cell = e.cell JOIN u uj ON uj.cell = e.nbr "
+        "GROUP BY 1), "
+        "su AS (SELECT CAST(sum(u * u) AS BIGINT) AS sum_u2 FROM u) "
+        "SELECT p.r, p.w, p.num, "
+        "CASE WHEN p.w > 0 AND su.sum_u2 > 0 THEN "
+        "CAST(floor(1000000.0 * CAST(g.n AS DOUBLE) * CAST(p.num AS DOUBLE) "
+        "/ (CAST(p.w AS DOUBLE) * CAST(su.sum_u2 AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS i_e6 "
+        "FROM prod p CROSS JOIN su CROSS JOIN g ORDER BY p.r"
+    )
+
+
+def general_g(
+    points: DataFrame, level: int = 6, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Getis-Ord General G — the GLOBAL high/low clustering statistic
+    (the cnt·cnt companion to :func:`getis_ord_gi`'s per-cell z): with
+    binary 8-neighborhood weights over the occupied-cell universe,
+    ``G = Σ_{ij adj} x_i·x_j / Σ_{i≠j} x_i·x_j``. Numerator rides the
+    same DIRECTED adjacent pairs as :func:`morans_i`; the denominator
+    is the closed form ``(Σx)² − Σx²`` (every ordered pair i≠j) — both
+    exact BIGINTs from one partial-agg groupBy + one 8-offset
+    equi-join, ONE final floored float division (e9; G is a small
+    positive fraction ≈ W/(n(n−1)) under CSR). Emits one row
+    (n, w, num, den, g_e9); NULL when the universe has < 2 cells.
+    Integer range: num ≤ W·max_cnt², den < (Σx)² — same coarse-level
+    guidance as the Moran bound at extreme scale."""
+    cells = occupied_cells(points, level, lat, lon)
+    g = _globals(cells)
+    pairs = directed_neighbors(cells, level)
+    cv = cells.select("cell", "cnt")
+    prod = (
+        pairs.join(
+            cv.select(F.col("cell"), F.col("cnt").alias("_ci")), "cell"
+        )
+        .join(
+            cv.select(F.col("cell").alias("nbr"), F.col("cnt").alias("_cj")),
+            "nbr",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum(F.col("_ci") * F.col("_cj")).cast("long").alias("num"),
+        )
+    )
+    den = (F.col("sx") * F.col("sx") - F.col("sx2")).cast("long")
+    g_e9 = F.floor(
+        F.lit(1000000000.0)
+        * F.col("num").cast("double")
+        / F.col("den").cast("double")
+    ).cast("long")
+    return (
+        prod.crossJoin(g)
+        .withColumn("den", den)
+        .select(
+            "n",
+            "w",
+            "num",
+            "den",
+            F.when(F.col("den") > 0, g_e9).alias("g_e9"),
+        )
+    )
+
+
+def general_g_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        f"{_sql_edges(level)}, "
+        "prod AS (SELECT CAST(count(*) AS BIGINT) AS w, "
+        "CAST(sum(ci.cnt * e.ncnt) AS BIGINT) AS num "
+        "FROM e JOIN cells ci ON ci.cell = e.cell) "
+        "SELECT g.n, p.w, p.num, "
+        "CAST(g.sx * g.sx - g.sx2 AS BIGINT) AS den, "
+        "CASE WHEN g.sx * g.sx - g.sx2 > 0 THEN "
+        "CAST(floor(1000000000.0 * CAST(p.num AS DOUBLE) "
+        "/ CAST(g.sx * g.sx - g.sx2 AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS g_e9 "
+        "FROM prod p CROSS JOIN g"
+    )
+
+
+def spatial_gini(
+    points: DataFrame, level: int = 6, lat: str = "lat", lon: str = "lon"
+) -> DataFrame:
+    """Gini coefficient of the event-count surface over the FULL
+    4^level cell universe — the rank-based concentration gauge beside
+    :func:`spatial_theil` (Theil is log-based and top-sensitive, Gini
+    is rank-based and middle-sensitive; production corpus-geography
+    dashboards report both). With cells sorted ascending by count,
+    ``G = (2·Σ rank_i·x_i − (M+1)·Σx) / (M·Σx)``; the M − n_occ empty
+    cells hold ranks 1..M−n_occ and contribute 0, so occupied cell k
+    (rank r_k among occupied, ascending) has universe rank
+    M − n_occ + r_k — the sum is EXACT integers end to end and
+    tie-order-independent (tied counts occupy consecutive ranks whose
+    total is fixed), ONE final floored e6 division. The ranking window
+    is a global sort of the OCCUPIED universe (≤ 4^level rows,
+    data-size-independent — the stl_decompose_hourly justification).
+    Emits (n_cells, n_events, m_universe, gini_e6). Integer bound:
+    2·Σ rank·x ≤ 2·M·Σx must fit BIGINT — M·Σx < 2⁶² holds through
+    level 6 (M=4096) at 10¹⁵ events."""
+    m = 1 << (2 * level)
+    cells = occupied_cells(points, level, lat, lon)
+    tot = F.broadcast(
+        cells.agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.orderBy(F.col("cnt").asc(), F.col("cell").asc())
+    ranked = cells.withColumn("_r", F.row_number().over(w).cast("long"))
+    s = ranked.crossJoin(tot).agg(
+        F.coalesce(
+            F.sum(
+                (F.lit(m) - F.col("n_cells") + F.col("_r")) * F.col("cnt")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s")
+    )
+    gini = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(2.0) * F.col("s").cast("double")
+            - F.lit(float(m + 1)) * F.col("n_events").cast("double")
+        )
+        / (F.lit(float(m)) * F.col("n_events").cast("double"))
+    ).cast("long")
+    return s.crossJoin(tot).select(
+        "n_cells",
+        "n_events",
+        F.lit(m).cast("long").alias("m_universe"),
+        F.when(F.col("n_events") > 0, gini).alias("gini_e6"),
+    )
+
+
+def spatial_gini_sql(
+    lat_sql: str, lon_sql: str, level: int, table: str = "events"
+) -> str:
+    m = 1 << (2 * level)
+    return (
+        f"WITH {_sql_cells(lat_sql, lon_sql, level, table)}, "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_events FROM cells), "
+        "rk AS (SELECT cnt, CAST(row_number() OVER "
+        "(ORDER BY cnt ASC, cell ASC) AS BIGINT) AS r FROM cells), "
+        "s AS (SELECT CAST(coalesce(sum("
+        f"({m} - t.n_cells + rk.r) * rk.cnt), 0) AS BIGINT) AS s "
+        "FROM rk CROSS JOIN tot t) "
+        f"SELECT t.n_cells, t.n_events, CAST({m} AS BIGINT) AS m_universe, "
+        "CASE WHEN t.n_events > 0 THEN "
+        "CAST(floor(1000000.0 * (2.0 * CAST(s.s AS DOUBLE) "
+        f"- {float(m + 1)} * CAST(t.n_events AS DOUBLE)) "
+        f"/ ({float(m)} * CAST(t.n_events AS DOUBLE))) AS BIGINT) "
+        "ELSE NULL END AS gini_e6 "
+        "FROM s CROSS JOIN tot t"
+    )

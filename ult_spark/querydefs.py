@@ -4689,3 +4689,61 @@ def _attach_theil_oracle() -> None:
 
 
 _attach_theil_oracle()
+
+
+@q("moran_correlogram_l5", None)
+def moran_correlogram_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I correlogram at L5, Chebyshev rings 1..3 (r7,
+    ops/spatialstats.py moran_correlogram): the distance-decay profile
+    of spatial autocorrelation — one literal-offset explode carrying
+    ring labels + one groupBy(r), so every lag comes from a single
+    occupied-universe pass; exact integer u-products per ring, one
+    floored e6 division each."""
+    from ult_spark.ops.spatialstats import moran_correlogram
+
+    return moran_correlogram(events_points(spark, sf_dir), level=5, max_r=3)
+
+
+@q("general_g_l6", None)
+def general_g_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G at L6 (r7, ops/spatialstats.py general_g):
+    the global high/low-clustering companion to the per-cell Gi* —
+    adjacent-pair Σx_i·x_j over the closed-form all-pairs denominator
+    (Σx)²−Σx², both exact BIGINTs, one floored e9 division."""
+    from ult_spark.ops.spatialstats import general_g
+
+    return general_g(events_points(spark, sf_dir), level=6)
+
+
+@q("spatial_gini_l6", None)
+def spatial_gini_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the L6 count surface over the full 4^6 cell
+    universe (r7, ops/spatialstats.py spatial_gini): rank-based
+    concentration beside spatial_theil_l6 — empty cells enter as a
+    closed-form rank shift, Σ rank·x is exact integer and
+    tie-order-independent, one floored e6 division. The ranking window
+    sorts the occupied universe (≤4096 rows), never points."""
+    from ult_spark.ops.spatialstats import spatial_gini
+
+    return spatial_gini(events_points(spark, sf_dir), level=6)
+
+
+def _attach_spatialstats_r7e_oracles() -> None:
+    from ult_spark.ops.spatialstats import (
+        general_g_sql,
+        moran_correlogram_sql,
+        spatial_gini_sql,
+    )
+
+    ORACLES["moran_correlogram_l5"] = moran_correlogram_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=5, max_r=3
+    )
+    ORACLES["general_g_l6"] = general_g_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6
+    )
+    ORACLES["spatial_gini_l6"] = spatial_gini_sql(
+        UF.EVENT_LAT_SQL, UF.EVENT_LON_SQL, level=6
+    )
+
+
+_attach_spatialstats_r7e_oracles()
