@@ -4747,3 +4747,120 @@ def _attach_spatialstats_r7e_oracles() -> None:
 
 
 _attach_spatialstats_r7e_oracles()
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: mobility — movement-direction rose + circadian entropy
+
+_ROSE_CASE_SQL = (
+    "CASE WHEN dx = 0 AND dy = 0 THEN -1 "
+    "WHEN dx > 0 AND dy >= 0 AND dy < dx THEN 0 "
+    "WHEN dx > 0 AND dy > 0 AND dy >= dx THEN 1 "
+    "WHEN dx <= 0 AND dy > 0 AND -dx < dy THEN 2 "
+    "WHEN dx < 0 AND dy > 0 AND -dx >= dy THEN 3 "
+    "WHEN dx < 0 AND dy <= 0 AND -dy < -dx THEN 4 "
+    "WHEN dx < 0 AND dy < 0 AND -dx <= -dy THEN 5 "
+    "WHEN dx >= 0 AND dy < 0 AND dx < -dy THEN 6 "
+    "ELSE 7 END"
+)
+
+
+@q(
+    "bearing_rose_8",
+    "WITH ev AS (SELECT user_id, event_type, event_id, ts, "
+    f"{UF.EVENT_LAT_SQL} AS lat, {UF.EVENT_LON_SQL} AS lon FROM events), "
+    "mv AS (SELECT event_type, "
+    "lat - lag(lat) OVER w AS dy, lon - lag(lon) OVER w AS dx "
+    "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    f"SELECT event_type, CAST({_ROSE_CASE_SQL} AS BIGINT) AS octant, "
+    "CAST(count(*) AS BIGINT) AS moves "
+    "FROM mv WHERE dx IS NOT NULL GROUP BY 1, 2",
+)
+def bearing_rose_8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-sector movement-direction rose per event type (r7): each
+    consecutive per-user displacement (ordered by ts, event_id — a
+    total order) is classified into one of 8 compass octants
+    [45k°, 45(k+1)°) by PURE sign/magnitude comparisons on the planar
+    (dlon, dlat) vector — no trig anywhere, so the histogram is exact
+    integers cross-engine (boundary rays belong to the upper sector,
+    pinned in the shared CASE; zero displacement is its own -1 bucket).
+    The directional-bias diagnostic for trajectory corpora. One lag
+    window per user + one partial-agg groupBy, nothing quadratic."""
+    ev = events_points(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mv = (
+        ev.select(
+            "event_type",
+            (F.col("lat") - F.lag("lat").over(w)).alias("dy"),
+            (F.col("lon") - F.lag("lon").over(w)).alias("dx"),
+        )
+        .where(F.col("dx").isNotNull())
+    )
+    dx, dy = F.col("dx"), F.col("dy")
+    octant = (
+        F.when((dx == 0) & (dy == 0), -1)
+        .when((dx > 0) & (dy >= 0) & (dy < dx), 0)
+        .when((dx > 0) & (dy > 0) & (dy >= dx), 1)
+        .when((dx <= 0) & (dy > 0) & (-dx < dy), 2)
+        .when((dx < 0) & (dy > 0) & (-dx >= dy), 3)
+        .when((dx < 0) & (dy <= 0) & (-dy < -dx), 4)
+        .when((dx < 0) & (dy < 0) & (-dx <= -dy), 5)
+        .when((dx >= 0) & (dy < 0) & (dx < -dy), 6)
+        .otherwise(7)
+        .cast("long")
+    )
+    return mv.groupBy("event_type", octant.alias("octant")).agg(
+        F.count(F.lit(1)).cast("long").alias("moves")
+    )
+
+
+@q(
+    "user_circadian_entropy",
+    "WITH hrs AS (SELECT user_id, "
+    "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) % 24 AS hod, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS n_hours FROM hrs GROUP BY 1), "
+    "t AS (SELECT h.user_id, "
+    "CAST(floor(1000000000.0::DOUBLE * (CAST(h.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) "
+    "* ln(CAST(tot.n AS DOUBLE) / CAST(h.c AS DOUBLE))) AS BIGINT) AS term "
+    "FROM hrs h JOIN tot USING (user_id)) "
+    "SELECT tot.user_id, tot.n, tot.n_hours, "
+    "CAST(sum(t.term) AS BIGINT) AS entropy_e9 "
+    "FROM t JOIN tot USING (user_id) GROUP BY 1, 2, 3",
+)
+def user_circadian_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circadian (hour-of-day) entropy per user (r7): the temporal twin
+    of user_visit_entropy — Shannon entropy of the user's 24-bucket
+    hour-of-day distribution; 0 = always the same hour (bot-like
+    regularity), ln(24) = uniform around the clock. Same exact-integer
+    shape: p = c/n with integer counts, per-term e9 floors of
+    ln(n/c)·p BEFORE the order-free BIGINT sum. Two partial-agg
+    groupBys + one user-keyed join, nothing quadratic."""
+    hrs = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            (
+                F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long") % 24
+            ).alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = hrs.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    term = F.floor(
+        F.lit(1000000000.0)
+        * (F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+    ).cast("long")
+    return (
+        hrs.join(tot, "user_id")
+        .select("user_id", term.alias("_t"))
+        .groupBy("user_id")
+        .agg(F.sum("_t").cast("long").alias("entropy_e9"))
+        .join(tot, "user_id")
+        .select("user_id", "n", "n_hours", "entropy_e9")
+    )
