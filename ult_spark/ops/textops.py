@@ -1820,3 +1820,96 @@ def ks_doclen_sql(a: str = "src0", b: str = "src1", table: str = "documents") ->
         "/ (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT) "
         "ELSE NULL END AS d_e6 FROM d"
     )
+
+
+def psi_doclen(
+    df: DataFrame,
+    a: str = "src0",
+    b: str = "src1",
+    bin_w: int = 32,
+    source: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Population Stability Index between the doc-length distributions
+    of sources ``a`` and ``b`` — the binned production drift monitor
+    beside :func:`ks_doclen` (KS is the sup-norm test; PSI is the
+    additive per-bin report dashboards alarm on, classically >0.2 =
+    major shift). Lengths are binned at width ``bin_w``; the bin grid
+    is the UNION of observed bins with add-one (Laplace) smoothing —
+    ``p = (c+1)/(n+B)`` with B the grid size — so every term is finite
+    and the statistic is deterministic with no epsilon knob:
+    ``PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)``.
+
+    Cross-engine pinned form: every p is a ratio of exact integers, the
+    ln argument is the exact integer ratio (c_a+1)(n_b+B) /
+    ((c_b+1)(n_a+B)), each bin's term is e9-floored BEFORE the
+    order-free BIGINT sum. Emits one row (n_bins, na, nb, psi_e9).
+    Scale: one filtered groupBy over the (tiny) bin grid + a broadcast
+    one-row total — cost rides distinct bins, never rows."""
+    lens = df.where(F.col(source).isin([a, b])).select(
+        F.col(source).alias("src"),
+        F.floor(
+            F.size(tokens_col(text)).cast("double") / F.lit(float(bin_w))
+        ).cast("long").alias("bin"),
+    )
+    per = lens.groupBy("bin").agg(
+        F.sum(F.when(F.col("src") == a, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("src") == b, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = F.broadcast(
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("na"),
+            F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("nb"),
+        )
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("n_bins")).cast(
+        "double"
+    )
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("n_bins")).cast(
+        "double"
+    )
+    lnarg = (
+        (F.col("ca") + 1) * (F.col("nb") + F.col("n_bins"))
+    ).cast("double") / (
+        (F.col("cb") + 1) * (F.col("na") + F.col("n_bins"))
+    ).cast("double")
+    term = F.floor(F.lit(1000000000.0) * (pa - pb) * F.log(lnarg)).cast("long")
+    return (
+        per.crossJoin(tot)
+        .agg(
+            F.max("n_bins").cast("long").alias("n_bins"),
+            F.max("na").cast("long").alias("na"),
+            F.max("nb").cast("long").alias("nb"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("long").alias("psi_e9"),
+        )
+    )
+
+
+def psi_doclen_sql(
+    a: str = "src0",
+    b: str = "src1",
+    bin_w: int = 32,
+    table: str = "documents",
+) -> str:
+    return (
+        f"WITH lens AS (SELECT source AS src, CAST(floor(CAST("
+        "len(list_filter(string_split(text, ' '), x -> x != '')) AS DOUBLE) "
+        f"/ {float(bin_w)}) AS BIGINT) AS bin "
+        f"FROM {table} WHERE source IN ('{a}', '{b}')), "
+        "per AS (SELECT bin, "
+        f"CAST(sum(CASE WHEN src = '{a}' THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+        f"CAST(sum(CASE WHEN src = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS cb "
+        "FROM lens GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bins, "
+        "CAST(coalesce(sum(ca), 0) AS BIGINT) AS na, "
+        "CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb FROM per) "
+        "SELECT t.n_bins, t.na, t.nb, "
+        "CAST(coalesce(sum(CAST(floor(1000000000.0::DOUBLE "
+        "* (CAST(p.ca + 1 AS DOUBLE) / CAST(t.na + t.n_bins AS DOUBLE) "
+        "- CAST(p.cb + 1 AS DOUBLE) / CAST(t.nb + t.n_bins AS DOUBLE)) "
+        "* ln(CAST((p.ca + 1) * (t.nb + t.n_bins) AS DOUBLE) "
+        "/ CAST((p.cb + 1) * (t.na + t.n_bins) AS DOUBLE))) AS BIGINT)), 0) "
+        "AS BIGINT) AS psi_e9 "
+        "FROM per p CROSS JOIN tot t GROUP BY 1, 2, 3"
+    )

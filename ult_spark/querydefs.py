@@ -4864,3 +4864,26 @@ def user_circadian_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tot, "user_id")
         .select("user_id", "n", "n_hours", "entropy_e9")
     )
+
+
+@q("psi_doclen_sources", None)
+def psi_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between src0 and src1 doc-length
+    distributions, bin width 32 tokens (r7, ops/textops.py psi_doclen):
+    the binned production drift monitor beside the KS sup-norm test —
+    union bin grid + add-one smoothing so the statistic is
+    deterministic with no epsilon knob; per-bin e9 floors of exact
+    integer-ratio terms before the order-free sum. Cost rides distinct
+    bins, never rows."""
+    from ult_spark.ops.textops import psi_doclen
+
+    return psi_doclen(load(spark, sf_dir, "documents"), a="src0", b="src1", bin_w=32)
+
+
+def _attach_psi_oracle() -> None:
+    from ult_spark.ops.textops import psi_doclen_sql
+
+    ORACLES["psi_doclen_sources"] = psi_doclen_sql(a="src0", b="src1", bin_w=32)
+
+
+_attach_psi_oracle()
