@@ -912,7 +912,13 @@ def edge_triangle_support(edges: DataFrame, min_w: int = 1) -> DataFrame:
     Scale shape: identical to :func:`triangles` (wedge fanout bounded by
     out-degree ≤ O(√m)) plus one explode(3) and one (u, v)-keyed
     partial-agg groupBy — nothing quadratic in degree."""
-    und = _und_simple(edges, min_w)
+    return _edge_support(_und_simple(edges, min_w))
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """(u, v, support) over an already-undirected simple (u < v) edge
+    list — the per-round kernel shared by :func:`edge_triangle_support`
+    and the :func:`ktruss` peel."""
     deg = _und_degrees(und)
     ori = _oriented_edges(und, deg)
     tri = _wedges(ori).join(
@@ -1104,4 +1110,202 @@ def connected_components_graph_sql(edges_sql: str, min_w: int = 1) -> str:
         "comp(host, label) AS (SELECT host, host FROM nodes "
         "UNION SELECT b.u, c.label FROM b JOIN comp c ON c.host = b.v) "
         "SELECT host, min(label) AS component FROM comp GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: k-truss peel + modularity of the LP communities
+
+
+def ktruss(
+    edges: DataFrame, k: int = 4, rounds: int = 2, min_w: int = 1
+) -> DataFrame:
+    """(u, v, support) of edges surviving ``rounds`` k-truss peels
+    (Cohen 2008): each round recomputes per-edge triangle support in
+    the CURRENT subgraph and drops edges with support < k−2, so
+    deletions cascade — the edge-density core that k-core's
+    degree-only peel can't isolate (a hub with many degree-1 spokes
+    survives k-core but holds no triangles). ``support`` is the count
+    that qualified the edge in the FINAL round, i.e. measured in the
+    graph entering that round.
+
+    Fixed ``rounds`` unrolled identically in :func:`ktruss_sql` (a
+    support round references its input ~5×: degrees, orientation, the
+    wedge closure, side-credit, and the left join — so a lazy chain
+    grows ~5^rounds; fine at reporting depths 1-3, and
+    :func:`ktruss_fixpoint` carries the localCheckpoint discipline for
+    full convergence). Scale per round: the triangles wedge bound
+    (out-degree ≤ O(√m)) + one (u, v)-keyed groupBy."""
+    assert rounds >= 1, "ktruss needs at least one peel round"
+    cur = _und_simple(edges, min_w)
+    sup = None
+    for _ in range(rounds):
+        sup = _edge_support(cur).where(F.col("support") >= k - 2)
+        cur = sup.select("u", "v")
+    return sup
+
+
+def ktruss_fixpoint(
+    edges: DataFrame, k: int = 4, min_w: int = 1, max_rounds: int = 64
+) -> DataFrame:
+    """TRUE-fixpoint k-truss: peel until no edge is removed (the
+    k_core_fixpoint discipline — per-round localCheckpoint truncates
+    the ~5^rounds lineage, the stats barrier stops Spark 4's
+    checkpoint-stats compounding, and convergence rides each round's
+    own materialization via observe(): monotone deletions, so an
+    unchanged edge count ⇔ fixpoint). Emits (u, v, support) with
+    support measured in the converged subgraph's entering round.
+    Still peeling at ``max_rounds`` raises ConvergenceError loudly."""
+    from pyspark.sql import Observation
+
+    from ult_spark.ops.textops import ConvergenceError, _stats_barrier
+
+    cur = _und_simple(edges, min_w)
+    prev: int | None = None
+    for _ in range(max_rounds):
+        ob = Observation()
+        nxt = (
+            _edge_support(cur)
+            .where(F.col("support") >= k - 2)
+            .observe(ob, F.count(F.lit(1)).alias("n"))
+        )
+        kept = _stats_barrier(nxt.localCheckpoint())
+        n = ob.get["n"] or 0
+        if n == prev:
+            return kept
+        prev = n
+        cur = kept.select("u", "v")
+    raise ConvergenceError(
+        f"ktruss_fixpoint: still peeling after {max_rounds} rounds — "
+        "raise max_rounds for adversarially deep cascades"
+    )
+
+
+def ktruss_sql(
+    edges_sql: str, k: int = 4, rounds: int = 2, min_w: int = 1
+) -> str:
+    """Unrolled DuckDB twin of :func:`ktruss`. Every round CTE is
+    AS MATERIALIZED (the k_core_sql lesson — DuckDB inlines CTE
+    references, and a support round references its input ~5×, so an
+    un-materialized unroll re-reads the base 5^rounds times)."""
+    assert rounds >= 1, "ktruss needs at least one peel round"
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql}), "
+        "t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM e WHERE src <> dst AND w >= {min_w})"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"t{i - 1}"
+        parts.append(
+            f", deg{i} AS MATERIALIZED (SELECT u AS host, "
+            "CAST(count(*) AS BIGINT) AS deg FROM "
+            f"(SELECT u, v FROM {p} UNION ALL SELECT v, u FROM {p}) GROUP BY 1), "
+            f"ori{i} AS MATERIALIZED (SELECT "
+            "CASE WHEN (du.deg, t.u) < (dv.deg, t.v) THEN t.u ELSE t.v END AS a, "
+            "CASE WHEN (du.deg, t.u) < (dv.deg, t.v) THEN t.v ELSE t.u END AS b, "
+            "CASE WHEN (du.deg, t.u) < (dv.deg, t.v) THEN dv.deg ELSE du.deg END AS db "
+            f"FROM {p} t JOIN deg{i} du ON du.host = t.u "
+            f"JOIN deg{i} dv ON dv.host = t.v), "
+            f"tr{i} AS MATERIALIZED (SELECT l.a, l.b AS x, r.b AS y FROM ori{i} l "
+            f"JOIN ori{i} r ON r.a = l.a AND (l.db, l.b) < (r.db, r.b) "
+            f"JOIN ori{i} c ON c.a = l.b AND c.b = r.b), "
+            f"sides{i} AS (SELECT least(a, x) AS u, greatest(a, x) AS v FROM tr{i} "
+            f"UNION ALL SELECT least(a, y), greatest(a, y) FROM tr{i} "
+            f"UNION ALL SELECT least(x, y), greatest(x, y) FROM tr{i}), "
+            f"sup{i} AS MATERIALIZED (SELECT u, v, "
+            f"CAST(count(*) AS BIGINT) AS support FROM sides{i} GROUP BY 1, 2), "
+            f"t{i} AS MATERIALIZED (SELECT t.u, t.v, "
+            "COALESCE(s.support, CAST(0 AS BIGINT)) AS support "
+            f"FROM {p} t LEFT JOIN sup{i} s ON s.u = t.u AND s.v = t.v "
+            f"WHERE COALESCE(s.support, 0) >= {k - 2})"
+        )
+    parts.append(f" SELECT u, v, support FROM t{rounds}")
+    return "".join(parts)
+
+
+def lp_modularity(
+    edges: DataFrame, rounds: int = 2, min_w: int = 1
+) -> DataFrame:
+    """Newman modularity Q of the :func:`label_propagation` communities
+    — the one-number answer to "did community detection find real
+    structure?" (Q ≈ 0: no better than random given the degree
+    sequence; Q ≳ 0.3: strong structure). With m undirected edges,
+    e_c intra-community edges and d_c the community degree sum,
+    ``Q = Σ_c [e_c/m − (d_c/2m)²] = (4m·E_in − Σ_c d_c²) / 4m²`` —
+    the numerator is an EXACT BIGINT (4m² < 2⁶³ through ~1.5e9 edges),
+    ONE final floored e6 division. Emits one row
+    (m, e_in, n_comms, q_e6); NULL q on an empty graph.
+
+    Scale: the LP rounds themselves (host-keyed groupBys + ranked
+    windows), then two label-keyed hash joins and two tiny aggs —
+    nothing beyond LP's own cost. The label frame is referenced twice
+    (intra-edge filter + degree rollup), so its fixed-``rounds`` plan
+    is evaluated twice; at production depth localCheckpoint it first."""
+    und = _und_simple(edges, min_w)
+    labels = label_propagation(edges, rounds, min_w)
+    m = F.broadcast(und.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    e_in = F.broadcast(
+        und.join(
+            labels.select(F.col("host").alias("u"), F.col("label").alias("_lu")),
+            "u",
+        )
+        .join(
+            labels.select(F.col("host").alias("v"), F.col("label").alias("_lv")),
+            "v",
+        )
+        .where(F.col("_lu") == F.col("_lv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        _und_degrees(und)
+        .join(labels, "host")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    sums = dc.agg(
+        F.coalesce(F.sum(F.col("d_c") * F.col("d_c")), F.lit(0))
+        .cast("long")
+        .alias("sd2"),
+        F.count(F.lit(1)).cast("long").alias("n_comms"),
+    )
+    q_e6 = F.floor(
+        F.lit(1000000.0)
+        * (
+            F.lit(4) * F.col("m") * F.col("e_in") - F.col("sd2")
+        ).cast("double")
+        / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+    ).cast("long")
+    return (
+        sums.crossJoin(m)
+        .crossJoin(e_in)
+        .select(
+            "m",
+            "e_in",
+            "n_comms",
+            F.when(F.col("m") > 0, q_e6).alias("q_e6"),
+        )
+    )
+
+
+def lp_modularity_sql(edges_sql: str, rounds: int = 2, min_w: int = 1) -> str:
+    return (
+        f"WITH qe AS MATERIALIZED ({edges_sql}), "
+        "qund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM qe WHERE src <> dst AND w >= {min_w}), "
+        f"lab AS MATERIALIZED ({label_propagation_sql(edges_sql, rounds, min_w)}), "
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM qund), "
+        "intra AS (SELECT CAST(count(*) AS BIGINT) AS e_in FROM qund u "
+        "JOIN lab la ON la.host = u.u "
+        "JOIN lab lb ON lb.host = u.v AND lb.label = la.label), "
+        "deg AS (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u, v FROM qund UNION ALL SELECT v, u FROM qund) GROUP BY 1), "
+        "dc AS (SELECT la.label, CAST(sum(d.deg) AS BIGINT) AS d_c "
+        "FROM deg d JOIN lab la ON la.host = d.host GROUP BY 1), "
+        "sums AS (SELECT CAST(coalesce(sum(d_c * d_c), 0) AS BIGINT) AS sd2, "
+        "CAST(count(*) AS BIGINT) AS n_comms FROM dc) "
+        "SELECT mm.m, intra.e_in, sums.n_comms, "
+        "CASE WHEN mm.m > 0 THEN "
+        "CAST(floor(1000000.0 * CAST(4 * mm.m * intra.e_in - sums.sd2 AS DOUBLE) "
+        "/ CAST(4 * mm.m * mm.m AS DOUBLE)) AS BIGINT) ELSE NULL END AS q_e6 "
+        "FROM mm CROSS JOIN intra CROSS JOIN sums"
     )

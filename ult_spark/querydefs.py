@@ -4887,3 +4887,56 @@ def _attach_psi_oracle() -> None:
 
 
 _attach_psi_oracle()
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: k-truss + community-quality modularity
+
+
+@q("ktruss_hosts", None)
+def ktruss_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round 4-truss peel of the host link graph (r7, ops/graph.py
+    ktruss): cascading edge-density core — support recomputed per round
+    via the degree-ordered triangle kernel, edges below support k−2
+    dropped (sf0.01 cascade: 48→17→6 edges). The companion to k-core's
+    degree peel; unrolled identically in the MATERIALIZED oracle."""
+    from ult_spark.ops.graph import ktruss
+
+    return ktruss(_host_edges(spark, sf_dir), k=4, rounds=2, min_w=3)
+
+
+@q("ktruss_fixpoint_hosts", None)
+def ktruss_fixpoint_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-fixpoint 4-truss (r7, ops/graph.py ktruss_fixpoint): peel
+    until no edge drops, localCheckpoint + stats barrier + observe()
+    per round (the k_core_fixpoint discipline). Oracle = the unrolled
+    peel at a depth safely past convergence (extra rounds are no-ops
+    on a stable subgraph, the k_core_fixpoint_hosts protocol)."""
+    from ult_spark.ops.graph import ktruss_fixpoint
+
+    return ktruss_fixpoint(_host_edges(spark, sf_dir), k=4, min_w=3)
+
+
+@q("lp_modularity_hosts", None)
+def lp_modularity_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 2-round label-propagation communities
+    over the host graph (r7, ops/graph.py lp_modularity): the
+    community-quality certificate — exact BIGINT numerator
+    4m·E_in − Σd_c², one floored e6 division. Composes the LP oracle
+    CTE chain with two label-keyed joins; nothing beyond LP's cost."""
+    from ult_spark.ops.graph import lp_modularity
+
+    return lp_modularity(_host_edges(spark, sf_dir), rounds=2)
+
+
+def _attach_graph_r7e_oracles() -> None:
+    from ult_spark.ops.graph import ktruss_sql, lp_modularity_sql
+
+    ORACLES["ktruss_hosts"] = ktruss_sql(_HOST_EDGES_SQL, k=4, rounds=2, min_w=3)
+    ORACLES["ktruss_fixpoint_hosts"] = ktruss_sql(
+        _HOST_EDGES_SQL, k=4, rounds=6, min_w=3
+    )
+    ORACLES["lp_modularity_hosts"] = lp_modularity_sql(_HOST_EDGES_SQL, rounds=2)
+
+
+_attach_graph_r7e_oracles()
