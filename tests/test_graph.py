@@ -483,3 +483,29 @@ def test_cc_graph_two_cliques_and_bridgeless(spark):
         for r in connected_components_graph(_edges_df(spark, pairs)).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_ktruss_cascade_and_fixpoint(spark):
+    """r7: a triangle strip (t_i = v_i v_{i+1} v_{i+2}) under a 4-truss
+    peels in stages — skip edges carry support 1 and drop in round 1,
+    the surviving path holds no triangles and drops in round 2 — while
+    a separate 5-clique (every edge support 3) is untouched; the
+    fixpoint resolves to exactly the clique."""
+    from itertools import combinations
+
+    from ult_spark.ops.graph import ktruss, ktruss_fixpoint
+
+    strip = [(f"v{i}", f"v{i + 1}", 1) for i in range(9)]
+    strip += [(f"v{i}", f"v{i + 2}", 1) for i in range(8)]
+    clique = [(u, v, 1) for u, v in combinations([f"k{i}" for i in range(5)], 2)]
+    e = _edges_df(spark, strip + clique)
+
+    fix = {(r.u, r.v): r.support for r in ktruss_fixpoint(e, k=4).collect()}
+    want = {tuple(sorted(p)) for p in combinations([f"k{i}" for i in range(5)], 2)}
+    assert set(fix) == want and set(fix.values()) == {3}
+
+    # round 1 alone still carries the strip's interior path edges
+    # (support 2 before the skip edges vanish) — the cascade is real
+    one = {(r.u, r.v) for r in ktruss(e, k=4, rounds=1).collect()}
+    assert want < one
+    assert {(f"v{i}", f"v{i + 1}") for i in range(1, 8)} <= one
