@@ -49,6 +49,9 @@ _PRIORITY = [
     "connected_components_hosts", "join_counts_l5", "idw_fill_l6",
     "std_ellipse_l8", "cross_k_l5", "knox_spacetime_l6", "bm25_topk_docs",
     "zipf_slope_docs", "ks_doclen_sources", "spatial_theil_l6",
+    "moran_correlogram_l5", "general_g_l6", "spatial_gini_l6",
+    "bearing_rose_8", "user_circadian_entropy", "psi_doclen_sources",
+    "ktruss_hosts", "ktruss_fixpoint_hosts", "lp_modularity_hosts",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window

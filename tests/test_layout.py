@@ -322,6 +322,14 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "minwise_host_sim",
         "shingle_profile_sizes",
         "dbscan_noise_ratio",
+        "moran_correlogram_l5",
+        "general_g_l6",
+        "spatial_gini_l6",
+        "bearing_rose_8",
+        "user_circadian_entropy",
+        "psi_doclen_sources",
+        "ktruss_hosts",
+        "lp_modularity_hosts",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name
