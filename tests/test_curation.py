@@ -331,3 +331,23 @@ def test_host_lang_divergence_uniform_host_is_zero(spark):
     out = host_lang_divergence(df, F.col("h")).collect()
     # hosts H0 (all en) and H1 (all fr) in an even corpus: ln(2) each
     assert all(r["kl_e9"] == 693147180 for r in out)
+
+
+def test_lm_cross_entropy_closed_form(spark):
+    """r7: two tiny docs against their own corpus LM — per-term e9
+    floors then integer division, replicated exactly in Python."""
+    import math
+
+    from ult_spark.ops.textops import lm_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.ce_e9) for r in lm_cross_entropy(docs).collect()}
+    n = 5
+    c = {"a": 3, "b": 1, "c": 1}
+    t = lambda tf, tok: math.floor(1e9 * tf * math.log(n / c[tok]))  # noqa: E731
+    assert got[1] == (3, (t(2, "a") + t(1, "b")) // 3)
+    assert got[2] == (2, (t(1, "a") + t(1, "c")) // 2)
+    # common-word doc scores strictly lower than the rare-token doc
+    assert got[1][1] < got[2][1]

@@ -509,3 +509,21 @@ def test_ktruss_cascade_and_fixpoint(spark):
     one = {(r.u, r.v) for r in ktruss(e, k=4, rounds=1).collect()}
     assert want < one
     assert {(f"v{i}", f"v{i + 1}") for i in range(1, 8)} <= one
+
+
+def test_rich_club_closed_form(spark):
+    """r7: 4-clique + pendant — φ(1) = 1.0 exactly (the deg>1 elite IS
+    the clique), φ(3) NULL (a single node is not a club), and suffix
+    counts match the hand histogram."""
+    from itertools import combinations
+
+    from ult_spark.ops.graph import rich_club
+
+    clique = [(u, v, 1) for u, v in combinations(["a", "b", "c", "d"], 2)]
+    e = _edges_df(spark, clique + [("a", "p", 1)])
+    got = {r.k: (r.n_k, r.e_k, r.phi_e6) for r in rich_club(e).collect()}
+    # degrees: a=4, b=c=d=3, p=1 → thresholds {1, 3, 4}
+    assert set(got) == {1, 3, 4}
+    assert got[1] == (4, 6, 1_000_000)  # the clique is a perfect rich club
+    assert got[3] == (1, 0, None)
+    assert got[4] == (0, 0, None)

@@ -330,6 +330,9 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "psi_doclen_sources",
         "ktruss_hosts",
         "lp_modularity_hosts",
+        "rich_club_hosts",
+        "lm_cross_entropy_docs",
+        "acf_hourly",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -1309,3 +1309,81 @@ def lp_modularity_sql(edges_sql: str, rounds: int = 2, min_w: int = 1) -> str:
         "/ CAST(4 * mm.m * mm.m AS DOUBLE)) AS BIGINT) ELSE NULL END AS q_e6 "
         "FROM mm CROSS JOIN intra CROSS JOIN sums"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 final wave: rich-club coefficient
+
+
+def rich_club(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """Rich-club coefficient φ(k) for every degree threshold k present
+    (Zhou & Mondragón 2004): among the N_k nodes of degree > k,
+    ``φ(k) = 2·E_k / (N_k·(N_k−1))`` where E_k counts edges with BOTH
+    endpoints of degree > k — do the hubs of the web graph form a
+    densely wired elite, or are they mutually avoiding (as in the
+    Internet AS graph)? Rising φ(k) with k = rich club; compare against
+    the degree-preserving-random expectation offline.
+
+    ONE pass, no per-k work over the graph: E_k and N_k are SUFFIX
+    COUNTS of two histograms — per-edge min(deg_u, deg_v) and per-node
+    degree — so the graph-sized stages are the shared degree computation
+    plus one two-sided degree join, and the per-k fan-out is a
+    grid × histogram non-equi join over POST-AGGREGATION rows (at most
+    |distinct degree values|² pairs, data-size-independent; the
+    BroadcastNestedLoopJoin it plans is over the tiny aggregates, never
+    the edge list). Emits (k, n_k, e_k, phi_e6) for k ∈ the distinct
+    degrees; phi NULL when N_k < 2. Exact BIGINTs throughout, one
+    floored e6 division."""
+    und = _und_simple(edges, min_w)
+    deg = _und_degrees(und)
+    md = (
+        und.join(deg.select(F.col("host").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("host").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("m"))
+    )
+    hd = deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    hm = md.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("ne"))
+    grid = hd.select(F.col("deg").alias("k"))
+    nk = (
+        grid.join(hd, hd["deg"] > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("n_k"))
+    )
+    ek = (
+        grid.join(hm, hm["m"] > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("ne"), F.lit(0)).cast("long").alias("e_k"))
+    )
+    phi = F.floor(
+        F.lit(1000000.0)
+        * (F.lit(2) * F.col("e_k")).cast("double")
+        / (F.col("n_k") * (F.col("n_k") - F.lit(1))).cast("double")
+    ).cast("long")
+    return (
+        nk.join(ek, "k")
+        .select("k", "n_k", "e_k", F.when(F.col("n_k") >= 2, phi).alias("phi_e6"))
+    )
+
+
+def rich_club_sql(edges_sql: str, min_w: int = 1) -> str:
+    return (
+        f"WITH rce AS ({edges_sql}), "
+        "rcund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM rce WHERE src <> dst AND w >= {min_w}), "
+        "rcdeg AS MATERIALIZED (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg "
+        "FROM (SELECT u, v FROM rcund UNION ALL SELECT v, u FROM rcund) GROUP BY 1), "
+        "rcmd AS (SELECT least(a.deg, b.deg) AS m FROM rcund e "
+        "JOIN rcdeg a ON a.host = e.u JOIN rcdeg b ON b.host = e.v), "
+        "hd AS (SELECT deg, CAST(count(*) AS BIGINT) AS nd FROM rcdeg GROUP BY 1), "
+        "hm AS (SELECT m, CAST(count(*) AS BIGINT) AS ne FROM rcmd GROUP BY 1), "
+        "grid AS (SELECT deg AS k FROM hd), "
+        "nk AS (SELECT k, CAST(coalesce(sum(hd.nd), 0) AS BIGINT) AS n_k "
+        "FROM grid LEFT JOIN hd ON hd.deg > grid.k GROUP BY 1), "
+        "ek AS (SELECT k, CAST(coalesce(sum(hm.ne), 0) AS BIGINT) AS e_k "
+        "FROM grid LEFT JOIN hm ON hm.m > grid.k GROUP BY 1) "
+        "SELECT nk.k, nk.n_k, ek.e_k, "
+        "CASE WHEN nk.n_k >= 2 THEN CAST(floor(1000000.0::DOUBLE * "
+        "CAST(2 * ek.e_k AS DOUBLE) / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE)) "
+        "AS BIGINT) ELSE NULL END AS phi_e6 "
+        "FROM nk JOIN ek USING (k)"
+    )

@@ -1913,3 +1913,70 @@ def psi_doclen_sql(
         "AS BIGINT) AS psi_e9 "
         "FROM per p CROSS JOIN tot t GROUP BY 1, 2, 3"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 final wave: unigram-LM cross-entropy (the CCNet-style quality score)
+
+
+def lm_cross_entropy(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram language
+    model — the classic LM-perplexity quality filter (CCNet/Wenzek 2020
+    shape, with the corpus itself as the model): ``H(d) = Σ_t tf_t ·
+    ln(N/c_t) / len_d`` where c_t is the token's corpus frequency and N
+    the corpus token total. Low H = made of common words; high H =
+    rare-token-heavy (gibberish, boilerplate code, OCR noise) — rank by
+    it and cut the tail. Every doc token is in the corpus, so c_t ≥ 1
+    and every term is ≥ 0.
+
+    Pinned integer math: tf, c_t, N are exact; each (doc, term)
+    contribution is e9-floored BEFORE the order-free per-doc BIGINT sum,
+    and the final /len is INTEGER division (both operands ≥ 0, exact in
+    both engines). Shuffle budget: one explode+groupBy for tf (keyed
+    (doc, tok)), one tok-keyed groupBy for corpus counts (partial aggs
+    absorb hot-token skew), one broadcast-able tok join, one per-doc
+    groupBy — the tfidf_top_terms plan shape; N rides as a one-row
+    broadcast agg (re-derives the count branch, like tfidf's n_docs).
+    Emits (doc_id, n_tokens, ce_e9); zero-token docs emit no row."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ct = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    n = ct.agg(F.sum("c").cast("long").alias("n"))
+    term = F.floor(
+        F.lit(1000000000.0)
+        * F.col("tf").cast("double")
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+    ).cast("long")
+    per_doc = (
+        tf.join(ct, "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(term).cast("long").alias("s"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", F.expr("s div n_tokens").cast("long").alias("ce_e9")
+    )
+
+
+LM_CROSS_ENTROPY_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), "
+    "x -> x != '')) AS tok FROM documents), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY 1, 2), "
+    "ct AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1), "
+    "n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ct), "
+    "pd AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CAST(floor(1000000000.0::DOUBLE * CAST(tf AS DOUBLE) * "
+    "ln(CAST(n.n AS DOUBLE) / CAST(ct.c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s "
+    "FROM tf JOIN ct USING (tok) CROSS JOIN n GROUP BY 1) "
+    "SELECT doc_id, n_tokens, CAST(s // n_tokens AS BIGINT) AS ce_e9 FROM pd"
+)

@@ -4940,3 +4940,135 @@ def _attach_graph_r7e_oracles() -> None:
 
 
 _attach_graph_r7e_oracles()
+
+
+# ---------------------------------------------------------------------------
+# r7 final wave: rich club, LM cross-entropy quality, hourly ACF
+
+
+@q("rich_club_hosts", None)
+def rich_club_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient per degree threshold over the host graph
+    (r7, ops/graph.py rich_club): do the hubs wire to each other? ONE
+    graph pass — E_k and N_k are suffix counts of the min-degree and
+    degree histograms; the per-k fan-out is a non-equi join over
+    post-aggregation rows (≤ |distinct degrees|² pairs), never the
+    edge list."""
+    from ult_spark.ops.graph import rich_club
+
+    return rich_club(_host_edges(spark, sf_dir))
+
+
+def _attach_rich_club_oracle() -> None:
+    from ult_spark.ops.graph import rich_club_sql
+
+    ORACLES["rich_club_hosts"] = rich_club_sql(_HOST_EDGES_SQL)
+
+
+_attach_rich_club_oracle()
+
+
+@q("lm_cross_entropy_docs", None)
+def lm_cross_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy vs the corpus unigram LM (r7,
+    ops/textops.py lm_cross_entropy): the CCNet-style perplexity
+    quality score — rare-token-heavy docs (gibberish/OCR noise) rank
+    high. Per-term e9 floors before the order-free per-doc sum, final
+    INTEGER division by doc length; the tfidf_top_terms shuffle
+    budget."""
+    from ult_spark.ops.textops import lm_cross_entropy
+
+    return lm_cross_entropy(load(spark, sf_dir, "documents"))
+
+
+def _attach_lm_ce_oracle() -> None:
+    from ult_spark.ops.textops import LM_CROSS_ENTROPY_SQL
+
+    ORACLES["lm_cross_entropy_docs"] = LM_CROSS_ENTROPY_SQL
+
+
+_attach_lm_ce_oracle()
+
+
+@q(
+    "acf_hourly",
+    "WITH hourly AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) "
+    "AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "sp AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly), "
+    "grid AS (SELECT unnest(generate_series(lo, hi)) AS hr FROM sp), "
+    "x AS (SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt "
+    "FROM grid g LEFT JOIN hourly h USING (hr)), "
+    "gg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s, "
+    "CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM x), "
+    "u AS (SELECT hr, n * cnt - s AS u FROM x CROSS JOIN gg), "
+    "lags AS (SELECT unnest(generate_series(1, 24)) AS lag), "
+    "num AS (SELECT l.lag, CAST(sum(a.u * b.u) AS BIGINT) AS num "
+    "FROM lags l CROSS JOIN u a JOIN u b ON b.hr = a.hr + l.lag GROUP BY 1) "
+    "SELECT num.lag, gg.n - num.lag AS n_pairs, num.num, "
+    "CASE WHEN gg.n * gg.n * gg.s2 - gg.n * gg.s * gg.s > 0 THEN "
+    "CAST(floor(1000000.0::DOUBLE * CAST(num.num AS DOUBLE) / "
+    "CAST(gg.n * gg.n * gg.s2 - gg.n * gg.s * gg.s AS DOUBLE)) AS BIGINT) "
+    "ELSE NULL END AS acf_e6 FROM num CROSS JOIN gg",
+)
+def acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..24 (r7): the periodicity detector beside stl_decompose_hourly —
+    a daily cycle shows as the lag-24 peak, bursts as fast decay. Series
+    is the gap-filled complete hour grid (missing hours count 0, so
+    lagged alignment is positional arithmetic, not a window over
+    occupied rows). Standard biased estimator r_L = Σ u_t·u_{t+L} / Σu²
+    with the integer lift u_t = n·x_t − Σx; the denominator is the
+    closed form n²·Σx² − n·(Σx)² from the SAME one-row agg, so num and
+    den are exact BIGINTs, one e6 floor per lag. All post-first-groupBy
+    stages are bounded by elapsed hours × 25, data-size-independent
+    (the stl justification); the hourly aggregate is re-derived per
+    plan branch — localCheckpoint it first at production scale.
+    Integer bound: n³·max_cnt² < 2⁶³ (holds through ~10⁴ hours at
+    ~3·10⁴ events/hour; aggregate to days beyond)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    sp = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = sp.select(F.explode(F.sequence("lo", "hi")).alias("hr"))
+    x = (
+        grid.join(hourly, "hr", "left")
+        .select("hr", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    gg = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    u = x.crossJoin(F.broadcast(gg)).select(
+        "hr", (F.col("n") * F.col("cnt") - F.col("s")).alias("u"), "n", "s", "s2"
+    )
+    lagged = u.select(
+        "hr", "u", F.explode(F.array(*[F.lit(i) for i in range(1, 25)])).alias("lag")
+    )
+    num = (
+        lagged.join(
+            u.select((F.col("hr")).alias("hr2"), F.col("u").alias("u2")),
+            F.col("hr2") == F.col("hr") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("u") * F.col("u2")).cast("long").alias("num"))
+    )
+    den = (
+        F.col("n") * F.col("n") * F.col("s2") - F.col("n") * F.col("s") * F.col("s")
+    )
+    acf = F.floor(
+        F.lit(1000000.0) * F.col("num").cast("double") / den.cast("double")
+    ).cast("long")
+    return (
+        num.crossJoin(F.broadcast(gg))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            (F.col("n") - F.col("lag")).cast("long").alias("n_pairs"),
+            "num",
+            F.when(den > 0, acf).alias("acf_e6"),
+        )
+    )
