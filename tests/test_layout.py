@@ -333,6 +333,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "rich_club_hosts",
         "lm_cross_entropy_docs",
         "acf_hourly",
+        "countmin_user_est",
+        "cusum_hourly",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -5072,3 +5072,70 @@ def acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(den > 0, acf).alias("acf_e6"),
         )
     )
+
+
+@q("countmin_user_est", None)
+def countmin_user_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit over event users (r7, ops/sketch.py): the
+    4×64 sketch's estimate vs the exact count for the exact top-20
+    users — est ≥ exact by construction (collisions only add); the
+    overcount column is the collision pressure at this width. The
+    sketch shuffle carries ≤ d·w rows per map partition regardless of
+    input size; both engines build the IDENTICAL md5-lane sketch, so
+    the oracle certifies counter values."""
+    from ult_spark.ops.sketch import countmin_estimates
+
+    return countmin_estimates(load(spark, sf_dir, "events"), key="user_id", top=20)
+
+
+def _attach_countmin_oracle() -> None:
+    from ult_spark.ops.sketch import countmin_estimates_sql
+
+    ORACLES["countmin_user_est"] = countmin_estimates_sql(
+        "events", "user_id", top=20
+    )
+
+
+_attach_countmin_oracle()
+
+
+@q(
+    "cusum_hourly",
+    "WITH hourly AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) "
+    "AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "gg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s "
+    "FROM hourly), "
+    "cu AS (SELECT hr, CAST(sum(n * cnt - s) OVER (ORDER BY hr "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum, n "
+    "FROM hourly CROSS JOIN gg) "
+    "SELECT hr, cusum, n FROM cu ORDER BY abs(cusum) DESC, hr ASC LIMIT 1",
+)
+def cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator on the hourly event-count series (r7):
+    S_t = Σ_{i≤t} (n·x_i − Σx) — the integer-lifted cumulative
+    deviation from the series mean; the hour maximizing |S_t| is the
+    classic single-changepoint estimate (Page 1954 / binary
+    segmentation's first cut) — where did the ingest rate shift? Exact
+    BIGINTs end to end, total order (|S| DESC, hr ASC) before the
+    LIMIT. The prefix-sum window and the argmax sort run over the
+    HOURLY AGGREGATE (bounded by elapsed hours — the stl
+    justification); occupied hours only (a gap is a missing sample,
+    not a zero)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    gg = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    cu = hourly.crossJoin(F.broadcast(gg)).select(
+        "hr",
+        F.sum(F.col("n") * F.col("cnt") - F.col("s")).over(w).cast("long").alias("cusum"),
+        "n",
+    )
+    return cu.orderBy(F.abs(F.col("cusum")).desc(), F.col("hr").asc()).limit(1)
