@@ -53,7 +53,8 @@ _PRIORITY = [
     "bearing_rose_8", "user_circadian_entropy", "psi_doclen_sources",
     "ktruss_hosts", "ktruss_fixpoint_hosts", "lp_modularity_hosts",
     "rich_club_hosts", "lm_cross_entropy_docs", "acf_hourly",
-    "countmin_user_est", "cusum_hourly",
+    "countmin_user_est", "cusum_hourly", "hll_users_pinned",
+    "event_type_transitions",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window

@@ -335,6 +335,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "acf_hourly",
         "countmin_user_est",
         "cusum_hourly",
+        "hll_users_pinned",
+        "event_type_transitions",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

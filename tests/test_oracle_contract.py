@@ -60,4 +60,6 @@ def test_priority_window_names_all_resolve():
     os_ = E.oracle_sql()
     window = list(qs)[:50]
     no_oracle = [n for n in window if n not in os_]
-    assert no_oracle == ["approx_users_per_tile_l6"], no_oracle
+    # either the rows-only HLL query occupies a slot this round or the
+    # rotation pushed it out and the window is fully oracle-backed
+    assert no_oracle in ([], ["approx_users_per_tile_l6"]), no_oracle

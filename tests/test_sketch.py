@@ -18,3 +18,26 @@ def test_countmin_overestimates_only_and_tight_when_wide(spark):
     # at w=1 every key shares one bucket per row: est = N for all keys
     one = countmin_estimates(df, "user_id", top=3, w=1).collect()
     assert all(r.est == 1000 for r in one)
+
+
+def test_hll_pinned_regimes(spark):
+    from ult_spark.ops.sketch import hll_estimate
+
+    # small-range regime: 40 keys over 256 registers → linear counting
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40) for _ in range(3)], "user_id string"
+    )
+    r = hll_estimate(small, "user_id").collect()[0]
+    assert r.n_exact == 40 and r.v_zero > 0
+    # linear counting at this load is within ~10% of exact
+    assert abs(r.est - 40) <= 4
+    # duplicates must not move the sketch: registers hold MAX rank
+    r2 = hll_estimate(small.distinct(), "user_id").collect()[0]
+    assert (r2.s49, r2.v_zero, r2.est) == (r.s49, r.v_zero, r.est)
+    # raw-estimate regime: 5000 distinct keys, expect ~1/sqrt(256) ≈ 6.5%
+    big = spark.createDataFrame(
+        [(f"x{i}",) for i in range(5000)], "user_id string"
+    )
+    b = hll_estimate(big, "user_id").collect()[0]
+    assert b.n_exact == 5000
+    assert abs(b.est - 5000) / 5000 < 0.2

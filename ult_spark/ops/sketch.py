@@ -122,3 +122,98 @@ def countmin_estimates_sql(
         "CAST(min(sk.cnt) - p.exact AS BIGINT) AS overcount "
         "FROM probe p JOIN sk USING (d, bucket) GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# pinned HyperLogLog (m = 256 registers) with an EXACT cross-engine oracle
+
+HLL_M = 256
+# alpha_m · m² · 2⁴⁹ for m = 256 (Flajolet et al. 2007 §4,
+# alpha_m = 0.7213/(1 + 1.079/m)) — ONE double literal shared by both
+# engines; 2⁴⁹ cancels the integer lift of Σ2^(−M_j) below.
+HLL_NUM = 2.6499581405668102e19
+
+
+def _bitlen(col):
+    """Bit length of a nonnegative BIGINT via its base-2 string — the
+    only clz both engines share exactly (Spark conv ≡ DuckDB bin);
+    0 → 0 by convention (conv renders '0', length 1, special-cased)."""
+    return (
+        F.when(col == 0, F.lit(0))
+        .otherwise(F.length(F.conv(col.cast("string"), 10, 2)))
+        .cast("long")
+    )
+
+
+def hll_estimate(df: DataFrame, key: str) -> DataFrame:
+    """One-row (n_exact, v_zero, s49, est): a from-scratch HyperLogLog
+    over ``key`` CERTIFIED against the exact distinct count — unlike
+    Spark's built-in approx_count_distinct (whose sketch internals are
+    opaque, so approx_users_per_tile_l6 is rows-only), every step here
+    is pinned integer math both engines reproduce bit-for-bit, so the
+    DuckDB oracle checks the REGISTER FOLD, not just plausibility.
+
+    Construction: h = md5-lane-56(key); register j = h mod 256; rank =
+    49 − bitlen(h div 256) (48 payload bits, all-zeros → 49); M_j =
+    max rank per register over the FULL 256-register universe (empty
+    registers M = 0 via a sequence-explode left join — they dominate
+    the small-range regime and must not vanish). The harmonic fold
+    Σ 2^(−M_j) is lifted to the exact BIGINT s49 = Σ 2^(49−M_j)
+    (≤ 256·2⁴⁹ = 2⁵⁷), so the raw estimate is ONE shared double
+    division HLL_NUM / s49; the standard small-range branch switches
+    to linear counting 256·ln(256/V) when raw ≤ 5/2·m and zero
+    registers remain. Scale: one partial-agg groupBy to 256 rows, then
+    constants — the shuffle carries the sketch, never the data, and
+    merging partial registers IS Spark's partial max aggregation."""
+    k = F.col(key).cast("string")
+    h = _h56(k, 1)
+    # h div 256 as an exact BIT SHIFT — a double division of a 56-bit
+    # value would lose bits past 2^53
+    reg = df.select(
+        F.pmod(h, F.lit(HLL_M)).alias("j"),
+        (F.lit(49) - _bitlen(F.shiftright(h, 8))).alias("rank"),
+    )
+    m_j = reg.groupBy("j").agg(F.max("rank").cast("long").alias("m"))
+    grid = df.sparkSession.range(HLL_M).select(F.col("id").alias("j"))
+    regs = grid.join(m_j, "j", "left").select(
+        F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    fold = regs.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(49) - F.col("m")).cast("long"))
+        .cast("long")
+        .alias("s49"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    exact = df.agg(F.countDistinct(F.col(key)).cast("long").alias("n_exact"))
+    raw = F.lit(HLL_NUM) / F.col("s49").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0),
+        F.floor(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double"))),
+    ).otherwise(F.floor(raw)).cast("long")
+    return (
+        exact.crossJoin(F.broadcast(fold))
+        .select("n_exact", "v_zero", "s49", est.alias("est"))
+    )
+
+
+def hll_estimate_sql(table: str, key: str) -> str:
+    m = HLL_M
+    return (
+        f"WITH hh AS (SELECT (('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 14))"
+        f"::BIGINT) AS h FROM {table}), "
+        f"rk AS (SELECT h % {m} AS j, 49 - (CASE WHEN h // {m} = 0 THEN 0 "
+        f"ELSE length(bin(h // {m})) END) AS rank FROM hh), "
+        "mj AS (SELECT j, CAST(max(rank) AS BIGINT) AS m FROM rk GROUP BY 1), "
+        f"grid AS (SELECT unnest(generate_series(0, {m - 1})) AS j), "
+        "regs AS (SELECT CAST(coalesce(mj.m, 0) AS BIGINT) AS m "
+        "FROM grid LEFT JOIN mj USING (j)), "
+        "fold AS (SELECT CAST(sum(CAST(pow(2.0, 49 - m) AS BIGINT)) AS BIGINT) AS s49, "
+        "CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero FROM regs), "
+        f"ex AS (SELECT CAST(count(DISTINCT {key}) AS BIGINT) AS n_exact FROM {table}) "
+        "SELECT ex.n_exact, fold.v_zero, fold.s49, "
+        f"CASE WHEN {HLL_NUM!r} / CAST(fold.s49 AS DOUBLE) <= {2.5 * m} "
+        "AND fold.v_zero > 0 THEN "
+        f"CAST(floor({float(m)} * ln({float(m)} / CAST(fold.v_zero AS DOUBLE))) AS BIGINT) "
+        f"ELSE CAST(floor({HLL_NUM!r} / CAST(fold.s49 AS DOUBLE)) AS BIGINT) END AS est "
+        "FROM ex CROSS JOIN fold"
+    )

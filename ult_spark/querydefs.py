@@ -5139,3 +5139,63 @@ def cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return cu.orderBy(F.abs(F.col("cusum")).desc(), F.col("hr").asc()).limit(1)
+
+
+@q("hll_users_pinned", None)
+def hll_users_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog distinct-user estimate CERTIFIED
+    against the exact count (r7, ops/sketch.py hll_estimate): pinned
+    md5-lane registers, exact BIGINT harmonic fold s49 = Σ2^(49−M_j),
+    one shared double division + the standard linear-counting
+    small-range branch — the DuckDB oracle reproduces the register
+    fold bit-for-bit, closing the gap the opaque built-in
+    approx_count_distinct (rows-only) leaves open."""
+    from ult_spark.ops.sketch import hll_estimate
+
+    return hll_estimate(load(spark, sf_dir, "events"), key="user_id")
+
+
+def _attach_hll_pinned_oracle() -> None:
+    from ult_spark.ops.sketch import hll_estimate_sql
+
+    ORACLES["hll_users_pinned"] = hll_estimate_sql("events", "user_id")
+
+
+_attach_hll_pinned_oracle()
+
+
+@q(
+    "event_type_transitions",
+    "WITH seq AS (SELECT user_id, event_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events), "
+    "tr AS (SELECT prev AS src_type, event_type AS dst_type, "
+    "CAST(count(*) AS BIGINT) AS n FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2), "
+    "tot AS (SELECT src_type, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1) "
+    "SELECT tr.src_type, tr.dst_type, tr.n, "
+    "CAST(floor(1000000.0::DOUBLE * CAST(tr.n AS DOUBLE) / CAST(tot.tot AS DOUBLE)) "
+    "AS BIGINT) AS p_e6 FROM tr JOIN tot USING (src_type)",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types (r7):
+    consecutive per-user (prev → next) pairs under the pinned total
+    order (ts, event_id), counted and row-normalized to e6 transition
+    probabilities — the behavioral-flow fingerprint (which action
+    follows which?). One lag window per user + two partial-agg
+    groupBys + one broadcast-able row-total join; integer counts,
+    one floored float per cell."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev").alias("src_type"), F.col("event_type").alias("dst_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = tr.groupBy("src_type").agg(F.sum("n").cast("long").alias("tot"))
+    p_e6 = F.floor(
+        F.lit(1000000.0) * F.col("n").cast("double") / F.col("tot").cast("double")
+    ).cast("long")
+    return tr.join(tot, "src_type").select(
+        "src_type", "dst_type", "n", p_e6.alias("p_e6")
+    )
