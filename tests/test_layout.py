@@ -337,6 +337,10 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "cusum_hourly",
         "hll_users_pinned",
         "event_type_transitions",
+        "lineitem_pricing_summary",
+        "top_unshipped_orders",
+        "revenue_by_nation",
+        "promo_revenue_share",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -5199,3 +5199,191 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.join(tot, "src_type").select(
         "src_type", "dst_type", "n", p_e6.alias("p_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: TPC-H-shaped pricing analytics over the so-far-unused
+# lineitem/part/supplier tables — the relational-warehouse slice.
+# Float discipline (CLAUDE.md r3): revenue terms are quantized
+# ROW-LOCALLY with textually identical IEEE expressions in both engines
+# (DuckDB literals pinned ::DOUBLE against its DECIMAL typing), then
+# summed as exact BIGINTs — no cross-partition float fold anywhere.
+
+
+def _rev_e4():
+    return F.floor(
+        F.lit(10000.0) * F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("long")
+
+
+_REV_E4_SQL = (
+    "CAST(floor(10000.0::DOUBLE * l_extendedprice * "
+    "(1.0::DOUBLE - l_discount)) AS BIGINT)"
+)
+
+
+@q(
+    "lineitem_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(floor(100.0::DOUBLE * l_extendedprice) AS BIGINT)) AS BIGINT) "
+    "AS sum_base_e2, "
+    f"CAST(sum({_REV_E4_SQL}) AS BIGINT) AS sum_disc_e4, "
+    "CAST(sum(CAST(floor(1000000.0::DOUBLE * l_extendedprice * "
+    "(1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)) AS BIGINT)) AS BIGINT) "
+    "AS sum_charge_e6, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY 1, 2",
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary (r7): per (returnflag,
+    linestatus) quantities, base/discounted/charged revenue and order
+    counts over shipped lineitems — THE scan-heavy warehouse
+    aggregate. One partial-agg groupBy over a pushed-down timestamp
+    filter (2 grouping values → partial aggs collapse map-side;
+    perfectly scalable). Quantity is integral by spec (cast exact);
+    revenue per-row e2/e4/e6 floors before the BIGINT sums — integer
+    bound: charge_e6 ≤ 1e11/row, safe through ~10⁷ rows/group at e6;
+    drop to e2 scaling at extreme scale."""
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    charge_e6 = F.floor(
+        F.lit(1000000.0)
+        * F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(F.floor(F.lit(100.0) * F.col("l_extendedprice")).cast("long"))
+        .cast("long")
+        .alias("sum_base_e2"),
+        F.sum(_rev_e4()).cast("long").alias("sum_disc_e4"),
+        F.sum(charge_e6).cast("long").alias("sum_charge_e6"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+@q(
+    "top_unshipped_orders",
+    "SELECT o_orderkey, "
+    "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch, "
+    f"CAST(sum({_REV_E4_SQL}) AS BIGINT) AS rev_e4 "
+    "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' "
+    "AND l.l_shipdate > TIMESTAMP '1997-01-01' "
+    "GROUP BY 1, 2 ORDER BY rev_e4 DESC, o_orderkey ASC LIMIT 10",
+)
+def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority top-10 (r7): revenue of
+    BUILDING-segment orders placed before a date whose items shipped
+    after it. The dimension side (filtered customers) broadcasts;
+    the orders⋈lineitem join is key-partitioned; total order
+    (rev DESC, orderkey ASC) before the LIMIT. Order date emitted as
+    floored epoch seconds (cross-engine-stable, the warc_ts rule)."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "o_orderkey",
+            F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("order_epoch"),
+        )
+        .agg(F.sum(_rev_e4()).cast("long").alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "revenue_by_nation",
+    f"SELECT n.n_name, CAST(sum({_REV_E4_SQL}) AS BIGINT) AS rev_e4 "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "AND s.s_nationkey = c.c_nationkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "JOIN region r ON r.r_regionkey = n.n_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue (r7): per-nation revenue
+    where the customer and the lineitem's supplier share the nation,
+    scoped to one region and one order year — the classic snowflake
+    join. supplier/nation/region broadcast EXPLICITLY (tiny dims);
+    customer⋈orders⋈lineitem shuffle on their keys with AQE; the
+    region filter prunes the broadcast before it ships."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    dims = F.broadcast(
+        s.join(n, s["s_nationkey"] == n["n_nationkey"]).join(
+            r, n["n_regionkey"] == r["r_regionkey"]
+        )
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            dims,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_rev_e4()).cast("long").alias("rev_e4"))
+    )
+
+
+@q(
+    "promo_revenue_share",
+    f"WITH j AS (SELECT {_REV_E4_SQL} AS rev_e4, p.p_type "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' "
+    "AND l.l_shipdate < TIMESTAMP '1996-04-01') "
+    "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) "
+    "AS BIGINT) AS promo_e4, CAST(sum(rev_e4) AS BIGINT) AS total_e4, "
+    "CAST(floor(1000000.0::DOUBLE * "
+    "CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE) / "
+    "CAST(sum(rev_e4) AS DOUBLE)) AS BIGINT) AS share_e6 FROM j",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share (r7): fraction of one
+    month's revenue from PROMO-type parts — conditional sum over a
+    broadcast part join, one e6-floored ratio of two exact BIGINTs
+    (one row out; a month of a 100 TB fact table is the partition-
+    pruning showcase — the shipdate filter reaches the scan)."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).select(
+        _rev_e4().alias("rev_e4"), "p_type"
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0)))
+    total = F.sum("rev_e4")
+    return j.agg(
+        promo.cast("long").alias("promo_e4"),
+        total.cast("long").alias("total_e4"),
+        F.floor(
+            F.lit(1000000.0) * promo.cast("double") / total.cast("double")
+        ).cast("long").alias("share_e6"),
+    )
