@@ -41,3 +41,21 @@ def test_hll_pinned_regimes(spark):
     b = hll_estimate(big, "user_id").collect()[0]
     assert b.n_exact == 5000
     assert abs(b.est - 5000) / 5000 < 0.2
+
+
+def test_bloom_no_false_negatives_and_fp_pressure(spark):
+    from pyspark.sql import functions as F
+
+    from ult_spark.ops.sketch import bloom_audit
+
+    rows = [(f"m{i}", "in") for i in range(50)] + [
+        (f"o{i}", "out") for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, tag string")
+    r = bloom_audit(df, "user_id", F.col("tag") == "in").collect()[0]
+    assert (r.n_members, r.n_probes) == (50, 550)
+    assert r.n_false_neg == 0 and r.n_true_pos == 50  # the Bloom theorem
+    assert 0 <= r.n_false_pos <= 500 and r.fp_e6 is not None
+    # undersized filter (m=8): every lane collides, all probes positive
+    tiny = bloom_audit(df, "user_id", F.col("tag") == "in", m=8).collect()[0]
+    assert tiny.n_false_neg == 0 and tiny.n_false_pos == 500

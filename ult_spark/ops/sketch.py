@@ -217,3 +217,103 @@ def hll_estimate_sql(table: str, key: str) -> str:
         f"ELSE CAST(floor({HLL_NUM!r} / CAST(fold.s49 AS DOUBLE)) AS BIGINT) END AS est "
         "FROM ex CROSS JOIN fold"
     )
+
+
+# ---------------------------------------------------------------------------
+# pinned Bloom filter with a full membership audit
+
+BLOOM_M = 1024
+BLOOM_K = 3
+
+
+def bloom_audit(
+    df: DataFrame,
+    key: str,
+    member_pred,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """One-row Bloom-filter audit (Bloom 1970): build an ``m``-bit /
+    ``k``-lane filter over the DISTINCT keys satisfying ``member_pred``
+    (a boolean Column), probe it with EVERY distinct key, and count the
+    confusion matrix — ``n_false_neg`` is 0 by theorem (the audit
+    asserts the data structure, not a property of the data), and
+    ``fp_e6`` is the measured false-positive rate to compare against
+    the classical (1 − e^{−kn/m})^k sizing estimate offline.
+
+    The filter materializes as its SET-BIT LIST (≤ m rows out of a
+    distinct over exploded md5 lanes — the same pinned _h56 offsets as
+    count-min, so both engines build the identical bitmap) and
+    broadcasts to the probe side; a probe is positive iff ALL k of its
+    lanes hit (min over a left-join hit flag). Scale: the filter
+    shuffle is ≤ m rows regardless of input; the probe side is one
+    groupBy over distinct keys × k."""
+    keys = (
+        df.groupBy(F.col(key).cast("string").alias("key"))
+        .agg(F.max(F.when(member_pred, 1).otherwise(0)).alias("is_member"))
+    )
+    lanes = F.explode(
+        F.array(*[_lane(F.col("key"), i, m) for i in range(k)])
+    ).alias("bit")
+    bits = (
+        keys.where(F.col("is_member") == 1).select(lanes).distinct()
+    )
+    probe = (
+        keys.select("key", "is_member", lanes)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("key", "is_member")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("positive"))
+    )
+    mem = F.col("is_member") == 1
+    pos = F.col("positive") == 1
+    agg = probe.agg(
+        F.sum(F.when(mem, 1).otherwise(0)).cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(mem & pos, 1).otherwise(0)).cast("long").alias("n_true_pos"),
+        F.sum(F.when(~mem & pos, 1).otherwise(0)).cast("long").alias("n_false_pos"),
+        F.sum(F.when(mem & ~pos, 1).otherwise(0)).cast("long").alias("n_false_neg"),
+    )
+    fp_e6 = F.when(
+        F.col("n_probes") > F.col("n_members"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("n_false_pos").cast("double")
+            / (F.col("n_probes") - F.col("n_members")).cast("double")
+        ),
+    ).cast("long")
+    return agg.select(
+        "n_members", "n_probes", "n_true_pos", "n_false_pos", "n_false_neg",
+        fp_e6.alias("fp_e6"),
+    )
+
+
+def bloom_audit_sql(
+    table: str, key: str, member_pred_sql: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    lane = (
+        lambda i: f"(('0x' || substr(md5(key), {2 * i + 1}, 14))::BIGINT % {m} + {m}) % {m}"
+    )
+    lane_rows = " UNION ALL ".join(
+        f"SELECT key, is_member, {lane(i)} AS bit FROM keys" for i in range(k)
+    )
+    return (
+        f"WITH keys AS MATERIALIZED (SELECT CAST({key} AS VARCHAR) AS key, "
+        f"max(CASE WHEN {member_pred_sql} THEN 1 ELSE 0 END) AS is_member "
+        f"FROM {table} GROUP BY 1), "
+        f"lanes AS MATERIALIZED (SELECT key, is_member, bit FROM ({lane_rows})), "
+        "bits AS (SELECT DISTINCT bit, 1 AS hit FROM lanes WHERE is_member = 1), "
+        "probe AS (SELECT l.key, l.is_member, "
+        "min(coalesce(b.hit, 0)) AS positive "
+        "FROM lanes l LEFT JOIN bits b USING (bit) GROUP BY 1, 2), "
+        "agg AS (SELECT CAST(sum(CASE WHEN is_member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_members, "
+        "CAST(count(*) AS BIGINT) AS n_probes, "
+        "CAST(sum(CASE WHEN is_member = 1 AND positive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos, "
+        "CAST(sum(CASE WHEN is_member = 0 AND positive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos, "
+        "CAST(sum(CASE WHEN is_member = 1 AND positive = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg "
+        "FROM probe) "
+        "SELECT n_members, n_probes, n_true_pos, n_false_pos, n_false_neg, "
+        "CASE WHEN n_probes > n_members THEN "
+        "CAST(floor(1000000.0::DOUBLE * CAST(n_false_pos AS DOUBLE) / "
+        "CAST(n_probes - n_members AS DOUBLE)) AS BIGINT) ELSE NULL END AS fp_e6 "
+        "FROM agg"
+    )

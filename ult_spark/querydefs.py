@@ -5387,3 +5387,39 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000000.0) * promo.cast("double") / total.cast("double")
         ).cast("long").alias("share_e6"),
     )
+
+
+@q("bloom_purchasers_audit", None)
+def bloom_purchasers_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (r7, ops/sketch.py bloom_audit):
+    a 1024-bit / 3-lane filter over the distinct users with a
+    purchase in the id-sampled cohort (the driver corpus is uniform —
+    every user has every event type, so a bare type predicate is
+    degenerate, the r5 skew lesson; the cohort keeps a real
+    non-member population to measure false positives against),
+    probed with every distinct user — n_false_neg = 0 is the Bloom
+    theorem the row asserts; fp_e6 is the measured false-positive
+    rate at this sizing. The filter broadcasts as its ≤ m-row set-bit
+    list; both engines build the identical md5-lane bitmap, so the
+    oracle certifies the data structure itself. Completes the sketch
+    trilogy (count-min / HLL / Bloom) — the production seen-set
+    pre-filter for resume and dedup at 100 TB."""
+    from ult_spark.ops.sketch import bloom_audit
+
+    return bloom_audit(
+        load(spark, sf_dir, "events"),
+        key="user_id",
+        member_pred=(F.col("event_type") == "purchase")
+        & (F.col("user_id") % 5 == 0),
+    )
+
+
+def _attach_bloom_oracle() -> None:
+    from ult_spark.ops.sketch import bloom_audit_sql
+
+    ORACLES["bloom_purchasers_audit"] = bloom_audit_sql(
+        "events", "user_id", "event_type = 'purchase' AND user_id % 5 = 0"
+    )
+
+
+_attach_bloom_oracle()
