@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "jaccard_host_links",
     "stl_decompose_hourly",
     "minwise_host_sim",
+    # r7 post-stall wave: the scan-heavy warehouse rollup, the sketch
+    # whose shuffle is data-size-independent, and the explode-heavy
+    # corpus LM score
+    "lineitem_pricing_summary",
+    "countmin_user_est",
+    "lm_cross_entropy_docs",
     # cell_dbscan_l6 is deliberately NOT timed here: at sf0.1 the uniform
     # corpus percolates (every L6 cell dense -> one grid-diameter component,
     # re-measured r7 post-stats-barrier: 15.8 s warm of CC rounds) which is

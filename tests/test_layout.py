@@ -342,6 +342,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "revenue_by_nation",
         "promo_revenue_share",
         "bloom_purchasers_audit",
+        "quantile_bins_doclen",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

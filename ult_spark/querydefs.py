@@ -5423,3 +5423,73 @@ def _attach_bloom_oracle() -> None:
 
 
 _attach_bloom_oracle()
+
+
+@q(
+    "quantile_bins_doclen",
+    "WITH lens AS (SELECT n_chars AS dl, CAST(count(*) AS BIGINT) AS c "
+    "FROM documents GROUP BY 1), "
+    "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lens), "
+    "qs AS (SELECT unnest([50, 90, 99]) AS q), "
+    "tq AS (SELECT q, (q * n + 99) // 100 AS t, n FROM qs CROSS JOIN nn), "
+    "cum AS (SELECT dl, c, CAST(sum(c) OVER (ORDER BY dl "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM lens), "
+    "ex AS (SELECT tq.q, CAST(min(cum.dl) AS BIGINT) AS exact "
+    "FROM tq JOIN cum ON cum.cm >= tq.t GROUP BY 1), "
+    "hist AS (SELECT dl // 64 AS bin, CAST(sum(c) AS BIGINT) AS bc FROM lens "
+    "GROUP BY 1), "
+    "hcum AS (SELECT bin, bc, CAST(sum(bc) OVER (ORDER BY bin "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM hist), "
+    "es AS (SELECT tq.q, tq.n, tq.t, "
+    "CAST(h.bin * 64 + ((tq.t - (h.cm - h.bc) - 1) * 64) // h.bc AS BIGINT) AS est "
+    "FROM tq JOIN hcum h ON h.cm >= tq.t AND h.cm - h.bc < tq.t) "
+    "SELECT es.q, es.n, es.t, ex.exact, es.est, "
+    "CAST(es.est - ex.exact AS BIGINT) AS err FROM es JOIN ex USING (q)",
+)
+def quantile_bins_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram percentile audit over doc lengths (r7): the
+    pinned-internals analog of percentile_approx — p50/p90/p99
+    estimated from a width-64 bin histogram with in-bin linear
+    interpolation, side by side with the EXACT order statistic, err in
+    characters. Both sides ride the distinct-length aggregate (bounded
+    by the length domain, never rows — groupBy first, windows after,
+    so no global sort of raw data at 100 TB); ranks, bins and the
+    interpolation are exact integer arithmetic end to end (t =
+    ceil(q·n/100) as (q·n+99) div 100; est = bin_lo +
+    ((t−cum_before−1)·64) div bin_cnt)."""
+    lens = (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.col("n_chars").alias("dl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nn = lens.agg(F.sum("c").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q")
+    )
+    tq = qs.crossJoin(F.broadcast(nn)).select(
+        "q", F.expr("(q * n + 99) div 100").cast("long").alias("t"), "n"
+    )
+    w = Window.orderBy("dl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = lens.select("dl", "c", F.sum("c").over(w).cast("long").alias("cm"))
+    ex = (
+        tq.join(cum, cum["cm"] >= tq["t"])
+        .groupBy("q")
+        .agg(F.min("dl").cast("long").alias("exact"))
+    )
+    hist = (
+        lens.groupBy(F.expr("dl div 64").alias("bin"))
+        .agg(F.sum("c").cast("long").alias("bc"))
+    )
+    hw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hcum = hist.select("bin", "bc", F.sum("bc").over(hw).cast("long").alias("cm"))
+    es = tq.join(
+        hcum, (hcum["cm"] >= tq["t"]) & ((hcum["cm"] - hcum["bc"]) < tq["t"])
+    ).select(
+        "q", "n", "t",
+        F.expr("bin * 64 + ((t - (cm - bc) - 1) * 64) div bc")
+        .cast("long")
+        .alias("est"),
+    )
+    return es.join(ex, "q").select(
+        "q", "n", "t", "exact", "est", (F.col("est") - F.col("exact")).alias("err")
+    )
