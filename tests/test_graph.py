@@ -527,3 +527,21 @@ def test_rich_club_closed_form(spark):
     assert got[1] == (4, 6, 1_000_000)  # the clique is a perfect rich club
     assert got[3] == (1, 0, None)
     assert got[4] == (0, 0, None)
+
+
+def test_transitivity_closed_forms(spark):
+    """r7: a 4-clique is perfectly transitive (C = 1), a star has
+    wedges but no triangle (C = 0), and the pair composes additively
+    in the sums."""
+    from itertools import combinations
+
+    from ult_spark.ops.graph import transitivity
+
+    clique = [(u, v, 1) for u, v in combinations(["a", "b", "c", "d"], 2)]
+    star = [("h", f"s{i}", 1) for i in range(4)]
+    c = transitivity(_edges_df(spark, clique)).collect()[0]
+    assert (c.wedges, c.triangles, c.trans_e6) == (12, 4, 1_000_000)
+    s = transitivity(_edges_df(spark, star)).collect()[0]
+    assert (s.wedges, s.triangles, s.trans_e6) == (6, 0, 0)
+    both = transitivity(_edges_df(spark, clique + star)).collect()[0]
+    assert (both.wedges, both.triangles) == (18, 4)

@@ -343,6 +343,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "promo_revenue_share",
         "bloom_purchasers_audit",
         "quantile_bins_doclen",
+        "transitivity_hosts",
+        "mad_hourly_anomalies",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

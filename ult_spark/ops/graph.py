@@ -1387,3 +1387,64 @@ def rich_club_sql(edges_sql: str, min_w: int = 1) -> str:
         "AS BIGINT) ELSE NULL END AS phi_e6 "
         "FROM nk JOIN ek USING (k)"
     )
+
+
+def transitivity(edges: DataFrame, min_w: int = 1) -> DataFrame:
+    """One-row global transitivity (Newman's "global clustering
+    coefficient"): C = 3·triangles / wedges = Σ_v tri_v / Σ_v C(deg_v, 2)
+    — the graph-wide companion to :func:`triangles`' per-node cc_e6
+    (a high-transitivity web graph is community-like; near 0 is
+    star/bipartite-like). Both sums are exact BIGINTs from the SAME
+    degree frame and the SAME degree-ordered triangle enumeration
+    (Σ_v tri_v counts each triangle exactly 3×, so no separate 3·T
+    term), ONE e6-floored division. Emits (wedges, triangles,
+    trans_e6); NULL when the graph has no wedge."""
+    und = _und_simple(edges, min_w)
+    deg = _und_degrees(und)
+    ori = _oriented_edges(und, deg)
+    tri3 = (
+        _wedges(ori)
+        .join(ori.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"])
+        .agg((F.lit(3) * F.count(F.lit(1))).cast("long").alias("t3"))
+    )
+    wd = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) div 2")), F.lit(0)
+        ).cast("long").alias("wedges")
+    )
+    trans = F.floor(
+        F.lit(1000000.0) * F.col("t3").cast("double") / F.col("wedges").cast("double")
+    ).cast("long")
+    return (
+        wd.crossJoin(tri3)
+        .select(
+            "wedges",
+            F.expr("t3 div 3").cast("long").alias("triangles"),
+            F.when(F.col("wedges") > 0, trans).alias("trans_e6"),
+        )
+    )
+
+
+def transitivity_sql(edges_sql: str, min_w: int = 1) -> str:
+    return (
+        f"WITH te AS ({edges_sql}), "
+        "tund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM te WHERE src <> dst AND w >= {min_w}), "
+        "tdeg AS MATERIALIZED (SELECT u AS host, CAST(count(*) AS BIGINT) AS deg "
+        "FROM (SELECT u, v FROM tund UNION ALL SELECT v, u FROM tund) GROUP BY 1), "
+        "tori AS MATERIALIZED (SELECT "
+        "CASE WHEN (du.deg, tund.u) < (dv.deg, tund.v) THEN tund.u ELSE tund.v END AS a, "
+        "CASE WHEN (du.deg, tund.u) < (dv.deg, tund.v) THEN tund.v ELSE tund.u END AS b, "
+        "CASE WHEN (du.deg, tund.u) < (dv.deg, tund.v) THEN dv.deg ELSE du.deg END AS db "
+        "FROM tund JOIN tdeg du ON du.host = tund.u JOIN tdeg dv ON dv.host = tund.v), "
+        "t3 AS (SELECT CAST(3 * count(*) AS BIGINT) AS t3 FROM "
+        "(SELECT l.a, l.b AS x, r.b AS y FROM tori l "
+        "JOIN tori r ON r.a = l.a AND (l.db, l.b) < (r.db, r.b) "
+        "JOIN tori c ON c.a = l.b AND c.b = r.b)), "
+        "wd AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) "
+        "AS wedges FROM tdeg) "
+        "SELECT wd.wedges, CAST(t3.t3 // 3 AS BIGINT) AS triangles, "
+        "CASE WHEN wd.wedges > 0 THEN CAST(floor(1000000.0::DOUBLE * "
+        "CAST(t3.t3 AS DOUBLE) / CAST(wd.wedges AS DOUBLE)) AS BIGINT) "
+        "ELSE NULL END AS trans_e6 FROM wd CROSS JOIN t3"
+    )

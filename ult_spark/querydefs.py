@@ -5493,3 +5493,87 @@ def quantile_bins_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es.join(ex, "q").select(
         "q", "n", "t", "exact", "est", (F.col("est") - F.col("exact")).alias("err")
     )
+
+
+@q(
+    "mad_hourly_anomalies",
+    "WITH hourly AS (SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) "
+    "AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), "
+    "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hourly), "
+    "vc AS (SELECT cnt AS v, CAST(count(*) AS BIGINT) AS c FROM hourly GROUP BY 1), "
+    "vcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM vc), "
+    "med AS (SELECT CAST(min(v) AS BIGINT) AS med FROM vcum CROSS JOIN nn "
+    "WHERE cm >= (n + 1) // 2), "
+    "dev AS (SELECT hr, cnt, abs(cnt - med) AS dv FROM hourly CROSS JOIN med), "
+    "dc AS (SELECT dv AS v, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY 1), "
+    "dcum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm FROM dc), "
+    "mad AS (SELECT CAST(min(v) AS BIGINT) AS mad FROM dcum CROSS JOIN nn "
+    "WHERE cm >= (n + 1) // 2) "
+    "SELECT d.hr, d.cnt, m.med, ma.mad, CAST(d.dv AS BIGINT) AS dev "
+    "FROM dev d CROSS JOIN med m CROSS JOIN mad ma "
+    "WHERE ma.mad > 0 AND d.dv > 3 * ma.mad",
+)
+def mad_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly detection on the hourly series (r7):
+    the breakdown-resistant twin of hourly_anomalies' z-score — a
+    single storm hour inflates a mean/stddev threshold but moves the
+    median and MAD not at all, so bursts can't mask themselves. Lower
+    medians (rank ceil(n/2)) computed EXACTLY via the distinct-value
+    cumulative trick (groupBy value first — the quantile_bins
+    discipline; no global sort of raw rows), deviations and the
+    3·MAD fence all exact BIGINTs, no floats anywhere. Flags hours
+    with |x − med| > 3·MAD; the constant series (MAD 0) flags
+    nothing by pinned convention."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    nn = hourly.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _lower_median(vals, col):
+        vc = vals.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        vcum = vc.select("v", F.sum("c").over(w).cast("long").alias("cm"))
+        return (
+            vcum.crossJoin(F.broadcast(nn))
+            .where(F.col("cm") >= F.expr("(n + 1) div 2"))
+            .agg(F.min("v").cast("long"))
+        )
+
+    med = _lower_median(hourly, "cnt").toDF("med")
+    dev = hourly.crossJoin(F.broadcast(med)).select(
+        "hr", "cnt", "med", F.abs(F.col("cnt") - F.col("med")).alias("dv")
+    )
+    mad = _lower_median(dev, "dv").toDF("mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .where((F.col("mad") > 0) & (F.col("dv") > 3 * F.col("mad")))
+        .select("hr", "cnt", "med", "mad", F.col("dv").cast("long").alias("dev"))
+    )
+
+
+@q("transitivity_hosts", None)
+def transitivity_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity of the host graph (r7, ops/graph.py
+    transitivity): 3·triangles/wedges from the SAME degree frame and
+    degree-ordered enumeration as the per-host cc — the one-number
+    community-structure gauge beside lp_modularity's Q."""
+    from ult_spark.ops.graph import transitivity
+
+    return transitivity(_host_edges(spark, sf_dir))
+
+
+def _attach_transitivity_oracle() -> None:
+    from ult_spark.ops.graph import transitivity_sql
+
+    ORACLES["transitivity_hosts"] = transitivity_sql(_HOST_EDGES_SQL)
+
+
+_attach_transitivity_oracle()
