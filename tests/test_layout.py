@@ -345,6 +345,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "quantile_bins_doclen",
         "transitivity_hosts",
         "mad_hourly_anomalies",
+        "customer_ltv_running",
+        "brand_discount_stats",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

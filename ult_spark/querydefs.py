@@ -5577,3 +5577,66 @@ def _attach_transitivity_oracle() -> None:
 
 
 _attach_transitivity_oracle()
+
+
+@q(
+    "customer_ltv_running",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_epoch, "
+    "CAST(row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS idx, "
+    "CAST(sum(CAST(floor(100.0::DOUBLE * o_totalprice) AS BIGINT)) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ltv_e2 "
+    "FROM orders",
+)
+def customer_ltv_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running customer lifetime value (r7): per-customer cumulative
+    order revenue under the pinned total order (o_orderdate,
+    o_orderkey) with the order index — the retention-economics
+    companion to user_retention_daily. One customer-keyed window over
+    row-local e2-floored totals (exact BIGINT running sums); scales as
+    a single hash-partitioned window, no joins."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.unix_timestamp("o_orderdate")).cast("long").alias("order_epoch"),
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum(F.floor(F.lit(100.0) * F.col("o_totalprice")).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("ltv_e2"),
+    )
+
+
+@q(
+    "brand_discount_stats",
+    "SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(floor(10000.0::DOUBLE * l_extendedprice * "
+    "(1.0::DOUBLE - l_discount)) AS BIGINT)) AS BIGINT) AS rev_e4, "
+    "CAST(sum(CAST(floor(1000000.0::DOUBLE * l_discount) AS BIGINT)) "
+    "// count(*) AS BIGINT) AS avg_disc_e6 "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey GROUP BY 1",
+)
+def brand_discount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount pressure (r7): item counts, discounted
+    revenue and the average granted discount per part brand — the
+    merchandising health rollup. Broadcast part join into one
+    partial-agg groupBy; discounts e6-floored per row then
+    INTEGER-divided by the count (exact both engines)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(_rev_e4()).cast("long").alias("rev_e4"),
+            F.expr(
+                "CAST(sum(CAST(floor(1000000.0 * l_discount) AS BIGINT)) "
+                "div count(*) AS BIGINT)"
+            ).alias("avg_disc_e6"),
+        )
+    )
