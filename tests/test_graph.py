@@ -545,3 +545,18 @@ def test_transitivity_closed_forms(spark):
     assert (s.wedges, s.triangles, s.trans_e6) == (6, 0, 0)
     both = transitivity(_edges_df(spark, clique + star)).collect()[0]
     assert (both.wedges, both.triangles) == (18, 4)
+
+
+def test_harmonic_centrality_path_closed_form(spark):
+    """r7: all-seed harmonic centrality on a 4-path — interior nodes
+    reach everyone closer (1/1+1/1+1/2), endpoints pay the long way
+    (1/1+1/2+1/3 with the 333333 floor)."""
+    from ult_spark.ops.graph import harmonic_centrality
+
+    path = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    got = {r.host: (r.n_reached, r.h_e6) for r in
+           harmonic_centrality(_edges_df(spark, path), k_seeds=4, rounds=4).collect()}
+    assert got == {
+        "a": (3, 1_833_333), "b": (3, 2_500_000),
+        "c": (3, 2_500_000), "d": (3, 1_833_333),
+    }

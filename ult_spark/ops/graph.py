@@ -1448,3 +1448,89 @@ def transitivity_sql(edges_sql: str, min_w: int = 1) -> str:
         "CAST(t3.t3 AS DOUBLE) / CAST(wd.wedges AS DOUBLE)) AS BIGINT) "
         "ELSE NULL END AS trans_e6 FROM wd CROSS JOIN t3"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, k_seeds: int = 8, rounds: int = 3, min_w: int = 1
+) -> DataFrame:
+    """Sampled harmonic centrality (Boldi & Vigna 2014's estimator
+    shape): H(v) = Σ_seeds 1/d(seed, v) over d ≤ ``rounds``, from
+    ``k_seeds`` DETERMINISTIC seeds (lowest md5-hash hosts — a rerun
+    or another engine picks the same sample; the full statistic is
+    all-pairs and infeasible at web scale, pinned sampling is the
+    standard estimator). Per-term 1/d is the EXACT integer
+     1000000 div d — no floats anywhere in this operator.
+
+    BFS as k simultaneous sources in ONE (seed, node, d) frame:
+    each round expands the frame through the adjacency list and
+    re-minimizes per (seed, node) — a fixed ``rounds``-deep lazy chain
+    (each round references its predecessor twice: expansion + union,
+    so plan size ~2^rounds; fine at reporting depths ≤ 4, apply the
+    localCheckpoint discipline beyond, per the connected_components
+    pattern). Emits (host, n_reached, h_e6) for reached hosts —
+    n_reached counts seeds within the horizon, h_e6 the harmonic sum."""
+    und = _und_simple(edges, min_w)
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    hosts = _und_degrees(und).select("host")
+    from ult_spark.ops.textops import _h56
+
+    sw = Window.orderBy(_h56(F.col("host")).asc(), F.col("host").asc())
+    seeds = (
+        hosts.withColumn("rk", F.row_number().over(sw))
+        .where(F.col("rk") <= k_seeds)
+        .select(F.col("host").alias("seed"))
+    )
+    dist = seeds.select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("d"))
+    for i in range(1, rounds + 1):
+        grown = dist.join(adj, dist["node"] == adj["a"]).select(
+            "seed", F.col("b").alias("node"), F.lit(i).cast("long").alias("d")
+        )
+        dist = (
+            dist.unionByName(grown)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("long").alias("d"))
+        )
+    return (
+        dist.where(F.col("d") >= 1)
+        .groupBy(F.col("node").alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("h_e6"),
+        )
+    )
+
+
+def harmonic_centrality_sql(
+    edges_sql: str, k_seeds: int = 8, rounds: int = 3, min_w: int = 1
+) -> str:
+    parts = [
+        f"WITH hce AS ({edges_sql}), "
+        "hcund AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        f"greatest(src, dst) AS v FROM hce WHERE src <> dst AND w >= {min_w}), "
+        "hcadj AS MATERIALIZED (SELECT u AS a, v AS b FROM hcund "
+        "UNION ALL SELECT v, u FROM hcund), "
+        "hchosts AS (SELECT DISTINCT a AS host FROM hcadj), "
+        "hcseeds AS MATERIALIZED (SELECT host AS seed FROM ("
+        "SELECT host, row_number() OVER (ORDER BY "
+        "('0x' || substr(md5(host), 1, 14))::BIGINT ASC, host ASC) AS rk "
+        f"FROM hchosts) WHERE rk <= {k_seeds}), "
+        "hcd0 AS MATERIALIZED (SELECT seed, seed AS node, "
+        "CAST(0 AS BIGINT) AS d FROM hcseeds)"
+    ]
+    prev = "hcd0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", hcd{i} AS MATERIALIZED (SELECT seed, node, CAST(min(d) AS BIGINT) AS d "
+            f"FROM (SELECT seed, node, d FROM {prev} UNION ALL "
+            f"SELECT p.seed, adj.b AS node, CAST({i} AS BIGINT) AS d "
+            f"FROM {prev} p JOIN hcadj adj ON adj.a = p.node) GROUP BY 1, 2)"
+        )
+        prev = f"hcd{i}"
+    parts.append(
+        f" SELECT node AS host, CAST(count(*) AS BIGINT) AS n_reached, "
+        f"CAST(sum(1000000 // d) AS BIGINT) AS h_e6 FROM {prev} "
+        "WHERE d >= 1 GROUP BY 1"
+    )
+    return "".join(parts)

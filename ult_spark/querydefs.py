@@ -5640,3 +5640,25 @@ def brand_discount_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_disc_e6"),
         )
     )
+
+
+@q("harmonic_centrality_hosts", None)
+def harmonic_centrality_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over the host graph (r7,
+    ops/graph.py harmonic_centrality): Σ 1/d from 8 pinned md5-lowest
+    seeds within a 3-hop horizon, every 1/d the exact integer
+    1000000 div d — the distance-based centrality missing from the
+    PageRank/HITS family (those measure link mass, this measures
+    reach). Oracle = the unrolled MATERIALIZED BFS."""
+    from ult_spark.ops.graph import harmonic_centrality
+
+    return harmonic_centrality(_host_edges(spark, sf_dir))
+
+
+def _attach_harmonic_oracle() -> None:
+    from ult_spark.ops.graph import harmonic_centrality_sql
+
+    ORACLES["harmonic_centrality_hosts"] = harmonic_centrality_sql(_HOST_EDGES_SQL)
+
+
+_attach_harmonic_oracle()
