@@ -731,3 +731,38 @@ def test_stream_session_trips_idle_timeout_flushes(spark, tmp_path):
     assert len(flushed) == 1
     row = flushed.iloc[0]
     assert (row.session_id, row.n_events, row.dur_s) == (1, 2, 1000)
+
+
+def test_stream_countmin_equals_batch(spark, tmp_path):
+    """r7: the summed streaming partial sketches equal the one-job batch
+    sketch on the same input, and a resumed (replayed) run changes
+    nothing — the batch-id overwrite makes additive state exactly-once."""
+    from ult_spark.ops.sketch import countmin_sketch
+    from ult_spark.streaming import read_countmin_store, stream_countmin
+
+    src = str(tmp_path / "cm_src")
+    store = str(tmp_path / "cm_store")
+    ckpt = str(tmp_path / "cm_ckpt")
+    rows1 = [(f"u{i % 9}",) for i in range(200)]
+    rows2 = [("hot",)] * 77 + [(f"u{i % 5}",) for i in range(100)]
+    spark.createDataFrame(rows1, "user_id string").write.parquet(f"{src}/a")
+    spark.createDataFrame(rows2, "user_id string").write.parquet(f"{src}/b")
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        stream_countmin(stream, store, ckpt).awaitTermination()
+
+    run()
+    got = {(r.d, r.bucket): r.cnt for r in read_countmin_store(spark, store).collect()}
+    full = spark.createDataFrame(rows1 + rows2, "user_id string")
+    want = {(r.d, r.bucket): r.cnt for r in
+            countmin_sketch(full, "user_id").collect()}
+    assert got == want
+    # resume with nothing new: store unchanged (no double counting)
+    run()
+    again = {(r.d, r.bucket): r.cnt for r in read_countmin_store(spark, store).collect()}
+    assert again == want

@@ -33,6 +33,27 @@ def _lane(col, d: int, w: int):
     return F.pmod(_h56(col, 2 * d + 1), F.lit(w)).cast("long")
 
 
+def countmin_sketch(
+    df: DataFrame, key: str, d: int = DEFAULT_D, w: int = DEFAULT_W
+) -> DataFrame:
+    """The d×w counter table (d, bucket, cnt) — the sketch itself,
+    shared by the batch audit and the streaming incremental build
+    (counter addition is associative+commutative, so a sum of partial
+    sketches IS the sketch of the union)."""
+    k = F.col(key).cast("string")
+    lanes = F.array(
+        *[
+            F.struct(F.lit(i).alias("d"), _lane(k, i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(lanes).alias("l"))
+        .groupBy(F.col("l.d").alias("d"), F.col("l.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def countmin_estimates(
     df: DataFrame,
     key: str,
@@ -52,17 +73,7 @@ def countmin_estimates(
     (the heavy-hitter probe set), then a broadcast-able (row, bucket)
     join and a per-key min — the probe side is ``top``·d rows."""
     k = F.col(key).cast("string")
-    lanes = F.array(
-        *[
-            F.struct(F.lit(i).alias("d"), _lane(k, i, w).alias("bucket"))
-            for i in range(d)
-        ]
-    )
-    sk = (
-        df.select(F.explode(lanes).alias("l"))
-        .groupBy(F.col("l.d").alias("d"), F.col("l.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    sk = countmin_sketch(df, key, d, w)
     exact = df.groupBy(k.alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("exact")
     )

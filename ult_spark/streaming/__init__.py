@@ -558,3 +558,52 @@ def stream_session_trips(
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def stream_countmin(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+    d: int = 4,
+    w: int = 64,
+    available_now: bool = True,
+):
+    """Incremental count-min sketch (r7, the stream_minhash_pairs
+    protocol applied to ops/sketch.py): each micro-batch commits its
+    OWN d×w partial sketch keyed by batch id — overwrite, never
+    additive merge into shared counters, because additive merges
+    double-count on replay while a batch-keyed overwrite is a no-op.
+    The live sketch is the SUM over committed partials
+    (:func:`read_countmin_store`): counter addition is associative and
+    commutative, so the sum of partials IS the sketch of the union —
+    the same partial-aggregation algebra Spark applies inside one job,
+    lifted across micro-batches. Steady-state cost per batch is the
+    batch's own groupBy to ≤ d·w rows; the store grows one ≤ d·w-row
+    file per batch (compact offline by re-summing, itself an
+    idempotent rewrite)."""
+    from ult_spark.ops.sketch import countmin_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch{batch_id:08d}"
+        sk = countmin_sketch(batch_df, key, d, w).withColumn(
+            "_batch", F.lit(batch_id)
+        )
+        sk.write.mode("overwrite").parquet(f"{store_dir}/{unit}")
+
+    writer = (
+        events.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """(d, bucket, cnt) summed over every committed batch partial."""
+    return (
+        spark.read.parquet(f"{store_dir}/*")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
