@@ -5662,3 +5662,45 @@ def _attach_harmonic_oracle() -> None:
 
 
 _attach_harmonic_oracle()
+
+
+@q(
+    "cdc_merge_orders",
+    "WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'), "
+    "chg AS (SELECT *, CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'), "
+    "merged AS (SELECT o_orderstatus, o_totalprice FROM base "
+    "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM chg) "
+    "UNION ALL SELECT o_orderstatus, o_totalprice FROM chg WHERE op = 'U') "
+    "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(CAST(floor(100.0::DOUBLE * o_totalprice) AS BIGINT)) AS BIGINT) "
+    "AS total_e2 FROM merged GROUP BY 1",
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO (upsert/delete) semantics certified by values (r7):
+    a deterministic changeset (orders from 1999 on; every 11th key a
+    delete, the rest upserts) applied to the pre-1999 base — matched
+    keys take the change row or vanish, unmatched base rows survive —
+    then rolled up per status so the driver hash certifies the merged
+    CONTENT, not just counts. Plan: one left-anti join on the key +
+    one union + one partial agg; at 100 TB the anti join shuffles on
+    the primary key exactly like the lakehouse MERGE it models
+    (complements snapshot_diff_orders/scd2_orders_intervals: diff,
+    history, and now apply)."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = o.where(F.col("o_orderdate") < cut)
+    chg = o.where(F.col("o_orderdate") >= cut).withColumn(
+        "op", F.when(F.col("o_orderkey") % 11 == 0, F.lit("D")).otherwise(F.lit("U"))
+    )
+    merged = base.join(
+        chg.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select("o_orderstatus", "o_totalprice").unionByName(
+        chg.where(F.col("op") == "U").select("o_orderstatus", "o_totalprice")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.floor(F.lit(100.0) * F.col("o_totalprice")).cast("long"))
+        .cast("long")
+        .alias("total_e2"),
+    )
