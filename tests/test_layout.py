@@ -353,3 +353,24 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_compact_small_files_roundtrip(spark, tmp_path):
+    """r7: 40 tiny files → ceil(bytes/target) outputs, content identical,
+    cell-sorted output restores row-group clustering."""
+    from pyspark.sql import functions as F
+
+    from ult_spark.io.layout import compact_small_files
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") * 37 % 1000).alias("cell")
+    )
+    df.repartition(40).write.parquet(src)
+    stats = compact_small_files(spark, src, out, target_bytes=10**9)
+    assert stats["files_in"] == 40 and stats["files_out"] == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 4000
+    assert got.agg(F.sum("id"), F.sum("cell")).collect() == \
+        df.agg(F.sum("id"), F.sum("cell")).collect()

@@ -80,3 +80,54 @@ def read_descendants(
     level); see :func:`descendant_predicates` for the pruning rule."""
     dir_pred, cell_pred = descendant_predicates(ancestor_cell, cell, dir_level)
     return spark.read.parquet(path).where(dir_pred).where(cell_pred)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cell: str = "cell",
+) -> dict:
+    """Small-files compaction (r7): rewrite a directory of parquet
+    files into ceil(total_bytes / target_bytes) outputs, re-sorted by
+    ``cell`` when present so the rewrite RESTORES row-group min/max
+    skipping that thousands of tiny append files destroy. The streaming
+    micro-batch sinks and per-unit runners in this repo legitimately
+    accumulate small files; at 100 TB an uncompacted table pays a
+    NameNode/listing and task-per-file tax that dwarfs the data cost —
+    the classic OPTIMIZE maintenance op (content-identical by
+    construction: same rows, new layout; asserted in
+    tests/test_layout.py with a round-trip count + value check).
+
+    Sizing reads the FILE METADATA (input_file listing via the catalog,
+    no data scan) and coalesce(n) avoids a shuffle when reducing file
+    count — the common case; repartitionByRange(cell) is used instead
+    when a sort column is given, paying one range shuffle to buy
+    clustered output. Returns {files_in, files_out, bytes_in}."""
+    df = spark.read.parquet(path)
+    from py4j.protocol import Py4JJavaError  # noqa: F401  (import surface pinned)
+
+    jsc = spark._jsparkSession.sessionState().newHadoopConf()
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(jsc)
+    sizes = [
+        (f.getPath().toString(), f.getLen())
+        for f in fs.listStatus(p)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    bytes_in = sum(s for _, s in sizes)
+    n_out = max(1, -(-bytes_in // target_bytes))
+    if cell in df.columns:
+        out = df.repartitionByRange(n_out, F.col(cell)).sortWithinPartitions(cell)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    files_out = len(
+        [
+            f
+            for f in fs.listStatus(spark._jvm.org.apache.hadoop.fs.Path(out_path))
+            if f.getPath().getName().endswith(".parquet")
+        ]
+    )
+    return {"files_in": len(sizes), "files_out": files_out, "bytes_in": bytes_in}
