@@ -349,6 +349,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "brand_discount_stats",
         "harmonic_centrality_hosts",
         "cdc_merge_orders",
+        "tile_wow_movers",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -5704,3 +5704,55 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_e2"),
     )
+
+
+@q(
+    "tile_wow_movers",
+    "WITH wk AS (SELECT " + _cell(6) + " AS cell, "
+    "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS week, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+    "lg AS (SELECT cell, week, cnt, "
+    "lag(cnt) OVER (PARTITION BY cell ORDER BY week) AS prev, "
+    "lag(week) OVER (PARTITION BY cell ORDER BY week) AS pweek FROM wk) "
+    "SELECT cell, week, cnt, prev, "
+    "CAST(floor(1000000.0::DOUBLE * CAST(cnt - prev AS DOUBLE) / "
+    "CAST(prev AS DOUBLE)) AS BIGINT) AS change_e6 "
+    "FROM lg WHERE prev IS NOT NULL AND pweek = week - 1 "
+    "AND abs(cnt - prev) * 5 >= prev",
+)
+def tile_wow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week tile movers (r7): L6 cells whose weekly event
+    count changed >= 20% vs the CONSECUTIVE previous week (gap weeks
+    pinned out via the lagged-week check — a tile returning after a
+    dark week is a reappearance, not a mover), with the e6 relative
+    change. The growth/decay screen a tile-serving pipeline runs every
+    week at 100 TB: one groupBy to the bounded (cell, week) grid, one
+    cell-keyed lag window, the 20%% fence as exact integer arithmetic
+    (|delta|*5 >= prev) so flagging never depends on the float."""
+    wk = (
+        events_points(spark, sf_dir)
+        .groupBy(
+            UF.latlon_to_cell("lat", "lon", 6).alias("cell"),
+            F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long").alias("week"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("cell").orderBy("week")
+    lg = wk.select(
+        "cell", "week", "cnt",
+        F.lag("cnt").over(w).alias("prev"),
+        F.lag("week").over(w).alias("pweek"),
+    )
+    change = F.floor(
+        F.lit(1000000.0)
+        * (F.col("cnt") - F.col("prev")).cast("double")
+        / F.col("prev").cast("double")
+    ).cast("long")
+    return (
+        lg.where(
+            F.col("prev").isNotNull()
+            & (F.col("pweek") == F.col("week") - 1)
+            & (F.abs(F.col("cnt") - F.col("prev")) * 5 >= F.col("prev"))
+        )
+        .select("cell", "week", "cnt", "prev", change.alias("change_e6"))
+    )
