@@ -78,3 +78,23 @@ def test_ivf_train_is_lazy(spark):
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before, "plan construction launched Spark jobs"
     assert topk.count() >= 0  # and the chained plan actually executes
+
+
+def test_int8_recall_detects_quantization_damage(spark):
+    """r7: differences below the int8 step vanish — a planted sub-step
+    pair flips under quantization (tie → id order) and recall@1 reads
+    0; axis-aligned vectors stay perfect at k=2."""
+    from ult_spark.ops.ann import ann_int8_recall
+
+    rows = [
+        (0, [1.0, 0.0]),        # query
+        (1, [1.0, -0.003]),     # float sim slightly LOWER
+        (2, [1.0, 0.003]),      # float sim slightly higher -> float top1
+        (3, [0.0, 1.0]),        # orthogonal noise
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r1 = {r.qid: r.n_common for r in ann_int8_recall(emb, [0], k=1).collect()}
+    # int8 maps both near-neighbors to [127, 0]: tie -> id 1 wins -> miss
+    assert r1 == {0: 0}
+    r2 = {r.qid: r.n_common for r in ann_int8_recall(emb, [0], k=2).collect()}
+    assert r2 == {0: 2}  # both near vectors inside k=2 either way

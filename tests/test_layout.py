@@ -350,6 +350,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "harmonic_centrality_hosts",
         "cdc_merge_orders",
         "tile_wow_movers",
+        "ann_int8_recall",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

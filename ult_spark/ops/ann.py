@@ -507,3 +507,114 @@ def ann_lsh_topk_sql(
         "SELECT qid, nid, qdot, CAST(row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid ASC) AS BIGINT) AS rk "
         f"FROM scored) WHERE rk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: int8 symmetric quantization with a recall audit against exact cosine
+
+
+def _int8(col: str = "embedding"):
+    """Per-vector symmetric int8: q_i = floor(127·v_i / max|v|) ∈
+    [−127, 127] — ONE shared float division per component (identical
+    IEEE expression in the SQL twin), integers after. try_divide keeps
+    the all-zero vector NULL instead of tripping ANSI mode; real
+    corpora don't emit it (min max-abs 0.23 on the driver table)."""
+    s = F.array_max(F.transform(F.col(col), lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(F.try_divide(F.lit(127.0) * x.cast("double"), s)).cast("long"),
+    )
+
+
+def ann_int8_recall(
+    emb: DataFrame, query_ids: list, k: int = 10, vid: str = "vec_id"
+) -> DataFrame:
+    """(qid, n_common, recall_e6): top-``k`` by cosine over per-vector
+    symmetric int8-quantized components vs top-``k`` by exact float
+    cosine — the 4×-memory-compression damage report every
+    embedding-serving stack wants before flipping the switch. The int8
+    side's dot and norms are EXACT BIGINTs (components ∈ [−127, 127],
+    dim 64 → |dot| ≤ 64·127² ≪ 2⁶³) with one float sqrt-divide for the
+    ranking; ties pinned by id. Both top-ks are broadcast-query scans
+    of the data side (the cosine_topk plan); recall joins the two
+    k-sets on (qid, id). Scale: 2 scans, no pairwise blowup beyond the
+    brute-force baseline being audited."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    data_f = emb.where(~F.col(vid).isin(query_ids)).select(vid, vec.alias("dvec"))
+    qs_f = emb.where(F.col(vid).isin(query_ids)).select(
+        F.col(vid).alias("qid"), vec.alias("qvec")
+    )
+    topf = cosine_topk(qs_f, data_f, k=k).select("qid", vid)
+    q8 = _int8()
+    data_q = emb.where(~F.col(vid).isin(query_ids)).select(vid, q8.alias("dvec"))
+    qs_q = emb.where(F.col(vid).isin(query_ids)).select(
+        F.col(vid).alias("qid"), q8.alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "dvec", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    nsq = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0).cast("long"), lambda a, v: a + v * v
+    )
+    simq = dot.cast("double") / F.sqrt((nsq("qvec") * nsq("dvec")).cast("double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("simq"), F.asc(vid))
+    topq = (
+        F.broadcast(qs_q).crossJoin(data_q)
+        .withColumn("simq", simq)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", vid)
+    )
+    # LEFT join + flag: a query whose k-sets are fully disjoint must
+    # report recall 0, not silently vanish (inner-join-then-groupBy
+    # drops the empty group — caught by the planted sub-step test)
+    return (
+        topq.join(topf.withColumn("_hit", F.lit(1)), ["qid", vid], "left")
+        .groupBy("qid")
+        .agg(
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_common")
+        )
+        .select(
+            "qid",
+            "n_common",
+            F.floor(F.lit(1000000.0) * F.col("n_common") / F.lit(float(k)))
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+def ann_int8_recall_sql(query_ids: list, k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings), "
+        "q8 AS (SELECT vec_id, list_transform(vec, x -> CAST(floor("
+        "127.0::DOUBLE * x / list_max(list_transform(vec, y -> abs(y)))) "
+        "AS BIGINT)) AS qv FROM v), "
+        f"qsf AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id IN ({ids})), "
+        f"simsf AS (SELECT qid, vec_id, "
+        "list_sum(list_transform(list_zip(qvec, vec), p -> p[1] * p[2])) / "
+        "sqrt(list_sum(list_transform(qvec, x -> x * x)) * "
+        "list_sum(list_transform(vec, x -> x * x))) AS sim "
+        f"FROM qsf, v WHERE vec_id NOT IN ({ids})), "
+        "topf AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        "row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rk "
+        f"FROM simsf) WHERE rk <= {k}), "
+        f"qsq AS (SELECT vec_id AS qid, qv AS qvec FROM q8 WHERE vec_id IN ({ids})), "
+        "simsq AS (SELECT qid, q8.vec_id, "
+        "CAST(list_sum(list_transform(list_zip(qvec, qv), p -> p[1] * p[2])) AS DOUBLE) / "
+        "sqrt(CAST(list_sum(list_transform(qvec, x -> x * x)) * "
+        "list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS simq "
+        f"FROM qsq, q8 WHERE q8.vec_id NOT IN ({ids})), "
+        "topq AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        "row_number() OVER (PARTITION BY qid ORDER BY simq DESC, vec_id ASC) AS rk "
+        f"FROM simsq) WHERE rk <= {k}) "
+        "SELECT tq.qid, CAST(coalesce(sum(CASE WHEN tf.vec_id IS NULL "
+        "THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_common, "
+        "CAST(floor(1000000.0::DOUBLE * coalesce(sum(CASE WHEN tf.vec_id IS NULL "
+        f"THEN 0 ELSE 1 END), 0) / {float(k)}) AS BIGINT) AS recall_e6 "
+        "FROM topq tq LEFT JOIN topf tf ON tf.qid = tq.qid AND tf.vec_id = tq.vec_id "
+        "GROUP BY 1"
+    )

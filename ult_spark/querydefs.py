@@ -5756,3 +5756,24 @@ def tile_wow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell", "week", "cnt", "prev", change.alias("change_e6"))
     )
+
+
+@q("ann_int8_recall", None)
+def ann_int8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding-quantization recall audit (r7, ops/ann.py
+    ann_int8_recall): top-10 by per-vector symmetric int8 cosine
+    (exact BIGINT dot/norms, one float rank expression) vs the exact
+    float top-10 — the 4×-compression damage report. recall_e6 = 1e6
+    means quantization cost nothing at k=10."""
+    from ult_spark.ops.ann import ann_int8_recall
+
+    return ann_int8_recall(load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _attach_int8_oracle() -> None:
+    from ult_spark.ops.ann import ann_int8_recall_sql
+
+    ORACLES["ann_int8_recall"] = ann_int8_recall_sql(ANN_QUERY_IDS, k=10)
+
+
+_attach_int8_oracle()
