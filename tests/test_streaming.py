@@ -766,3 +766,35 @@ def test_stream_countmin_equals_batch(spark, tmp_path):
     run()
     again = {(r.d, r.bucket): r.cnt for r in read_countmin_store(spark, store).collect()}
     assert again == want
+
+
+def test_stream_hll_equals_batch(spark, tmp_path):
+    """r7: max-folded streaming register partials equal the one-job HLL,
+    and a replayed run cannot move a max."""
+    from ult_spark.ops.sketch import hll_estimate
+    from ult_spark.streaming import read_hll_store, stream_hll
+
+    src = str(tmp_path / "hll_src")
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "hll_ckpt")
+    rows1 = [(f"u{i}",) for i in range(300)]
+    rows2 = [(f"u{i}",) for i in range(150, 450)]  # overlap: dedup matters
+    spark.createDataFrame(rows1, "user_id string").write.parquet(f"{src}/a")
+    spark.createDataFrame(rows2, "user_id string").write.parquet(f"{src}/b")
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        stream_hll(stream, store, ckpt).awaitTermination()
+
+    run()
+    got = read_hll_store(spark, store).collect()[0]
+    full = spark.createDataFrame(rows1 + rows2, "user_id string")
+    want = hll_estimate(full, "user_id").collect()[0]
+    assert (got.v_zero, got.s49, got.est) == (want.v_zero, want.s49, want.est)
+    run()
+    again = read_hll_store(spark, store).collect()[0]
+    assert (again.v_zero, again.s49, again.est) == (got.v_zero, got.s49, got.est)

@@ -19,7 +19,7 @@ values, not just statistics."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ult_spark.ops.textops import _h56
@@ -176,6 +176,18 @@ def hll_estimate(df: DataFrame, key: str) -> DataFrame:
     registers remain. Scale: one partial-agg groupBy to 256 rows, then
     constants — the shuffle carries the sketch, never the data, and
     merging partial registers IS Spark's partial max aggregation."""
+    fold = hll_fold(df.sparkSession, hll_partial(df, key))
+    exact = df.agg(F.countDistinct(F.col(key)).cast("long").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(fold)).select(
+        "n_exact", "v_zero", "s49", "est"
+    )
+
+
+def hll_partial(df: DataFrame, key: str) -> DataFrame:
+    """(j, m): max rank per OCCUPIED register over ``df`` — the
+    mergeable partial (register max is an idempotent, associative,
+    commutative monoid, so partials combine across executors, batches
+    or days by a plain MAX — the streaming store's merge)."""
     k = F.col(key).cast("string")
     h = _h56(k, 1)
     # h div 256 as an exact BIT SHIFT — a double division of a 56-bit
@@ -184,8 +196,15 @@ def hll_estimate(df: DataFrame, key: str) -> DataFrame:
         F.pmod(h, F.lit(HLL_M)).alias("j"),
         (F.lit(49) - _bitlen(F.shiftright(h, 8))).alias("rank"),
     )
-    m_j = reg.groupBy("j").agg(F.max("rank").cast("long").alias("m"))
-    grid = df.sparkSession.range(HLL_M).select(F.col("id").alias("j"))
+    return reg.groupBy("j").agg(F.max("rank").cast("long").alias("m"))
+
+
+def hll_fold(spark: SparkSession, m_j: DataFrame) -> DataFrame:
+    """One-row (v_zero, s49, est) from occupied-register maxes: the
+    full-universe completion (empty registers m = 0 via the
+    sequence-explode left join), the exact BIGINT harmonic lift and
+    the small-range linear-counting branch."""
+    grid = spark.range(HLL_M).select(F.col("id").alias("j"))
     regs = grid.join(m_j, "j", "left").select(
         F.coalesce("m", F.lit(0)).cast("long").alias("m")
     )
@@ -195,16 +214,12 @@ def hll_estimate(df: DataFrame, key: str) -> DataFrame:
         .alias("s49"),
         F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
     )
-    exact = df.agg(F.countDistinct(F.col(key)).cast("long").alias("n_exact"))
     raw = F.lit(HLL_NUM) / F.col("s49").cast("double")
     est = F.when(
         (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0),
         F.floor(F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double"))),
     ).otherwise(F.floor(raw)).cast("long")
-    return (
-        exact.crossJoin(F.broadcast(fold))
-        .select("n_exact", "v_zero", "s49", est.alias("est"))
-    )
+    return fold.select("v_zero", "s49", est.alias("est"))
 
 
 def hll_estimate_sql(table: str, key: str) -> str:

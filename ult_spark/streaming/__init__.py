@@ -607,3 +607,49 @@ def read_countmin_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def stream_hll(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+    available_now: bool = True,
+):
+    """Incremental HyperLogLog (r7): the max-merge twin of
+    :func:`stream_countmin` — each micro-batch commits its own
+    256-register partial (max rank per register over the batch) keyed
+    by batch id, and the live sketch is the per-register MAX over
+    partials: register max is idempotent AND associative, so replays
+    are doubly safe (the batch-keyed overwrite makes them no-ops, and
+    even a duplicated partial could not move a max). Additive sketches
+    merge by SUM, HLL by MAX — same store protocol, different monoid."""
+    from ult_spark.ops.sketch import hll_partial
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch{batch_id:08d}"
+        hll_partial(batch_df, key).withColumn("_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/{unit}")
+
+    writer = (
+        events.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_hll_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """One-row (v_zero, s49, est) folded from the per-batch register
+    partials — identical math to the batch ops/sketch.hll_estimate
+    (minus the exact count, which a sketch store cannot know)."""
+    from ult_spark.ops.sketch import hll_fold
+
+    regs = (
+        spark.read.parquet(f"{store_dir}/*")
+        .groupBy("j")
+        .agg(F.max("m").cast("long").alias("m"))
+    )
+    return hll_fold(spark, regs)
