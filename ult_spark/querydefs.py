@@ -5777,3 +5777,85 @@ def _attach_int8_oracle() -> None:
 
 
 _attach_int8_oracle()
+
+
+@q(
+    "hll_users_per_tile_l4",
+    "WITH pts AS (SELECT " + _cell(4) + " AS cell, user_id FROM events), "
+    "reg AS (SELECT cell, "
+    "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT) % 256 AS j, "
+    "CAST(max(49 - (CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))"
+    "::BIGINT) // 256 = 0 THEN 0 ELSE length(bin((('0x' || "
+    "substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT) // 256)) END)) "
+    "AS BIGINT) AS m FROM pts GROUP BY 1, 2), "
+    "tiles AS (SELECT DISTINCT cell FROM pts), "
+    "grid AS (SELECT cell, unnest(generate_series(0, 255)) AS j FROM tiles), "
+    "regs AS (SELECT g.cell, CAST(coalesce(r.m, 0) AS BIGINT) AS m "
+    "FROM grid g LEFT JOIN reg r ON r.cell = g.cell AND r.j = g.j), "
+    "fold AS (SELECT cell, CAST(sum(CAST(pow(2.0, 49 - m) AS BIGINT)) AS BIGINT) "
+    "AS s49, CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero "
+    "FROM regs GROUP BY 1), "
+    "ex AS (SELECT cell, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact "
+    "FROM pts GROUP BY 1) "
+    "SELECT f.cell, ex.n_exact, f.v_zero, f.s49, "
+    "CASE WHEN 2.6499581405668102e+19 / CAST(f.s49 AS DOUBLE) <= 640.0 "
+    "AND f.v_zero > 0 THEN CAST(floor(256.0 * ln(256.0 / "
+    "CAST(f.v_zero AS DOUBLE))) AS BIGINT) "
+    "ELSE CAST(floor(2.6499581405668102e+19 / CAST(f.s49 AS DOUBLE)) AS BIGINT) "
+    "END AS est FROM fold f JOIN ex USING (cell)",
+)
+def hll_users_per_tile_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile pinned HLL distinct-user estimates CERTIFIED tile by
+    tile against the exact counts (r7): the grouped-aggregate shape of
+    hll_users_pinned — registers keyed (tile, j), the full 256-register
+    universe completed PER TILE (empty registers dominate sparse tiles
+    and must not vanish), the same exact BIGINT harmonic lift and
+    linear-counting branch. At 100 TB this is the shape that replaces
+    countDistinct-per-tile: the shuffle carries ≤ 256 registers per
+    tile instead of the user ids, and register maxes merge across
+    executors/days by plain MAX (ops/sketch.py hll_partial docstring).
+    The opaque-built-in twin approx_users_per_tile_l6 stays rows-only;
+    this one the driver value-hashes."""
+    from ult_spark.ops.sketch import HLL_M, HLL_NUM, _bitlen
+
+    from ult_spark.ops.textops import _h56
+
+    pts = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 4).alias("cell"), "user_id"
+    )
+    h = _h56(F.col("user_id").cast("string"), 1)
+    reg = (
+        pts.select(
+            "cell",
+            F.pmod(h, F.lit(HLL_M)).alias("j"),
+            (F.lit(49) - _bitlen(F.shiftright(h, 8))).alias("rank"),
+        )
+        .groupBy("cell", "j")
+        .agg(F.max("rank").cast("long").alias("m"))
+    )
+    tiles = pts.select("cell").distinct()
+    grid = tiles.select(
+        "cell", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j")
+    )
+    regs = grid.join(reg, ["cell", "j"], "left").select(
+        "cell", F.coalesce("m", F.lit(0)).cast("long").alias("m")
+    )
+    fold = regs.groupBy("cell").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(49) - F.col("m")).cast("long"))
+        .cast("long")
+        .alias("s49"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("v_zero"),
+    )
+    ex = pts.groupBy("cell").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    raw = F.lit(HLL_NUM) / F.col("s49").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("v_zero") > 0),
+        F.floor(
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double"))
+        ),
+    ).otherwise(F.floor(raw)).cast("long")
+    return fold.join(ex, "cell").select(
+        "cell", "n_exact", "v_zero", "s49", est.alias("est")
+    )
