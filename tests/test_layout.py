@@ -377,3 +377,49 @@ def test_compact_small_files_roundtrip(spark, tmp_path):
     assert got.count() == 4000
     assert got.agg(F.sum("id"), F.sum("cell")).collect() == \
         df.agg(F.sum("id"), F.sum("cell")).collect()
+
+
+def test_spacetime_layout_prunes_both_dimensions(spark, sf_smoke, tmp_path):
+    """r7 io/layout.py: (cell_dir, week) partitioning — a space+time
+    range read prunes MORE files than either dimension alone, returns
+    exactly the full-scan-filter rows, and both predicates land as
+    partition filters."""
+    from ult_spark.grid import cells as C
+    from ult_spark.io.layout import read_spacetime, write_spacetime_partitioned
+    from ult_spark.querydefs import events_points, load
+
+    path = str(tmp_path / "spacetime")
+    ev = load(spark, sf_smoke, "events")
+    pts = events_points(spark, sf_smoke).select(
+        "event_id", "ts", UF.latlon_to_cell("lat", "lon", 8).alias("cell")
+    )
+    write_spacetime_partitioned(pts, path)
+    total_files = len(spark.read.parquet(path).inputFiles())
+
+    def files_read(make_df) -> int:
+        df = make_df()
+        df.collect()
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return int(leaf.metrics().apply("numFiles").value())
+
+    wks = sorted(
+        r.week for r in spark.read.parquet(path).select("week").distinct().collect()
+    )
+    w_lo, w_hi = wks[0], wks[max(0, len(wks) // 4 - 1)]
+    anc = int(C.latlon_to_cell(np.array([20.0]), np.array([30.0]), 2)[0])
+    got = read_spacetime(spark, path, anc, w_lo, w_hi)
+    lo, hi = (int(x[0]) for x in C.cell_range(np.array([anc], dtype=np.int64)))
+    week = F.floor(F.unix_timestamp("ts") / F.lit(604800)).cast("long")
+    expect = pts.where(
+        F.col("cell").between(lo, hi) & week.between(w_lo, w_hi)
+    )
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in expect.collect()
+    )
+    n_both = files_read(lambda: read_spacetime(spark, path, anc, w_lo, w_hi))
+    n_space = files_read(lambda: read_spacetime(spark, path, anc, wks[0], wks[-1]))
+    assert n_both <= n_space < total_files
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "week" in pf and "cell_dir" in pf

@@ -131,3 +131,50 @@ def compact_small_files(
         ]
     )
     return {"files_in": len(sizes), "files_out": files_out, "bytes_in": bytes_in}
+
+
+def write_spacetime_partitioned(
+    df: DataFrame,
+    path: str,
+    cell: str = "cell",
+    ts: str = "ts",
+    dir_level: int = DIR_LEVEL,
+) -> None:
+    """Two-dimensional directory layout (r7): partition by
+    (cell ancestor, week) so a dashboard's canonical predicate —
+    "this city, these weeks" — prunes in BOTH dimensions at planning
+    time: surviving directories = matching-space × matching-time, the
+    product of two independent pruning factors (a month over one metro
+    on a year of world data touches ~1/12 × ~1/16 of the directories).
+    Rows stay cell-sorted within each directory for row-group min/max
+    skipping on the full-resolution cell, exactly as the 1-D layout."""
+    (
+        df.withColumn("cell_dir", UF.cell_parent(F.col(cell), dir_level))
+        .withColumn(
+            "week",
+            F.floor(F.unix_timestamp(F.col(ts)) / F.lit(604800)).cast("long"),
+        )
+        .repartition("cell_dir", "week")
+        .sortWithinPartitions(cell)
+        .write.mode("overwrite")
+        .partitionBy("cell_dir", "week")
+        .parquet(path)
+    )
+
+
+def read_spacetime(
+    spark: SparkSession,
+    path: str,
+    ancestor_cell: int,
+    week_lo: int,
+    week_hi: int,
+    cell: str = "cell",
+    dir_level: int = DIR_LEVEL,
+) -> DataFrame:
+    """Read only the rows under ``ancestor_cell`` within
+    [week_lo, week_hi] — both predicates land as partition filters
+    (planning-time directory pruning) plus the exact cell-range
+    residual inside surviving files."""
+    dir_pred, cell_pred = descendant_predicates(ancestor_cell, cell, dir_level)
+    wk = F.col("week").between(week_lo, week_hi)
+    return spark.read.parquet(path).where(dir_pred & wk & cell_pred)
