@@ -352,6 +352,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "tile_wow_movers",
         "ann_int8_recall",
         "hll_users_per_tile_l4",
+        "bloom_semijoin_audit",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -5859,3 +5859,77 @@ def hll_users_per_tile_l4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold.join(ex, "cell").select(
         "cell", "n_exact", "v_zero", "s49", est.alias("est")
     )
+
+
+@q(
+    "bloom_semijoin_audit",
+    "WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS key, "
+    "max(CASE WHEN event_type = 'purchase' AND user_id % 5 = 0 THEN 1 ELSE 0 END) "
+    "AS is_member FROM events GROUP BY 1), "
+    "bits AS (SELECT DISTINCT bit FROM ("
+    + " UNION ALL ".join(
+        "SELECT (('0x' || substr(md5(key), {o}, 14))::BIGINT % 1024 + 1024) % 1024 "
+        "AS bit FROM keys WHERE is_member = 1".format(o=2 * i + 1)
+        for i in range(3)
+    )
+    + ")), "
+    "probe AS (SELECT key, is_member, min(hit) AS positive FROM ("
+    + " UNION ALL ".join(
+        "SELECT key, is_member, CASE WHEN "
+        "(('0x' || substr(md5(key), {o}, 14))::BIGINT % 1024 + 1024) % 1024 IN "
+        "(SELECT bit FROM bits) THEN 1 ELSE 0 END AS hit FROM keys".format(o=2 * i + 1)
+        for i in range(3)
+    )
+    + ") GROUP BY 1, 2), "
+    "ev AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events) "
+    "SELECT CAST(sum(CASE WHEN p.is_member = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_exact_semi, "
+    "CAST(sum(CASE WHEN p.positive = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass, "
+    "CAST(sum(CASE WHEN p.positive = 1 AND p.is_member = 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_extra FROM ev JOIN probe p USING (key)",
+)
+def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom filter APPLIED as a semi-join pre-filter (r7): count
+    event rows surviving the broadcast bloom membership test vs the
+    exact left-semi join on the same member set — n_bloom_pass ≥
+    n_exact_semi always (no false negatives: the filter never loses a
+    row the join would keep, which is WHY it is safe as a pre-filter),
+    and n_extra is the wasted downstream work false positives cost at
+    this sizing. At 100 TB this pattern replaces shuffling the full
+    probe side: the ≤ m-row bit list broadcasts, the big side filters
+    in place, and only survivors reach the real join (Spark's own
+    runtime-filter feature, here with pinned auditable internals)."""
+    from ult_spark.ops.sketch import BLOOM_K, BLOOM_M, _lane
+
+    ev = load(spark, sf_dir, "events")
+    keys = ev.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("user_id") % 5 == 0), 1
+            ).otherwise(0)
+        ).alias("is_member")
+    )
+    lanes = F.explode(
+        F.array(*[_lane(F.col("key"), i, BLOOM_M) for i in range(BLOOM_K)])
+    ).alias("bit")
+    bits = keys.where(F.col("is_member") == 1).select(lanes).distinct()
+    probe = (
+        keys.select("key", "is_member", lanes)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("key", "is_member")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("positive"))
+    )
+    evk = ev.select(F.col("user_id").cast("string").alias("key"))
+    return evk.join(probe, "key").agg(
+        F.sum(F.when(F.col("is_member") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_semi"),
+        F.sum(F.when(F.col("positive") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(
+            F.when((F.col("positive") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extra"),
+    )
