@@ -60,6 +60,7 @@ _PRIORITY = [
     "mad_hourly_anomalies", "customer_ltv_running", "brand_discount_stats",
     "harmonic_centrality_hosts", "cdc_merge_orders", "tile_wow_movers",
     "ann_int8_recall", "hll_users_per_tile_l4", "bloom_semijoin_audit",
+    "covisited_cells_l5", "source_quality_dashboard",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window

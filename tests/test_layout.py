@@ -353,6 +353,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "ann_int8_recall",
         "hll_users_per_tile_l4",
         "bloom_semijoin_audit",
+        "covisited_cells_l5",
+        "source_quality_dashboard",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

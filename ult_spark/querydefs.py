@@ -5933,3 +5933,86 @@ def bloom_semijoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_extra"),
     )
+
+
+@q("covisited_cells_l5", None)
+def covisited_cells_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell co-visitation graph (r7): the bipartite user→cell graph
+    projected onto cells through the SAME capped cocitation kernel as
+    the host link analysis (ops/graph.py cocitation, by='dst') —
+    pairs of L5 cells visited by a shared user, with the weighted
+    Σ w_u·w_v form; the per-user fanout cap bounds the projection at
+    max_deg² pairs per user, which is what makes bipartite projection
+    survivable at web scale (an uncapped power user would emit
+    |cells|² pairs). Spatial affinity for recommendation / anomaly
+    pipelines."""
+    from ult_spark.ops.graph import cocitation
+
+    edges = (
+        events_points(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("src"),
+            UF.latlon_to_cell("lat", "lon", 5).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return cocitation(edges, by="dst")
+
+
+_COVISIT_EDGES_SQL = (
+    "SELECT user_id AS src, " + _cell(5) + " AS dst, "
+    "CAST(count(*) AS BIGINT) AS w FROM events GROUP BY 1, 2"
+)
+
+
+def _attach_covisit_oracle() -> None:
+    from ult_spark.ops.graph import cocitation_sql
+
+    ORACLES["covisited_cells_l5"] = cocitation_sql(_COVISIT_EDGES_SQL, by="dst")
+
+
+_attach_covisit_oracle()
+
+
+@q(
+    "source_quality_dashboard",
+    "WITH d AS (SELECT source, n_chars, lang, md5(text) AS h FROM documents), "
+    "dup AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2) "
+    "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(d.n_chars) AS BIGINT) AS total_chars, "
+    "CAST(sum(d.n_chars) // count(*) AS BIGINT) AS mean_len, "
+    "CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs, "
+    "CAST(sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs, "
+    "CAST(floor(1000000.0::DOUBLE * sum(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) "
+    "/ count(*)) AS BIGINT) AS dup_e6 "
+    "FROM d JOIN dup ON dup.source = d.source AND dup.h = d.h GROUP BY 1",
+)
+def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup (r7): the one-screen ingest
+    dashboard — doc count, char volume, integer mean length, language
+    diversity, and the exact-duplicate share WITHIN the source (md5
+    groups > 1, the cheapest dup signal; near-dup rates live in the
+    dedicated family). Two partial-agg groupBys + one hash join keyed
+    (source, md5) — the md5 cardinality is the doc count, so nothing
+    quadratic. Drift alarms (JS/KS/PSI) reference these as their
+    denominators."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", "n_chars", "lang", F.md5("text").alias("h")
+    )
+    dup = d.groupBy("source", "h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        d.join(dup, ["source", "h"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("CAST(sum(n_chars) div count(*) AS BIGINT)").alias("mean_len"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("dup_docs"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("long").alias("dup_e6"),
+        )
+    )
