@@ -798,3 +798,54 @@ def test_stream_hll_equals_batch(spark, tmp_path):
     run()
     again = read_hll_store(spark, store).collect()[0]
     assert (again.v_zero, again.s49, again.est) == (got.v_zero, got.s49, got.est)
+
+
+def test_stream_bloom_equals_batch_and_never_forgets(spark, tmp_path):
+    """r7: the unioned streaming bit store equals the batch filter's bit
+    set, and every streamed key tests positive against it (a seen key
+    can never go negative — the resumable-crawl guarantee)."""
+    from pyspark.sql import functions as F
+
+    from ult_spark.ops.sketch import BLOOM_K, BLOOM_M, _lane
+    from ult_spark.streaming import read_bloom_store, stream_bloom
+
+    src = str(tmp_path / "bl_src")
+    store = str(tmp_path / "bl_store")
+    ckpt = str(tmp_path / "bl_ckpt")
+    rows1 = [(f"u{i}",) for i in range(100)]
+    rows2 = [(f"u{i}",) for i in range(50, 200)]
+    spark.createDataFrame(rows1, "user_id string").write.parquet(f"{src}/a")
+    spark.createDataFrame(rows2, "user_id string").write.parquet(f"{src}/b")
+    stream = (
+        spark.readStream.schema("user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    stream_bloom(stream, store, ckpt).awaitTermination()
+    got = {r.bit for r in read_bloom_store(spark, store).collect()}
+    full = spark.createDataFrame(rows1 + rows2, "user_id string")
+    want = {
+        r.bit
+        for r in full.select(
+            F.explode(
+                F.array(*[_lane(F.col("user_id"), i, BLOOM_M) for i in range(BLOOM_K)])
+            ).alias("bit")
+        ).distinct().collect()
+    }
+    assert got == want
+    # no false negatives against the streamed store
+    lanes = full.select(
+        "user_id",
+        F.explode(
+            F.array(*[_lane(F.col("user_id"), i, BLOOM_M) for i in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    bits = read_bloom_store(spark, store).withColumn("hit", F.lit(1))
+    neg = (
+        lanes.join(bits, "bit", "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("pos"))
+        .where(F.col("pos") == 0)
+        .count()
+    )
+    assert neg == 0

@@ -653,3 +653,54 @@ def read_hll_store(spark: SparkSession, store_dir: str) -> DataFrame:
         .agg(F.max("m").cast("long").alias("m"))
     )
     return hll_fold(spark, regs)
+
+
+def stream_bloom(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    key: str = "user_id",
+    member_col: str | None = None,
+    available_now: bool = True,
+):
+    """Incremental Bloom filter (r7): the third sketch-store monoid —
+    count-min merges by SUM, HLL by MAX, Bloom by set UNION (idempotent
+    OR of bit lists). Each micro-batch commits its OWN distinct set-bit
+    list keyed by batch id; the live filter is the distinct union
+    (:func:`read_bloom_store`). The production seen-set that a resumable
+    crawl consults before re-fetching: replays are no-ops twice over
+    (batch-keyed overwrite + union idempotence), and a key observed in
+    ANY committed batch can never test negative later."""
+    from ult_spark.ops.sketch import BLOOM_K, BLOOM_M, _lane
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        unit = f"batch{batch_id:08d}"
+        src = batch_df if member_col is None else batch_df.where(F.col(member_col))
+        bits = (
+            src.select(
+                F.explode(
+                    F.array(
+                        *[
+                            _lane(F.col(key).cast("string"), i, BLOOM_M)
+                            for i in range(BLOOM_K)
+                        ]
+                    )
+                ).alias("bit")
+            )
+            .distinct()
+            .withColumn("_batch", F.lit(batch_id))
+        )
+        bits.write.mode("overwrite").parquet(f"{store_dir}/{unit}")
+
+    writer = (
+        events.writeStream.option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The live filter: the distinct set-bit list over all batches."""
+    return spark.read.parquet(f"{store_dir}/*").select("bit").distinct()
