@@ -355,6 +355,8 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "bloom_semijoin_audit",
         "covisited_cells_l5",
         "source_quality_dashboard",
+        "cell_visitor_entropy_l6",
+        "len_stop_corr_sources",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -6016,3 +6016,111 @@ def source_quality_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dup_e6"),
         )
     )
+
+
+@q(
+    "cell_visitor_entropy_l6",
+    "WITH uc AS (SELECT " + _cell(6) + " AS cell, user_id, "
+    "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT cell, CAST(sum(c) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM uc GROUP BY 1) "
+    "SELECT t.cell, t.n AS n_events, t.n_users, "
+    "CAST(sum(CAST(floor(1000000000.0::DOUBLE * "
+    "ln(CAST(t.n AS DOUBLE) / CAST(uc.c AS DOUBLE)) * CAST(uc.c AS DOUBLE) "
+    "/ CAST(t.n AS DOUBLE)) AS BIGINT)) AS BIGINT) AS h_e9 "
+    "FROM uc JOIN tot t USING (cell) GROUP BY 1, 2, 3",
+)
+def cell_visitor_entropy_l6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visitor-diversity entropy per L6 cell (r7): Shannon entropy of
+    the cell's visiting-user distribution — the TRANSPOSE of
+    user_visit_entropy (that one profiles a user across places, this
+    one profiles a place across users): 0 = single-user territory
+    (home/bot), high = shared public space — the
+    tourist-spot/private-space classifier feeding anonymization and
+    POI pipelines. Same exact-integer kernel: per-term e9 floors of
+    ln(n/c)·c/n BEFORE the order-free sum, two partial-agg groupBys +
+    one cell-keyed join."""
+    uc = (
+        events_points(spark, sf_dir)
+        .groupBy(
+            UF.latlon_to_cell("lat", "lon", 6).alias("cell"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uc.groupBy("cell").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    term = F.floor(
+        F.lit(1000000000.0)
+        * F.log(F.col("n").cast("double") / F.col("c").cast("double"))
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    return (
+        uc.join(tot, "cell")
+        .groupBy("cell", F.col("n").alias("n_events"), "n_users")
+        .agg(F.sum(term).cast("long").alias("h_e9"))
+    )
+
+
+@q(
+    "len_stop_corr_sources",
+    "WITH q AS (SELECT source, CAST(length(text) AS BIGINT) AS x, "
+    "CAST(len(list_filter(list_filter(string_split(text, ' '), t -> t != ''), "
+    "t -> t IN ('the', 'a', 'and', 'of'))) * 10000 // "
+    "len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS y "
+    "FROM documents WHERE len(list_filter(string_split(text, ' '), t -> t != '')) > 0), "
+    "mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy FROM q GROUP BY 1) "
+    "SELECT source, n, CASE WHEN (n * sxx - sx * sx) > 0 AND "
+    "(n * syy - sy * sy) > 0 THEN "
+    "CAST(floor(1000000.0::DOUBLE * CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) "
+    "AS BIGINT) ELSE NULL END AS r_e6 FROM mo",
+)
+def len_stop_corr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between doc length and stopword ratio per
+    source (r7): does longer content from this source read more
+    natural-language-like? All five moments exact BIGINTs over the
+    quality_score-pinned ingredients (char length; e4 stopword ratio
+    by integer division), ONE floored float expression per source
+    (the hourly_anomalies z discipline); NULL when either variance is
+    0. A structural-vs-prose source classifier beside
+    source_quality_dashboard."""
+    from ult_spark.ops.textops import tokens_col
+
+    toks = tokens_col("text")
+    n_tok = F.size(toks).cast("long")
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "and", "of"))
+    ).cast("long")
+    q_ = (
+        load(spark, sf_dir, "documents")
+        .where(n_tok > 0)
+        .select(
+            "source",
+            F.length("text").cast("long").alias("x"),
+            (stop * 10000 / n_tok).cast("long").alias("y"),
+        )
+    )
+    mo = q_.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double"))
+    ).cast("long")
+    return mo.select(
+        "source", "n", F.when((vx > 0) & (vy > 0), r).alias("r_e6")
+    )
