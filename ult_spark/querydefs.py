@@ -6124,3 +6124,49 @@ def len_stop_corr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "source", "n", F.when((vx > 0) & (vy > 0), r).alias("r_e6")
     )
+
+
+@q(
+    "tile_decayed_hotness",
+    "WITH ev AS (SELECT " + _cell(6) + " AS cell, "
+    "CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hr "
+    "FROM events), "
+    "mx AS (SELECT max(hr) AS now_hr FROM ev), "
+    "sc AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(CASE WHEN (now_hr - hr) // 12 <= 40 THEN "
+    "CAST(pow(2.0, 40 - (now_hr - hr) // 12) AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS score_s40 FROM ev CROSS JOIN mx GROUP BY 1) "
+    "SELECT cell, cnt, score_s40 FROM sc "
+    "ORDER BY score_s40 DESC, cell ASC LIMIT 50",
+)
+def tile_decayed_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed tile hotness, top-50 (r7): each event
+    contributes 2^(−age/12h) — a 12-hour half-life — lifted to the
+    exact BIGINT 2^(40 − age div 12) (the HLL harmonic-lift trick:
+    decay weights on a dyadic grid are INTEGERS after one shift, so
+    the score is an order-free exact sum, no float accumulation drift
+    between a backfill and an incremental update; contributions older
+    than 40 half-lives are exactly 0). The recency-weighted ranking a
+    tile-serving layer actually wants vs raw counts — compare the cnt
+    column; total order before the LIMIT. One groupBy + a broadcast
+    one-row max; the dyadic weights also make the score MERGEABLE
+    across partial aggregations at a fixed reference hour."""
+    ev = events_points(spark, sf_dir).select(
+        UF.latlon_to_cell("lat", "lon", 6).alias("cell"),
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hr"),
+    )
+    mx = ev.agg(F.max("hr").alias("now_hr"))
+    age_hl = F.expr("(now_hr - hr) div 12")
+    w = F.when(
+        age_hl <= 40, F.pow(F.lit(2.0), F.lit(40) - age_hl).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(w).cast("long").alias("score_s40"),
+        )
+        .orderBy(F.desc("score_s40"), F.asc("cell"))
+        .limit(50)
+    )
