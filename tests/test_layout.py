@@ -358,6 +358,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "cell_visitor_entropy_l6",
         "len_stop_corr_sources",
         "tile_decayed_hotness",
+        "covisit_pagerank_l5",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

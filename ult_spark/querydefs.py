@@ -6170,3 +6170,51 @@ def tile_decayed_hotness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_s40"), F.asc("cell"))
         .limit(50)
     )
+
+
+@q("covisit_pagerank_l5", None)
+def covisit_pagerank_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DERIVED co-visitation graph (r7): the
+    composability showcase — the bipartite projection
+    (covisited_cells_l5) becomes the edge list of the integer
+    PageRank, ranking cells by their centrality in shared-visitor
+    space rather than raw volume (a transit hub co-visited with
+    everything outranks a busy-but-isolated cell; compare
+    tile_decayed_hotness). Symmetric pairs feed both directions with
+    common-count weights; 2 damped integer rounds, unrolled
+    MATERIALIZED in the oracle over the materialized projection."""
+    from ult_spark.ops.graph import cocitation, pagerank
+
+    edges = (
+        events_points(spark, sf_dir)
+        .groupBy(
+            F.col("user_id").alias("src"),
+            UF.latlon_to_cell("lat", "lon", 5).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    cc = cocitation(edges, by="dst")
+    pr_edges = cc.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.col("common").alias("w")
+    ).unionByName(
+        cc.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"),
+            F.col("common").alias("w"),
+        )
+    )
+    return pagerank(pr_edges, iters=2)
+
+
+def _attach_covisit_pr_oracle() -> None:
+    from ult_spark.ops.graph import cocitation_sql, pagerank_sql
+
+    proj = cocitation_sql(_COVISIT_EDGES_SQL, by="dst")
+    edges_sql = (
+        f"SELECT src, dst, w FROM (WITH cw AS MATERIALIZED ({proj}) "
+        "SELECT u AS src, v AS dst, common AS w FROM cw "
+        "UNION ALL SELECT v AS src, u AS dst, common AS w FROM cw)"
+    )
+    ORACLES["covisit_pagerank_l5"] = pagerank_sql(edges_sql, iters=2)
+
+
+_attach_covisit_pr_oracle()
