@@ -35,6 +35,21 @@ def test_encode_invariants(lat, lon, level):
         assert cells.latlon_to_cell(np.array([lat]), np.array([lon]), level - 1)[0] == parent[0]
 
 
+def test_compact_collapses_complete_sibling_cover():
+    """r7 regression (hypothesis find): four points exactly tiling one
+    level-1 cell's child set — compact() must collapse the full sibling
+    cover to the single parent, and the leaf cover is preserved."""
+    base = cells.latlon_to_cell(
+        np.array([-1.0, -1.0, -46.0, -46.0]),
+        np.array([0.0, 90.0, 0.0, 90.0]), 2,
+    )
+    got = compact.compact(np.unique(base))
+    assert len(got) == 1
+    assert np.array_equal(
+        compact.uncompact(got, 2), np.sort(np.unique(base))
+    )
+
+
 @given(st.lists(st.tuples(lat_s, lon_s), min_size=1, max_size=60), st.integers(2, 10))
 @settings(max_examples=60, deadline=None)
 def test_compact_uncompact_roundtrip(points, level):
@@ -44,7 +59,13 @@ def test_compact_uncompact_roundtrip(points, level):
         )
     )
     deeper = compact.uncompact(base, level + 2)
-    assert np.array_equal(compact.compact(deeper), base)
+    # the true invariant is canonicalization, NOT identity: when `base`
+    # itself contains 4 complete siblings (points that exactly tile one
+    # coarser cell — hypothesis found (-1,0),(-1,90),(-46,0),(-46,90) at
+    # level 2, whose cells are one level-1 parent's full child set),
+    # compact() correctly collapses PAST `base`. So compare canonical
+    # forms; identity holds iff base was already compact.
+    assert np.array_equal(compact.compact(deeper), compact.compact(base))
     # compaction never changes the covered leaf set
     assert np.array_equal(compact.uncompact(compact.compact(deeper), level + 2), deeper)
 
