@@ -62,7 +62,7 @@ _PRIORITY = [
     "ann_int8_recall", "hll_users_per_tile_l4", "bloom_semijoin_audit",
     "covisited_cells_l5", "source_quality_dashboard",
     "cell_visitor_entropy_l6", "len_stop_corr_sources",
-    "tile_decayed_hotness", "covisit_pagerank_l5",
+    "tile_decayed_hotness", "covisit_pagerank_l5", "dup_cluster_size_hist",
     # rows-only by design (HLL), re-accumulates a rows-green row
     "approx_users_per_tile_l6",
     # round-4-green backfill (stalest cohort) to fill the 50-slot window

@@ -359,6 +359,7 @@ def test_round7_native_ops_have_no_python_eval(spark, sf_smoke):
         "len_stop_corr_sources",
         "tile_decayed_hotness",
         "covisit_pagerank_l5",
+        "dup_cluster_size_hist",
     ):
         plan = QUERIES[name](spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan, name

@@ -6218,3 +6218,38 @@ def _attach_covisit_pr_oracle() -> None:
 
 
 _attach_covisit_pr_oracle()
+
+
+@q("dup_cluster_size_hist", None)
+def dup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (r7): (size, n_clusters) over
+    the minhash connected components — the dedup CAPACITY report
+    (size 1 = unique corpus mass; the tail says how much a keep-best
+    pass reclaims, and a sudden large-cluster mode flags template
+    spam or a crawler loop). Two partial-agg groupBys on top of
+    dup_clusters' fixpoint CC; oracle = the recursive-fixpoint
+    cluster SQL MATERIALIZED, then the same two rollups."""
+    from ult_spark.ops.textops import dup_clusters
+
+    cl = dup_clusters(load(spark, sf_dir, "documents"), threshold=0.2)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+def _attach_dup_hist_oracle() -> None:
+    from ult_spark.ops.textops import dup_clusters_sql
+
+    ORACLES["dup_cluster_size_hist"] = (
+        f"WITH dc AS MATERIALIZED ({dup_clusters_sql(0.2)}), "
+        "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size "
+        "FROM dc GROUP BY 1) "
+        "SELECT size, CAST(count(*) AS BIGINT) AS n_clusters "
+        "FROM sz GROUP BY 1"
+    )
+
+
+_attach_dup_hist_oracle()
