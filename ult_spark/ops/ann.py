@@ -193,6 +193,18 @@ def near_dup_pairs(
     the full batch near-dup kernel (see querydefs.embedding_near_dup for
     the scale rationale; callers who cap must run oversized_buckets)."""
     bands = prune_buckets(lsh_bands(emb), max_bucket)
+    # r8 perf (measured at sf1.0, guide §2.5 + CLAUDE.md r2 AQE lesson at
+    # join scale): the bucket self-join EXPLODES — a few MB of (vid, band,
+    # bucket) rows in, 16M candidate rows out — and AQE, which only sees
+    # the input bytes, coalesced the join stage onto 1-2 tasks; the
+    # explosion plus the pair-distinct partial aggregation ran serially
+    # (14 s of the 22 s wall). An explicit repartition by the JOIN KEY with
+    # a pinned count replaces the join's own exchange (same key → no extra
+    # shuffle) and pins the stage's parallelism. 4× parallelism keeps the
+    # md5-uniform buckets balanced; at cluster scale the band table is
+    # large enough that this exchange was mandatory anyway.
+    n_part = 4 * emb.sparkSession.sparkContext.defaultParallelism
+    bands = bands.repartition(n_part, "band", "bucket")
     l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
     r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")
     cand = (

@@ -94,35 +94,45 @@ def gopher_repetition(
     Docs too short for a gram family score 0 for it (kept).
     """
     toks = tokens_col(text)
-    base = df.select(
+    # r8 perf: ONE combined gram explode + one (doc, n, gram) aggregation
+    # pass instead of two independent explode→groupBy→groupBy pipelines
+    # (each of which re-derived the gram arrays — Spark shares no subplans
+    # across branches; guide §1.2). The 2- and 3-gram stats fall out of the
+    # same per-doc aggregate via n-conditional aggregates — values are
+    # unchanged (max over 2-gram counts; dup/total sums over 3-gram
+    # counts; absent gram families produce NULL/0 exactly as the old left
+    # joins did). fanout: the docs scan is one split at bench scale, so
+    # gram construction otherwise runs on one core.
+    from ult_spark.io.testdata import fanout
+
+    base = fanout(df).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("long").alias("n_tok"),
         _grams(toks, 2).alias("g2"),
         _grams(toks, 3).alias("g3"),
     )
-
-    def gram_stats(col: str, agg):
-        per_gram = (
-            base.select("doc_id", F.explode(col).alias("gram"))
-            .groupBy("doc_id", "gram")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        return per_gram.groupBy("doc_id").agg(*agg)
-
-    a2 = gram_stats("g2", [F.max("cnt").alias("top2_cnt")])
-    a3 = gram_stats(
-        "g3",
-        [
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
-                "dup3_occ"
-            ),
-            F.sum("cnt").alias("n3"),
-        ],
+    both = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform("g2", lambda x: F.struct(F.lit(2).alias("n"), x.alias("gram"))),
+                F.transform("g3", lambda x: F.struct(F.lit(3).alias("n"), x.alias("gram"))),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt = both.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = cnt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cnt"))).alias("top2_cnt"),
+        F.sum(
+            F.when((F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup3_occ"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt")).otherwise(F.lit(0))).alias("n3"),
     )
     out = (
-        base.select("doc_id", "n_tok")
-        .join(a2, "doc_id", "left")
-        .join(a3, "doc_id", "left")
+        df.select(F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("n_tok"))
+        .join(stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_tok",
@@ -391,13 +401,21 @@ def decontaminate(
     """
     toks = tokens_col(text)
     h = _h56(F.col(id_col).cast("string")) % 10000
-    grams = df.select(
+    # r8 perf: per-doc gram distinctness is ROW-LOCAL (array_distinct), so
+    # the train side needs NO DataFrame-level distinct — the old shape
+    # shuffled every (doc, gram) occurrence to dedupe what each row already
+    # determines (guide §2.4). The bench side still dedupes globally, but
+    # over per-doc-distinct rows (strictly fewer). fanout: one-split scan
+    # at bench scale, gram construction otherwise single-core.
+    from ult_spark.io.testdata import fanout
+
+    grams = fanout(df).select(
         F.col(id_col).alias("doc_id"),
         h.alias("h"),
-        F.explode(_grams(toks, n)).alias("gram"),
+        F.explode(F.array_distinct(_grams(toks, n))).alias("gram"),
     )
     bench = grams.where(F.col("h") < bench_e4).select("gram").distinct()
-    train = grams.where(F.col("h") >= bench_e4).select("doc_id", "gram").distinct()
+    train = grams.where(F.col("h") >= bench_e4).select("doc_id", "gram")
     hits = (
         train.join(bench, "gram", "inner")
         .groupBy("doc_id")
@@ -475,30 +493,49 @@ def decontaminate_fuzzy(
     doc: n_hits = benchmark docs at or above threshold, best_jacc_e4 =
     max Jaccard among them (0 when none).
     """
+    from ult_spark.io.testdata import fanout
     from ult_spark.ops.textops import (
+        N_MINHASH,
         band_rows,
         jaccard_pairs_from_sets,
-        minhash_signature,
         shingle_array,
     )
 
     h = _h56(F.col(id_col).cast("string")) % 10000
-    base = df.select(
-        F.col(id_col).alias("doc_id"), h.alias("h"), shingle_array(text).alias("shs")
+    # r8 perf rework (measured at sf1.0; same shapes as minhash_lsh_dedup):
+    # - fanout: the docs scan is one split at bench scale, so the shingle
+    #   construction + md5 partial aggregation otherwise run on one core;
+    # - ONE combined groupBy computes the 16 signature mins AND the hashed
+    #   verify sets (the two aggregates previously re-derived the whole
+    #   shingle pipeline once per consuming branch), localCheckpoint'd so
+    #   the band side and the verify side read it instead of re-executing;
+    # - h is a row-local function of doc_id — recomputed as a column on the
+    #   band rows instead of JOINING the base frame back on doc_id.
+    base = fanout(df).select(
+        F.col(id_col).alias("doc_id"), shingle_array(text).alias("shs")
     )
-    sh = base.select("doc_id", "h", F.explode("shs").alias("shingle"))
-    bands = band_rows(minhash_signature(sh)).join(
-        base.select("doc_id", "h"), "doc_id"
-    )
+    sh = base.select("doc_id", F.explode("shs").alias("shingle"))
+    h1 = _h56(F.col("shingle"), 1)
+    h2 = _h56(F.col("shingle"), 15)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)],
+        F.collect_set(h1).alias("shs"),
+        F.count(F.lit(1)).alias("sz"),
+    ).localCheckpoint()
+    sig = per_doc.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)])
+    hdoc = _h56(F.col("doc_id").cast("string")) % 10000
+    # r8: pin the exploding band join's parallelism (same rationale as
+    # textops.lsh_candidates — tiny input bytes, many output pairs, AQE
+    # would coalesce the stage; the keyed repartition replaces the join's
+    # own exchange)
+    n_part = 4 * df.sparkSession.sparkContext.defaultParallelism
+    bands = band_rows(sig).withColumn("h", hdoc).repartition(n_part, "band")
     tb = bands.where(F.col("h") >= bench_e4).select(F.col("doc_id").alias("a"), "band")
     bb = bands.where(F.col("h") < bench_e4).select(F.col("doc_id").alias("b"), "band")
     cand = tb.join(bb, "band").select("a", "b").distinct()
     # hashed sets (r6, same rationale as textops.jaccard_pairs): equality-
     # only verify carries the 56-bit shingle hash, not the string
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
-        F.count(F.lit(1)).alias("sz"),
-    )
+    docsets = per_doc.select("doc_id", "shs", "sz")
     hits = (
         jaccard_pairs_from_sets(docsets, cand, threshold)
         .groupBy(F.col("a").alias("doc_id"))
@@ -595,12 +632,39 @@ def host_boilerplate(
     agg. Nothing global, nothing all-pairs; popular hosts cost partial
     aggs, not a funnel.
     """
-    segs = token_window_segments(df, w, id_col=id_col, text=text).join(
-        df.select(F.col(id_col).alias("doc_id"), host.alias("host")), "doc_id"
-    )
+    # r8 perf (measured at sf1.0):
+    # - carry host THROUGH the segment explode instead of joining it back
+    #   on doc_id afterwards (host is a Column over df's columns, so it can
+    #   ride the same select — one join + one shuffle of every segment row
+    #   removed, guide §2.4);
+    # - fan the one-split docs scan out so segment construction runs on
+    #   every core (io.testdata.fanout);
+    # - the boilerplate-frequency count feeds on per-doc DISTINCT segments
+    #   (row-local array_distinct), turning countDistinct's two-level
+    #   aggregate into one count (identical value: rows are unique per
+    #   (doc, host, seg) by construction).
+    from ult_spark.io.testdata import fanout
+
+    fdf = fanout(df)
+    toks = tokens_col(text)
+    k = F.floor(F.size(toks) / w).cast("int")
+    seg_arr = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, (i - 1) * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = fdf.select(
+        F.col(id_col).alias("doc_id"), host.alias("host"),
+        F.posexplode(seg_arr).alias("pos0", "seg"),
+    ).select("doc_id", "host", (F.col("pos0") + 1).alias("seg_idx"), "seg")
     boiler = (
-        segs.groupBy("host", "seg")
-        .agg(F.countDistinct("doc_id").alias("_nd"))
+        fdf.select(
+            host.alias("host"), F.explode(F.array_distinct(seg_arr)).alias("seg")
+        )
+        .groupBy("host", "seg")
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .select("host", "seg", F.lit(True).alias("_boiler"))
     )

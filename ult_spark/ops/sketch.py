@@ -73,10 +73,30 @@ def countmin_estimates(
     (the heavy-hitter probe set), then a broadcast-able (row, bucket)
     join and a per-key min — the probe side is ``top``·d rows."""
     k = F.col(key).cast("string")
-    sk = countmin_sketch(df, key, d, w)
-    exact = df.groupBy(k.alias("key")).agg(
-        F.count(F.lit(1)).cast("long").alias("exact")
+    # r8 perf: counter addition is associative, so the sketch of the input
+    # equals the sketch of the per-key counts — aggregate by key FIRST
+    # (guide §2.3 "aggregate before you shuffle"), then hash the d lanes
+    # over |distinct keys| rows instead of every input row. The exact
+    # branch needs the identical per-key aggregate anyway; localCheckpoint
+    # shares the one keyed pass between the sketch and the probe instead
+    # of re-executing the scan per plan branch.
+    keyed = (
+        df.groupBy(k.alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .localCheckpoint()
     )
+    lanes = F.array(
+        *[
+            F.struct(F.lit(i).alias("d"), _lane(F.col("key"), i, w).alias("bucket"))
+            for i in range(d)
+        ]
+    )
+    sk = (
+        keyed.select(F.col("exact").alias("_c"), F.explode(lanes).alias("l"))
+        .groupBy(F.col("l.d").alias("d"), F.col("l.bucket").alias("bucket"))
+        .agg(F.sum("_c").cast("long").alias("cnt"))
+    )
+    exact = keyed
     tw = Window.orderBy(F.desc("exact"), F.asc("key"))
     probe = (
         exact.withColumn("rk", F.row_number().over(tw))

@@ -219,8 +219,16 @@ def band_rows(sig: DataFrame) -> DataFrame:
 
 
 def lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Candidate pairs (a < b) sharing at least one LSH band."""
-    bands = band_rows(sig)
+    """Candidate pairs (a < b) sharing at least one LSH band.
+
+    r8 perf: the band self-join EXPLODES (small band table in, every
+    bucket-mate pair out) and AQE coalesces the join stage from its tiny
+    INPUT bytes, serializing the explosion (see ops/ann.near_dup_pairs —
+    measured there). The explicit keyed repartition with a pinned count
+    replaces the join's own exchange (same key, no extra shuffle) and pins
+    the stage's parallelism."""
+    n_part = 4 * sig.sparkSession.sparkContext.defaultParallelism
+    bands = band_rows(sig).repartition(n_part, "band")
     l = bands.select(F.col("doc_id").alias("a"), "band")
     r = bands.select(F.col("doc_id").alias("b"), "band")
     return (
@@ -362,16 +370,25 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     # measured +4.4s at sf0.1 when the exchange sat before the collapse)
     reps = groups.select("doc_id", "text").repartition(n_part)
     sh = shingles(reps)
-    cand = lsh_candidates(minhash_signature(sh))
-    # hashed sets (r6): the verify only needs set EQUALITY, so carry the
-    # 56-bit shingle hash instead of the string — ~6x less array memory
-    # traffic in the pair join/intersect (measured -20% on the 30x corpus).
-    # sz counts the STRING-distinct shingles; a 2^-56 collision would shrink
-    # shs only, and the oracle (which joins on the string) would surface it.
-    docsets = sh.groupBy("doc_id").agg(
-        F.collect_set(_h56(F.col("shingle"))).alias("shs"),
+    # r8: the signature mins and the verify-side hashed shingle sets are
+    # aggregates of the SAME per-doc exploded shingles — compute both in
+    # ONE groupBy (one shingle derivation + one shuffle instead of two;
+    # guide §1.2 "don't compute things twice"), and note collect_set(h1)
+    # reuses the signature's own first md5 lane. (An eager localCheckpoint
+    # of this aggregate was tried and REVERTED: the build-time jobs cost
+    # more than the branch re-execution they saved, and retained RDD blocks
+    # inflated later runs in the same session — measured A/B/C at sf1.0,
+    # all within ±3%, checkpoint variants with worse first-run walls.)
+    h1 = _h56(F.col("shingle"), 1)
+    h2 = _h56(F.col("shingle"), 15)
+    per_doc = sh.groupBy("doc_id").agg(
+        *[F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)],
+        F.collect_set(h1).alias("shs"),
         F.count("*").alias("sz"),
     )
+    sig = per_doc.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)])
+    docsets = per_doc.select("doc_id", "shs", "sz")
+    cand = lsh_candidates(sig)
     rep_pairs = jaccard_pairs_from_sets(docsets, cand, threshold)
     cross = _expand_group_pairs(rep_pairs, groups, ["inter", "jacc_e4"])
     # within-group pairs: identical texts ⇒ inter = the group's distinct-
@@ -874,9 +891,22 @@ def tfidf_top_terms(
     window-free scalar: count over the dfreq table would need an action, so
     the caller-visible plan uses a cross-joined 1-row count aggregate
     (broadcast, no driver scalar)."""
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
+    # r8 perf: the scored branch and the document-frequency branch both
+    # re-derived the (doc, tok) aggregate (no subplan sharing). dfreq only
+    # needs "how many docs contain tok", which per-doc row-local
+    # array_distinct + a tok-keyed count gives without the (doc, tok)
+    # shuffle; tf then executes exactly once. fanout: one-split scan at
+    # bench scale (io.testdata.fanout).
+    from ult_spark.io.testdata import fanout
+
+    fdf = fanout(df)
+    toks = fdf.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    dfreq = (
+        fdf.select(F.explode(F.array_distinct(tokens_col(text))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("dfreq"))
+    )
     ndocs = df.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("dfreq") + F.lit(1)).cast("double"))
     scored = (
@@ -918,11 +948,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int
 
     One shuffle: all ``bits`` per-bit scores are aggregate expressions of a
     single groupBy (literal shifts — Spark's shiftright takes only int)."""
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok"))
-        .distinct()
-        .withColumn("h", _h56(F.col("tok"), 1))
-    )
+    # r8 perf: per-doc distinctness is ROW-LOCAL when ids are unique (every
+    # caller passes an id-unique frame), so array_distinct replaces the
+    # DataFrame .distinct() — one whole Exchange removed (guide §2.4); the
+    # md5 partial-agg work is fanned out across cores (the docs scan is a
+    # single split at bench scale — see io.testdata.fanout).
+    from ult_spark.io.testdata import fanout
+
+    toks = fanout(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text))).alias("tok"),
+    ).withColumn("h", _h56(F.col("tok"), 1))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -971,9 +1007,8 @@ def simhash_near_dup(
     if max_hamming > 3:
         raise ValueError("4x8-bit banding is exact only for max_hamming <= 3")
     groups = collapse_exact(df, id_col=id_col, text=text)
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    # same post-collapse repartition rationale as minhash_lsh_dedup
-    sig = simhash(groups.repartition(n_part), id_col="doc_id", text="text")
+    # r8: simhash fans its input out internally now — no pre-repartition
+    sig = simhash(groups, id_col="doc_id", text="text")
     chunks = F.explode(
         F.array(
             *[
@@ -987,6 +1022,12 @@ def simhash_near_dup(
     ).alias("_c")
     bands = sig.select("doc_id", "simhash", chunks).select(
         "doc_id", "simhash", F.col("_c.j").alias("j"), F.col("_c.v").alias("v")
+    )
+    # r8: pin the exploding chunk self-join's parallelism (same rationale
+    # and shape as lsh_candidates — keyed repartition replaces the join's
+    # own exchange)
+    bands = bands.repartition(
+        4 * df.sparkSession.sparkContext.defaultParallelism, "j", "v"
     )
     l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "j", "v")
     r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "j", "v")
@@ -1940,13 +1981,26 @@ def lm_cross_entropy(
     groupBy — the tfidf_top_terms plan shape; N rides as a one-row
     broadcast agg (re-derives the count branch, like tfidf's n_docs).
     Emits (doc_id, n_tokens, ce_e9); zero-token docs emit no row."""
-    toks = df.select(
+    # r8 perf: ct (corpus token counts) == a direct tok-keyed count of the
+    # occurrences — it does NOT need the (doc, tok) aggregate, so tf
+    # executes once instead of three times (ct and n branches re-derived
+    # it; no subplan sharing). ct is a |vocab|-row localCheckpoint so the
+    # one-row total n and the probe join read it without re-running the
+    # scan. fanout: one-split scan at bench scale (io.testdata.fanout).
+    from ult_spark.io.testdata import fanout
+
+    fdf = fanout(df)
+    toks = fdf.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text)).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    ct = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("c"))
+    ct = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
     n = ct.agg(F.sum("c").cast("long").alias("n"))
     term = F.floor(
         F.lit(1000000000.0)

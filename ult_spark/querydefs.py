@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ult_spark import functions as UF
-from ult_spark.io.testdata import load
+from ult_spark.io.testdata import fanout, load
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -59,7 +59,17 @@ def cents_sql(col: str) -> str:
 
 
 def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events + the pinned deterministic lat/lon derivation (FIXTURES.md §A)."""
+    """events + the pinned deterministic lat/lon derivation (FIXTURES.md §A).
+
+    r8 note: deliberately NOT fanned out. Measured at sf1.0: fanout here
+    made every consumer WORSE (tile_agg 0.59→2.4 s, cell_range_join
+    1.1→12.7 s) — the lat/lon+cell bit math is cheap per row, and the
+    single-task scan means map-side partial aggregation collapses each
+    downstream groupBy to one partial per key, so the following shuffles
+    were near-free; fanning out multiplied the partial-agg shuffle rows by
+    the partition count. Fan-out is reserved for md5-heavy chains
+    (guide §1.2: fix the algorithm where the cost actually is).
+    """
     return load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value",
         UF.event_lat().alias("lat"), UF.event_lon().alias("lon"),
@@ -4257,9 +4267,17 @@ def minwise_host_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-scale host universe)."""
     from ult_spark.ops.textops import _h56, tokens_col
 
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     site = F.concat(F.lit("site"), (F.col("doc_id") % 20).cast("string"))
-    tok = docs.select(site.alias("host"), F.explode(tokens_col("text")).alias("t"))
+    # r8 perf: min over a multiset == min over its support set, so dedupe
+    # (host, token) BEFORE the 16-lane md5 work — the corpus has ~2.7M
+    # token occurrences but only hundreds of distinct (host, token) pairs,
+    # and the distinct's map-side partial aggregation collapses almost all
+    # of the shuffle (guide §2.3 "aggregate before you shuffle"). The 16
+    # md5 evaluations drop from per-occurrence to per-distinct-pair.
+    tok = docs.select(
+        site.alias("host"), F.explode(tokens_col("text")).alias("t")
+    ).distinct()
     sig = tok.groupBy("host").agg(
         *[
             F.min(_h56(F.concat(F.col("t"), F.lit(f"#{i}"))))
@@ -4267,6 +4285,11 @@ def minwise_host_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(16)
         ]
     )
+    # sig is consumed by three plan branches (slot explode + both pair
+    # sides); localCheckpoint the |hosts|-row signature table so the
+    # token scan runs once, not three times (guide §3.3 materialise
+    # shared intermediates; CLAUDE.md crossJoin-branch lesson)
+    sig = sig.localCheckpoint()
     slots = sig.select(
         "host",
         F.explode(

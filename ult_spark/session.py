@@ -33,6 +33,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r8: 32 MB broadcast threshold (default 10 MB). The pair-verify
+        # sides of the dedup/ANN kernels (per-doc hashed shingle sets,
+        # per-vector norms) sit at 11-20 MB at bench scale and their
+        # broadcast saves two shuffles of multi-million-row pair frames
+        # (measured −3 s embedding_near_dup, −1 s minhash_lsh_pairs at
+        # sf1.0). Scale-safe by construction: AQE decides from RUNTIME
+        # sizes, so on a 100 TB corpus these sides exceed the threshold
+        # and the joins stay shuffled exactly as before; 32 MB broadcasts
+        # are well inside executor budgets. Env-overridable for clusters
+        # that want the stock 10 MB.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("ULT_AUTOBCAST_THRESHOLD", "33554432"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
