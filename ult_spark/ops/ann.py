@@ -105,7 +105,12 @@ def lsh_bands(
     aggregation order, so the bucket id is fully deterministic. One shuffle:
     all bands' dots are aggregate expressions of a single groupBy.
     """
-    q = df.select(F.col(vid), F.posexplode(_quantized()).alias("d", "v"))
+    # r8: fan the one-split bench scan out — the posexplode + 32-sum
+    # partial aggregation otherwise runs on one core (io.testdata.fanout;
+    # no-op on multi-split inputs)
+    from ult_spark.io.testdata import fanout
+
+    q = fanout(df).select(F.col(vid), F.posexplode(_quantized()).alias("d", "v"))
     aggs = []
     for b in range(n_bands):
         for i in range(n_planes):
@@ -264,6 +269,8 @@ def ann_lsh_topk(
         F.col(vid).alias("qid"), "band", "bucket"
     )
     cand_bands = prune_buckets(bands, max_bucket)
+    from ult_spark.io.testdata import fanout
+
     cand = (
         F.broadcast(qb)
         .join(cand_bands, ["band", "bucket"], "inner")
@@ -271,7 +278,7 @@ def ann_lsh_topk(
         .select("qid", vid)
         .distinct()
     )
-    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    vecs = fanout(data).select(F.col(vid), _quantized().alias("qv"))
     qvecs = vecs.where(F.col(vid).isin(query_ids)).select(
         F.col(vid).alias("qid"), F.col("qv").alias("qvec")
     )
@@ -311,7 +318,11 @@ def ivf_assign(
     work per query is nprobe/n_lists of the data, the IVF analog of LSH
     bucket pruning.
     """
-    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    from ult_spark.io.testdata import fanout
+
+    # r8: fanout — the quantize + broadcast-crossJoin + interpreted dot
+    # chain otherwise runs on the one-split scan's single task
+    vecs = fanout(data).select(F.col(vid), _quantized().alias("qv"))
     if cents is None:
         cents = _ivf_centroids(vecs, n_lists, vid)
     dot = F.aggregate(
@@ -345,7 +356,10 @@ def ivf_train(
     rebuilt by dim-sorted collect_list. Every step is order-free integer
     arithmetic, so trained centroids are exactly reproducible in DuckDB.
     Lists that lose all members drop out (deterministic)."""
-    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    from ult_spark.io.testdata import fanout
+
+    # r8: fanout — per-round assignment work otherwise starts single-task
+    vecs = fanout(data).select(F.col(vid), _quantized().alias("qv"))
     cents = _ivf_centroids(vecs, n_lists, vid)
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
@@ -388,7 +402,9 @@ def ann_ivf_topk(
     exact integer-quantized dot re-ranks the probed lists' members.
     ``cents``: swap in trained centroids (:func:`ivf_train`); default = the
     pinned smallest-id seeds."""
-    vecs = data.select(F.col(vid), _quantized().alias("qv"))
+    from ult_spark.io.testdata import fanout
+
+    vecs = fanout(data).select(F.col(vid), _quantized().alias("qv"))
     # ONE centroid derivation shared by probes and assignment (self-review
     # #5: two identical TakeOrderedAndProject scans of the corpus before)
     if cents is None:

@@ -506,22 +506,29 @@ def decontaminate_fuzzy(
     # - fanout: the docs scan is one split at bench scale, so the shingle
     #   construction + md5 partial aggregation otherwise run on one core;
     # - ONE combined groupBy computes the 16 signature mins AND the hashed
-    #   verify sets (the two aggregates previously re-derived the whole
-    #   shingle pipeline once per consuming branch), localCheckpoint'd so
-    #   the band side and the verify side read it instead of re-executing;
+    #   verify sets; its consuming branches share one execution via
+    #   ReuseExchange (identical exchange subtrees);
     # - h is a row-local function of doc_id — recomputed as a column on the
     #   band rows instead of JOINING the base frame back on doc_id.
     base = fanout(df).select(
         F.col(id_col).alias("doc_id"), shingle_array(text).alias("shs")
     )
-    sh = base.select("doc_id", F.explode("shs").alias("shingle"))
-    h1 = _h56(F.col("shingle"), 1)
-    h2 = _h56(F.col("shingle"), 15)
+    # h1/h2 projected BEFORE the aggregate: collect_set forces
+    # ObjectHashAggregate (no codegen/CSE), which would re-evaluate the md5
+    # interpreted per min-lane per row (see textops.minhash_lsh_dedup)
+    sh = base.select("doc_id", F.explode("shs").alias("shingle")).select(
+        "doc_id",
+        _h56(F.col("shingle"), 1).alias("h1"),
+        _h56(F.col("shingle"), 15).alias("h2"),
+    )
     per_doc = sh.groupBy("doc_id").agg(
-        *[F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)],
-        F.collect_set(h1).alias("shs"),
+        *[
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ],
+        F.collect_set("h1").alias("shs"),
         F.count(F.lit(1)).alias("sz"),
-    ).localCheckpoint()
+    )
     sig = per_doc.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)])
     hdoc = _h56(F.col("doc_id").cast("string")) % 10000
     # r8: pin the exploding band join's parallelism (same rationale as

@@ -374,16 +374,27 @@ def minhash_lsh_dedup(df: DataFrame, threshold: float = 0.2) -> DataFrame:
     # aggregates of the SAME per-doc exploded shingles — compute both in
     # ONE groupBy (one shingle derivation + one shuffle instead of two;
     # guide §1.2 "don't compute things twice"), and note collect_set(h1)
-    # reuses the signature's own first md5 lane. (An eager localCheckpoint
-    # of this aggregate was tried and REVERTED: the build-time jobs cost
-    # more than the branch re-execution they saved, and retained RDD blocks
-    # inflated later runs in the same session — measured A/B/C at sf1.0,
-    # all within ±3%, checkpoint variants with worse first-run walls.)
-    h1 = _h56(F.col("shingle"), 1)
-    h2 = _h56(F.col("shingle"), 15)
-    per_doc = sh.groupBy("doc_id").agg(
-        *[F.min(h1 + F.lit(j) * h2).alias(f"mh{j}") for j in range(N_MINHASH)],
-        F.collect_set(h1).alias("shs"),
+    # reuses the signature's own first md5 lane. h1/h2 are PROJECTED
+    # columns, not expressions inside the aggregate: collect_set forces
+    # ObjectHashAggregate (no whole-stage codegen, no subexpression
+    # elimination), which would re-evaluate the md5 interpreted once per
+    # min-lane per row — the Project stage keeps it codegen'd and CSE'd
+    # (guide §4.1; measured −1.3 s on the fuzzy-decontam twin). The plan's
+    # four references to this aggregate share one execution via Spark's
+    # ReuseExchange (identical exchange subtrees) — an explicit
+    # localCheckpoint was tried and REVERTED (build-time jobs cost more
+    # than they saved).
+    hashed = sh.select(
+        "doc_id",
+        _h56(F.col("shingle"), 1).alias("h1"),
+        _h56(F.col("shingle"), 15).alias("h2"),
+    )
+    per_doc = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(j) * F.col("h2")).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ],
+        F.collect_set("h1").alias("shs"),
         F.count("*").alias("sz"),
     )
     sig = per_doc.select("doc_id", *[f"mh{j}" for j in range(N_MINHASH)])
@@ -564,9 +575,17 @@ def connected_components(
     ``check=False`` runs exactly ``rounds`` blind rounds."""
     from pyspark.sql import Observation
 
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    # r8: both edge directions from ONE pass over pairs — the union shape
+    # read the pairs plan (the whole minhash pipeline for dup_clusters)
+    # once per branch before the persist materialized it (guide §1.2)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
     if not assume_contained:
         # public-API guard (round-4 advice): an edge endpoint absent from
         # ``vertices`` must not leak into label propagation — restrict to
