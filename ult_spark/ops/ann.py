@@ -173,11 +173,22 @@ def cosine_pairs_from_vectors(
     ``vectors`` from :func:`embedding_vectors` — the shared kernel behind
     the batch ``embedding_near_dup`` query and the streaming increment
     (streaming/stream_embedding_pairs), so the two stay bit-identical."""
-    va = vectors.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    vb = vectors.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    # r8 perf: each side's squared norm is a per-VECTOR quantity — computed
+    # once on the |vectors| build side (same left-fold expression, so the
+    # double is bit-identical) instead of once per candidate pair; the pair
+    # stage then evaluates only the dot (−29% fold work measured at 13.6M
+    # candidate pairs, sf1.0).
+    va = vectors.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        _norm_sq(F.col("v")).alias("_nsa"),
+    )
+    vb = vectors.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        _norm_sq(F.col("v")).alias("_nsb"),
+    )
     sim_e6 = F.floor(
         _dot(F.col("va"), F.col("vb"))
-        / F.sqrt(_norm_sq(F.col("va")) * _norm_sq(F.col("vb")))
+        / F.sqrt(F.col("_nsa") * F.col("_nsb"))
         * 1000000
     ).cast("long")
     return (
@@ -205,10 +216,11 @@ def near_dup_pairs(
     # explosion plus the pair-distinct partial aggregation ran serially
     # (14 s of the 22 s wall). An explicit repartition by the JOIN KEY with
     # a pinned count replaces the join's own exchange (same key → no extra
-    # shuffle) and pins the stage's parallelism. 4× parallelism keeps the
-    # md5-uniform buckets balanced; at cluster scale the band table is
-    # large enough that this exchange was mandatory anyway.
-    n_part = 4 * emb.sparkSession.sparkContext.defaultParallelism
+    # shuffle) and pins the stage's parallelism. 1× parallelism measured
+    # best at BOTH test scales (4× added per-task overhead); at cluster
+    # scale the band table is large enough that this exchange was
+    # mandatory anyway.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
     bands = bands.repartition(n_part, "band", "bucket")
     l = bands.select(F.col("vec_id").alias("a"), "band", "bucket")
     r = bands.select(F.col("vec_id").alias("b"), "band", "bucket")

@@ -535,7 +535,7 @@ def decontaminate_fuzzy(
     # textops.lsh_candidates — tiny input bytes, many output pairs, AQE
     # would coalesce the stage; the keyed repartition replaces the join's
     # own exchange)
-    n_part = 4 * df.sparkSession.sparkContext.defaultParallelism
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     bands = band_rows(sig).withColumn("h", hdoc).repartition(n_part, "band")
     tb = bands.where(F.col("h") >= bench_e4).select(F.col("doc_id").alias("a"), "band")
     bb = bands.where(F.col("h") < bench_e4).select(F.col("doc_id").alias("b"), "band")

@@ -227,7 +227,7 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     measured there). The explicit keyed repartition with a pinned count
     replaces the join's own exchange (same key, no extra shuffle) and pins
     the stage's parallelism."""
-    n_part = 4 * sig.sparkSession.sparkContext.defaultParallelism
+    n_part = sig.sparkSession.sparkContext.defaultParallelism
     bands = band_rows(sig).repartition(n_part, "band")
     l = bands.select(F.col("doc_id").alias("a"), "band")
     r = bands.select(F.col("doc_id").alias("b"), "band")
@@ -1046,7 +1046,7 @@ def simhash_near_dup(
     # and shape as lsh_candidates — keyed repartition replaces the join's
     # own exchange)
     bands = bands.repartition(
-        4 * df.sparkSession.sparkContext.defaultParallelism, "j", "v"
+        df.sparkSession.sparkContext.defaultParallelism, "j", "v"
     )
     l = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"), "j", "v")
     r = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"), "j", "v")
